@@ -1,0 +1,150 @@
+"""Micro-batch replay driver: change stream → converged lake table.
+
+The reference's incremental behavior is orchestration-level — a sensor
+that triggers the publisher with an idempotent ``run_key`` once upstream
+extractors finish (mex/extractors/pipeline/base.py:46-104). Here the same
+contract is a deterministic micro-batch loop with the exactly-once
+guarantees pushed into the table commit:
+
+- the event stream is partitioned into batches by ``seq`` range, so
+  every event belongs to exactly one batch no matter how the physical
+  files are ordered or duplicated (out-of-order / at-least-once safe);
+- batch id = the seq range (the ``run_key`` analog): a re-run of an
+  already-committed batch is a no-op; a crashed batch (data written,
+  snapshot unpublished) is re-applied from scratch and converges to the
+  identical snapshot;
+- resume = read the ledger, skip committed batches, continue.
+
+A Structured Streaming ``foreachBatch`` front-end wraps the same apply
+path for file-source streams (``trigger(availableNow=True)`` is the
+scheduled-cron analog, SURVEY.md §2.9 T1).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.table import ApplyStats, CommitAborted, LakeTable
+from mex_extractors_spark.streaming.metrics import MetricsLog
+
+
+class CheckFailed(RuntimeError):
+    """A blocking pre-commit check failed; the batch was not committed
+    (reference blocking asset checks: mex/extractors/pipeline/base.py:113)."""
+
+
+def batch_id_for_range(lo: int, hi: int) -> str:
+    return f"seq:{lo}-{hi}"
+
+
+class ReplayEngine:
+    def __init__(
+        self,
+        table: LakeTable,
+        metrics: MetricsLog | None = None,
+        normalize: Callable[[DataFrame], DataFrame] | None = None,
+        pre_commit_checks: list[Callable[[DataFrame], str | None]] | None = None,
+    ) -> None:
+        """``normalize`` maps raw heterogeneous batches to the common
+        schema (SURVEY.md §7 Phase 2); ``pre_commit_checks`` run on each
+        normalized batch and abort the commit by returning an error
+        string (blocking checks, SURVEY.md §2.5 A6 / §2.9 T4).
+        """
+        self.table = table
+        self.metrics = metrics
+        self.normalize = normalize
+        self.pre_commit_checks = pre_commit_checks or []
+
+    def _apply_one(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: str,
+        crash_after_data: bool = False,
+    ) -> ApplyStats:
+        if self.normalize is not None:
+            batch = self.normalize(batch)
+        for check in self.pre_commit_checks:
+            err = check(batch)
+            if err:
+                raise CheckFailed(f"batch {batch_id}: {err}")
+        stats = self.table.apply_batch(
+            spark, batch, batch_id, crash_after_data=crash_after_data
+        )
+        if self.metrics is not None:
+            self.metrics.append(stats)
+        return stats
+
+    def replay(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        seq_min: int,
+        seq_max: int,
+        batch_size: int,
+        seq_col: str | None = None,
+        crash_on_batch: str | None = None,
+    ) -> list[ApplyStats]:
+        """Replay ``events`` into the table in ``seq``-range micro-batches.
+
+        ``events`` may contain duplicates and arbitrary physical order;
+        range predicates (pushed down to the parquet scan) slice it into
+        deterministic batches. ``crash_on_batch`` injects a kill after
+        that batch's data files are written (chaos testing).
+        """
+        seq_col = seq_col or self.table.seq_col
+        done = self.table.applied_batches()
+        out: list[ApplyStats] = []
+        n_batches = max(1, math.ceil((seq_max - seq_min + 1) / batch_size))
+        for i in range(n_batches):
+            lo = seq_min + i * batch_size
+            hi = min(seq_max, lo + batch_size - 1)
+            bid = batch_id_for_range(lo, hi)
+            if bid in done:
+                out.append(ApplyStats(batch_id=bid, applied=False))
+                continue
+            batch = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) <= hi))
+            try:
+                stats = self._apply_one(
+                    spark, batch, bid, crash_after_data=(bid == crash_on_batch)
+                )
+            except CommitAborted:
+                raise
+            out.append(stats)
+        return out
+
+    # ----------------------------------------------- structured streaming
+
+    def stream_from_files(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        file_format: str = "parquet",
+    ):
+        """Structured Streaming front-end: tail a directory of event files
+        and upsert each micro-batch through the same exactly-once apply.
+
+        Spark's checkpoint gives at-least-once batch delivery across
+        restarts; the table's batch-id ledger + per-bucket watermark
+        fencing upgrade it to exactly-once table state.
+        """
+        stream = (
+            spark.readStream.format(file_format).schema(schema).load(source_dir)
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self._apply_one(spark, batch_df, f"stream:{batch_id}")
+
+        writer = stream.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

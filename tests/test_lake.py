@@ -1,0 +1,219 @@
+"""Lake table: exactly-once commits, copy-on-write, schema evolution,
+duckdb-oracle replay equality (SURVEY.md §5.2 test plan items 2-4)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark import synth
+from mex_extractors_spark.lake.schema_evolution import (
+    SchemaEvolutionError,
+    merge_schemas,
+)
+from mex_extractors_spark.lake.table import CommitAborted, LakeTable
+from mex_extractors_spark.streaming.metrics import MetricsLog
+from mex_extractors_spark.streaming.replay import ReplayEngine
+
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+N_EVENTS = 3000
+
+ORACLE_SQL = """
+WITH latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM events
+)
+SELECT repo, path, seq, "commit", lang, content, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+def _oracle_rows(events_parquet: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{events_parquet}/*.parquet'")
+    return con.execute(ORACLE_SQL).fetchall()
+
+
+def _table_rows(spark, table: LakeTable):
+    df = table.read(spark).select(
+        "repo",
+        "path",
+        "seq",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def events_parquet(spark, tmp_path):
+    p = str(tmp_path / "events.parquet")
+    synth.events(spark, N_EVENTS, n_repos=40, paths_per_repo=20).write.parquet(p)
+    return p
+
+
+def test_replay_matches_duckdb_oracle(spark, tmp_path, events_parquet):
+    """End-to-end: micro-batch replay == single-threaded oracle apply,
+    including per-row sha256(content) equality (BASELINE invariant)."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table, metrics=MetricsLog(str(tmp_path / "metrics.jsonl")))
+    events = spark.read.parquet(events_parquet)
+    stats = engine.replay(spark, events, 1, N_EVENTS, batch_size=500)
+    assert all(s.applied for s in stats)
+    assert sum(s.events_in for s in stats) == N_EVENTS
+
+    got = _table_rows(spark, table)
+    exp = sorted(tuple(r) for r in _oracle_rows(events_parquet))
+    assert got == exp
+
+
+def test_replay_idempotent_on_duplicate_delivery(spark, tmp_path, events_parquet):
+    """At-least-once delivered stream (1-3 copies per event) converges to
+    the identical table (FIXTURES.md duplicated-delivery variant)."""
+    events = spark.read.parquet(events_parquet)
+    dup = synth.with_duplicate_delivery(events)
+
+    t1 = LakeTable(str(tmp_path / "clean"), num_buckets=8)
+    ReplayEngine(t1).replay(spark, events, 1, N_EVENTS, batch_size=700)
+    t2 = LakeTable(str(tmp_path / "dup"), num_buckets=8)
+    ReplayEngine(t2).replay(spark, dup, 1, N_EVENTS, batch_size=700)
+    assert _table_rows(spark, t1) == _table_rows(spark, t2)
+
+
+def test_replay_out_of_order_stream(spark, tmp_path, events_parquet):
+    events = synth.shuffled(spark.read.parquet(events_parquet))
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ReplayEngine(table).replay(spark, events, 1, N_EVENTS, batch_size=1000)
+    assert _table_rows(spark, table) == sorted(tuple(r) for r in _oracle_rows(events_parquet))
+
+
+def test_reapply_same_batch_is_noop(spark, tmp_path, events_parquet):
+    events = spark.read.parquet(events_parquet)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table)
+    engine.replay(spark, events, 1, N_EVENTS, batch_size=1000)
+    v1 = table.current_snapshot()["version"]
+    again = engine.replay(spark, events, 1, N_EVENTS, batch_size=1000)
+    assert all(not s.applied for s in again)
+    assert table.current_snapshot()["version"] == v1
+
+
+def test_crash_between_data_and_publish_then_resume(spark, tmp_path, events_parquet):
+    """Chaos: kill after data-file write, before snapshot publish. Resume
+    must converge to the identical final table with no duplicates
+    (SURVEY.md §5.2 item 3)."""
+    events = spark.read.parquet(events_parquet)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table)
+    with pytest.raises(CommitAborted):
+        engine.replay(
+            spark, events, 1, N_EVENTS, batch_size=1000, crash_on_batch="seq:1001-2000"
+        )
+    # batch 1 committed, batch 2 wrote orphan files, no snapshot for it
+    assert table.current_snapshot()["applied_batches"] == ["seq:1-1000"]
+    # resume: skips batch 1, re-applies batch 2 from scratch, continues
+    stats = engine.replay(spark, events, 1, N_EVENTS, batch_size=1000)
+    assert [s.applied for s in stats] == [False, True, True]
+    assert _table_rows(spark, table) == sorted(tuple(r) for r in _oracle_rows(events_parquet))
+    # orphans from the crashed attempt are sweepable
+    removed = table.vacuum_orphans()
+    assert removed == 0 or _table_rows(spark, table) == sorted(
+        tuple(r) for r in _oracle_rows(events_parquet)
+    )
+
+
+def test_watermark_fences_cross_batch_redelivery(spark, tmp_path, events_parquet):
+    """Events at/below a bucket's high-watermark are dropped on arrival."""
+    events = spark.read.parquet(events_parquet)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table)
+    engine.replay(spark, events, 1, N_EVENTS, batch_size=1500)
+    # redeliver the first half under a NEW batch id: all fenced
+    stale = events.where(F.col("seq") <= 1500)
+    stats = table.apply_batch(spark, stale, "redelivery:1")
+    assert stats.applied and stats.events_fenced == stats.events_in
+    assert _table_rows(spark, table) == sorted(tuple(r) for r in _oracle_rows(events_parquet))
+
+
+def test_copy_on_write_touches_only_needed_buckets(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=16)
+    big = synth.events(spark, 2000, n_repos=50)
+    table.apply_batch(spark, big, "b1")
+    snap1 = table.current_snapshot()
+    # a single-key batch must rewrite exactly one bucket
+    one = big.where("seq = 2000").withColumn("seq", F.lit(999999).cast("long"))
+    stats = table.apply_batch(spark, one, "b2")
+    assert stats.buckets_touched == 1
+    snap2 = table.current_snapshot()
+    unchanged = [
+        b
+        for b in snap1["buckets"]
+        if snap1["buckets"][b]["files"] == snap2["buckets"][b]["files"]
+    ]
+    assert len(unchanged) == len(snap1["buckets"]) - 1
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    """Mid-stream added columns + int→long widening (SURVEY.md §7 Phase 4)."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    base = synth.events(spark, 400, n_repos=10)
+    table.apply_batch(spark, base.where("seq <= 200"), "b1")
+    assert "content_sha" not in table.current_schema().fieldNames()
+
+    evolved_int = synth.with_evolution_columns(base.where("seq > 200 AND seq <= 300"), "int")
+    table.apply_batch(spark, evolved_int, "b2")
+    schema = table.current_schema()
+    assert schema["content_sha"].dataType == StringType()
+    assert schema["size_bytes"].dataType == IntegerType()
+
+    evolved_long = synth.with_evolution_columns(base.where("seq > 300"), "long")
+    table.apply_batch(spark, evolved_long, "b3")
+    schema = table.current_schema()
+    assert schema["size_bytes"].dataType == LongType()
+
+    # old rows readable with nulls in new cols; evolved rows carry values
+    df = table.read(spark)
+    assert df.where("content_sha IS NULL").count() > 0
+    assert df.where("size_bytes IS NOT NULL").count() > 0
+    # content_sha, where present, satisfies the sha256 invariant
+    bad = df.where(
+        (F.col("content_sha").isNotNull())
+        & (F.col("content_sha") != F.sha2(F.coalesce("content", F.lit("")), 256))
+    )
+    assert bad.count() == 0
+
+
+def test_schema_narrowing_rejected():
+    a = StructType([StructField("x", LongType())])
+    b = StructType([StructField("x", IntegerType())])
+    # widen is fine in either direction of argument order (result = long)
+    assert merge_schemas(a, b)["x"].dataType == LongType()
+    bad_a = StructType([StructField("x", StringType())])
+    bad_b = StructType([StructField("x", LongType())])
+    with pytest.raises(SchemaEvolutionError):
+        merge_schemas(bad_a, bad_b)
+
+
+def test_metrics_log_written(spark, tmp_path, events_parquet):
+    metrics = MetricsLog(str(tmp_path / "m.jsonl"))
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table, metrics=metrics)
+    events = spark.read.parquet(events_parquet)
+    engine.replay(spark, events, 1, N_EVENTS, batch_size=1000)
+    hist = metrics.history()
+    assert len(hist) == 3
+    assert all(h["events_in"] == 1000 for h in hist)
+    assert os.path.exists(str(tmp_path / "m.jsonl"))
