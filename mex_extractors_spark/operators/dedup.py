@@ -1,0 +1,286 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference deduplicates by key with seen-sets and singleton filters
+(SURVEY.md §2.3 F3/F4/F5); a 100 TB corpus additionally needs
+content-level dedup. All operators here are DataFrame-native:
+
+- exact:        sha256(text) hash-groupBy — one shuffle, partial agg;
+- minhash LSH:  shingle → minhash signature → band → bucket join —
+                candidate pairs meet only inside a band bucket, so the
+                join never goes quadratic;
+- simhash:      64-bit sign fingerprint; near-dups share one of four
+                16-bit chunks (pigeonhole for hamming ≤ 3);
+- n-gram jaccard: exact pair scoring via explode + equi-join on shared
+                shingles (with a document-frequency cutoff so stop-
+                shingles don't explode the join).
+
+Everything is expression-only (codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.functions.text import shingles
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_sha256, dup_count,
+    keep_id, dup_ids). ``keep_id`` = min id (deterministic survivor)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha256"), F.col(id_col))
+        .groupBy("text_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one deterministic survivor (min id) per identical text."""
+    return (
+        df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_sha")))
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_sha", "_keep")
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def minhash_signature(text_col: str | Column, num_hashes: int = 16, k: int = 5) -> Column:
+    """MinHash signature (array<bigint>) over character k-gram shingles.
+    Hash family i = xxhash64(i, shingle) — deterministic, seedable."""
+    sh = shingles(text_col, k)
+
+    def _minhash(i: int) -> Column:
+        # closure (not a default arg): a 2-param lambda would be taken as
+        # transform's (element, index) form and clobber the family index
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return F.array(*[_minhash(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash signatures as columns h0..h{n-1} via explode + hash-agg.
+
+    Explode the shingle array ONCE, then take ``num_hashes`` mins in a
+    single codegen'd hash aggregate with map-side partial combine. This
+    beats the nested-HOF formulation (array_min over transform) by an
+    order of magnitude: Catalyst's projection collapse re-inlines a
+    shingle-array expression into every hash family, and HOF lambdas are
+    interpreted per element.
+    """
+    # shuffle BEFORE the heavy shingle/hash work: repartition by the
+    # grouping key so (a) a few big input files still fan out across all
+    # cores and (b) the groupBy below reuses the partitioning — Catalyst
+    # inserts no second exchange, so it is still exactly one shuffle
+    spark = df.sparkSession
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .repartition(parallelism, F.col("_id"))
+        .select("_id", F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("_s"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; two docs become a
+    candidate pair iff some band hashes identically. The band bucket id
+    is the shuffle key — never a cross join. Returns (id_a, id_b,
+    n_shared_bands) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    sets_df = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(shingles(F.col(text_col), k)).alias("_sh")
+    )
+    joined = (
+        cands.join(sets_df.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(sets_df.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash64(text_col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens: bit i is the sign of the
+    token-weighted ±1 vote of bit i of each token's xxhash64."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(c)), "\\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(i) for i in range(64)]
+    out = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
+    pigeonhole chunk bucketing: split 64 bits into 4 chunks of 16; any
+    pair within hamming 3 agrees on ≥1 whole chunk, so the candidate
+    join is an equi-join on (chunk_index, chunk_value)."""
+    with_sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    chunked = with_sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sig"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("_chunk_idx", "_chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l._chunk_idx") == F.col("r._chunk_idx"))
+            & (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("_siga"),
+            F.col("r._sig").alias("_sigb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------- exact n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact jaccard over distinct k-gram sets for every pair sharing at
+    least one (non-stop) shingle. ``max_shingle_df`` drops shingles that
+    occur in more than N docs — the classic guard that keeps the
+    explode-join linear in corpus size instead of quadratic."""
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    ).persist()
+    exploded = sets_df.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    if max_shingle_df is not None:
+        hot = exploded.groupBy("_s").count().where(F.col("count") > max_shingle_df)
+        exploded = exploded.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
+    l, r = exploded.alias("l"), exploded.alias("r")
+    shared = (
+        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._n").alias("_na"),
+            F.col("r._n").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6)
+    out = shared.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    return out

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one pass, expression-only dot
+product via ``zip_with`` + ``aggregate``. Scale paths:
+
+- sign-LSH (random hyperplanes): hash each vector to an h-bit bucket
+  using deterministic seeded pseudo-random planes (components derived
+  from xxhash64 — no driver-side randomness, cluster-reproducible);
+  query probes only its bucket (+ optional multi-probe neighbors);
+- IVF-style coarse quantization: c deterministic centroids sampled by
+  hash, every vector assigned to its nearest centroid (broadcast join —
+  centroids are tiny), query scans only the top-nprobe nearest lists.
+
+At 100 TB the bucketed variants turn a full-corpus scan into a
+partition-pruned scan keyed by bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine similarity to a literal query
+    vector. Map-side score + global top-k (TakeOrdered — no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def sign_lsh_bucket(vec_col: str | Column, num_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """h-bit sign-LSH bucket id. Plane p component j is a deterministic
+    pseudo-random value in [-0.5, 0.5) derived from xxhash64(seed,p,j),
+    so every executor (and every run) derives identical planes."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def _proj(p: int) -> Column:
+        # closure over p (a 2-param lambda would be transform's
+        # (element, index) form and clobber the plane id)
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(1000)).cast("double")
+                / 1000.0
+                - 0.5
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(v, plane, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bucket = bucket + F.when(_proj(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-LSH
+    bucket and its hamming-``multiprobe_bits`` neighbor buckets.
+
+    On a real table the bucket id is a persisted partition column, so
+    this is a partition-pruned scan; here it is a filter that parquet
+    row-group stats can still skip on.
+    """
+    dim = len(query_vec)
+    spark = df.sparkSession
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in query_vec]).alias("_q")
+    )
+    q_bucket = qdf.select(
+        sign_lsh_bucket(F.col("_q"), num_planes, dim, seed).alias("b")
+    ).collect()[0]["b"]
+    probe = {q_bucket}
+    if multiprobe_bits >= 1:
+        probe |= {q_bucket ^ (1 << p) for p in range(num_planes)}
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn(
+        "_bucket", sign_lsh_bucket(F.col(vec_col).cast("array<double>"), num_planes, dim, seed)
+    )
+    cand = bucketed.where(F.col("_bucket").isin(list(probe)))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: centroids = deterministic sample (the
+    ``num_centroids`` vectors with smallest xxhash64(id)), assignment =
+    argmin L2 distance via a broadcast join against the tiny centroid
+    set. Returns (id, centroid_id, l2_dist)."""
+    centroids = (
+        df.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cvec"))
+        .orderBy(F.xxhash64(F.col("_cid").cast("string")))
+        .limit(num_centroids)
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col("_cid"), F.round(l2, 6).alias("l2_dist")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.struct("_cid", "l2_dist"), F.col("l2_dist")).alias("_w")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_w._cid").alias("centroid_id"),
+        F.col("_w.l2_dist").alias("l2_dist"),
+    )
+
+
+def pairwise_cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed so the pair join is
+    an equi-join on bucket id (never a cross join). Returns (id_a, id_b,
+    cosine_sim ≥ threshold); pairs in different buckets are missed —
+    that is the approximation, tuned by num_planes."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sign_lsh_bucket(F.col(vec_col).cast("array<double>"), num_planes, dim, seed).alias("_b"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(
+        r, (F.col("l._b") == F.col("r._b")) & (F.col("l._id") < F.col("r._id"))
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine_sim"),
+    )
+    return pairs.where(F.col("cosine_sim") >= threshold)

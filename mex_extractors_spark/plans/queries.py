@@ -1,0 +1,764 @@
+"""Registry of (spark query, duckdb oracle) pairs — the correctness gate.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver's parquet tables. Column names are aliased identically on both
+sides (the driver hash-compares values after sorting columns by name).
+Money aggregates use exact integer cents (no float-sum drift); float
+outputs are rounded.
+
+Entries with ``oracle=None`` are genuinely non-SQL-expressible (engine-
+specific hashing, approximate algorithms, pandas UDFs) and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.functions import text as T
+from mex_extractors_spark.operators import dedup, similarity
+from mex_extractors_spark.operators.aggregates import (
+    distinct_value_set,
+    group_minmax,
+    union_of_key_sets,
+)
+from mex_extractors_spark.operators.filters import filter_cascade, keep_singletons
+from mex_extractors_spark.operators.joins import topological_levels
+from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
+from mex_extractors_spark.sources.readers import columnar_pivot
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    covers: str  # SURVEY.md §2 operator ids
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def q(name: str, covers: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, covers=covers)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- CDC core
+
+
+@q(
+    "w1_lww_latest_event",
+    "W1/F4 last-writer-wins kernel",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def w1_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    latest = lww_latest(ev, key_cols=["user_id"], seq_col="seq")
+    return latest.select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "cdc_converged_state",
+    "W1+tombstones: LWW merge with delete semantics",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as a CDC stream keyed by user: latest event wins;
+    a latest 'error' event acts as a tombstone (the converged-table law
+    of the replay engine, over driver data)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    state = apply_deletes(lww_latest(ev, key_cols=["user_id"], seq_col="seq"))
+    return state.select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
+    "f4_first_wins_dedup",
+    "F4 seen-set dedup (first per key in seq order)",
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def f4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+# ------------------------------------------------------------- relational
+
+
+@q(
+    "a1_pricing_summary",
+    "A1/A2 grouped aggregate (TPC-H Q1 shape), exact integer cents",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).cast("long").alias("sum_base_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "j1_broadcast_dim_join",
+    "J1 broadcast hash join through two dims",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@q(
+    "j2_inner_skip_join",
+    "J2 inner-join-by-skip (drop unmatched probes)",
+    """
+    SELECT p.p_brand AS brand, count(*) AS n_lines,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j2_inner_skip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "j3_left_join_fallback",
+    "J3 left join with fallback default (coalesce)",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+    """,
+)
+def j3_left_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@q(
+    "j6_self_join_link",
+    "J6 self-join linking rows by a reference column",
+    """
+    SELECT a.o_orderkey AS order_key, b.o_orderkey AS linked_order_key
+    FROM orders a JOIN orders b
+      ON b.o_custkey = a.o_custkey AND b.o_orderkey = a.o_orderkey + 1
+    """,
+)
+def j6_self_join_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("b.o_orderkey") == F.col("a.o_orderkey") + 1),
+    ).select(
+        F.col("a.o_orderkey").alias("order_key"),
+        F.col("b.o_orderkey").alias("linked_order_key"),
+    )
+
+
+@q(
+    "anti_join_missing_dim",
+    "J5 get-or-create probe: keys with no match (left-anti join)",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    """,
+)
+def anti_join_missing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+@q(
+    "f2_filter_cascade",
+    "F1/F2 ordered predicate cascade with drop-reason lineage",
+    """
+    SELECT coalesce(
+             CASE WHEN l_discount > 0.05 THEN 'high_discount'
+                  WHEN l_quantity < 5 THEN 'low_qty'
+                  WHEN l_tax > 0.07 THEN 'high_tax' END, 'kept') AS reason,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def f2_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    tagged = filter_cascade(
+        li,
+        [
+            ("high_discount", F.col("l_discount") > 0.05),
+            ("low_qty", F.col("l_quantity") < 5),
+            ("high_tax", F.col("l_tax") > 0.07),
+        ],
+    )
+    return tagged.groupBy(
+        F.coalesce("drop_reason", F.lit("kept")).alias("reason")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "f3_keep_singletons",
+    "F3 keep-only-singletons dedup (window count)",
+    """
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING count(*) = 1
+    """,
+)
+def f3_keep_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return keep_singletons(li, ["l_orderkey"]).select("l_orderkey")
+
+
+@q(
+    "w6_rank_topn_per_group",
+    "W6 ranking window: top-3 orders per customer by price",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def w6_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "a3_distinct_value_set",
+    "A3 sorted distinct value set per group",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_set
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_distinct_value_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sets = distinct_value_set(ev, ["event_type"], "user_id", alias="user_set_arr")
+    return sets.select(
+        "event_type", F.concat_ws(",", F.col("user_set_arr")).alias("user_set")
+    )
+
+
+@q(
+    "a1_group_minmax",
+    "A1 per-group min/max (start/modified contract)",
+    """
+    SELECT user_id, min(ts) AS start, max(ts) AS modified FROM events GROUP BY user_id
+    """,
+)
+def a1_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return group_minmax(ev, ["user_id"], "ts", "start", "modified")
+
+
+@q(
+    "a5_union_key_sets",
+    "A5/U2 union of key sets, distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def a5_union_key_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).distinct()
+
+
+@q(
+    "u5_except_values",
+    "U5 relational EXCEPT: part sizes never seen as a line number",
+    """
+    SELECT p_size AS val FROM part
+    EXCEPT
+    SELECT l_linenumber FROM lineitem
+    """,
+)
+def u5_except_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(F.col("p_size").alias("val"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("val"))
+    # subtract = EXCEPT DISTINCT (set semantics, like the SQL oracle);
+    # exceptAll would only cancel one occurrence per match (bag semantics)
+    return p.subtract(li)
+
+
+@q(
+    "w2_topological_levels",
+    "W2 topological ordering via iterative-join level assignment",
+    """
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS node_id, 0 AS level FROM region
+    UNION ALL
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR), 1 FROM nation
+    """,
+)
+def w2_topological_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation as a 2-level DAG run through the GENERIC iterative
+    level algorithm (the oracle states the closed form)."""
+    r = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("unit_id"),
+        F.lit(None).cast("string").alias("parent_unit_id"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("unit_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent_unit_id"),
+    )
+    edges = r.unionByName(n)
+    levels = topological_levels(edges)
+    return levels.select(
+        F.col("unit_id").alias("node_id"), F.col("level").cast("int").alias("level")
+    )
+
+
+@q(
+    "c8_year_extract",
+    "C8 date part extraction + grouped count",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month, count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def c8_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "c_scalar_string_pack",
+    "C1-C6,C13,C14 scalar string family incl. canonical sha256",
+    """
+    SELECT doc_id,
+           sha256(text) AS text_sha256,
+           length(text) AS n_chars,
+           substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40) AS norm_prefix,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower
+    FROM documents
+    """,
+)
+def c_scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length("text").alias("n_chars"),
+        F.substring(
+            F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "), 1, 40
+        ).alias("norm_prefix"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_lower"),
+    )
+
+
+@q(
+    "c_json_extract",
+    "C16/JSON: nested JSON field extraction + grouped count",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "s8_columnar_pivot",
+    "S8 columnar pivot: distinct sorted values per column name",
+    """
+    SELECT 'event_type' AS column_name,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS value_set
+    FROM events
+    UNION ALL
+    SELECT 'user_id', array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')
+    FROM events
+    """,
+)
+def s8_columnar_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    piv = columnar_pivot(ev, ["event_type", "user_id"])
+    return piv.select("column_name", F.concat_ws(",", "value_set").alias("value_set"))
+
+
+# -------------------------------------------------------- text analysis
+
+
+@q(
+    "t1_token_stats",
+    "token counting: whitespace + BPE-ish regex",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.regex_token_count("text").alias("n_re_tokens"),
+    )
+
+
+@q(
+    "t2_quality_scores",
+    "document quality scoring (length/alpha/punct/stopword ratios)",
+    """
+    SELECT doc_id,
+      round(
+        0.25 * least(length(text) / 500.0, 1.0)
+      + 0.35 * (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+      + 0.2 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+               ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) * 1.0 / length(text) END) * 5.0, 1.0))
+      + 0.2 * least((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+               ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> t IN ('the','and','of','is','to','a'))) * 1.0
+                     / len(regexp_split_to_array(trim(text), '\\s+')) END) * 5.0, 1.0),
+      6) AS quality
+    FROM documents
+    """,
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@q(
+    "t3_lang_id",
+    "n-gram heuristic language identification",
+    None,  # argmax CASE cascade is expressible but brittle; engine-side
+    # golden tests cover it — driver does the rows-only check
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.detect_lang("text").alias("detected_lang"))
+
+
+@q(
+    "t4_fingerprint",
+    "document fingerprint: min-md5 over k-gram shingles",
+    """
+    SELECT doc_id,
+           list_min([md5(substr(norm, i, 8))
+                     for i in generate_series(1, greatest(length(norm) - 7, 1))]) AS fp
+    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents)
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text", k=8).alias("fp"))
+
+
+# -------------------------------------------------------------- dedup
+
+
+@q(
+    "d1_exact_duplicates",
+    "exact dedup: sha256 hash-groupBy duplicate groups",
+    """
+    SELECT sha256(props) AS text_sha256, count(*) AS dup_count,
+           min(event_id) AS keep_id
+    FROM events GROUP BY sha256(props) HAVING count(*) > 1
+    """,
+)
+def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    groups = dedup.exact_duplicates(ev, text_col="props", id_col="event_id")
+    return groups.select("text_sha256", "dup_count", "keep_id")
+
+
+@q(
+    "d2_ngram_jaccard",
+    "n-gram jaccard near-dup pair scoring (explode + equi-join)",
+    """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 8)
+                            for i in generate_series(1, greatest(length(text) - 7, 1))]) AS sh
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) AS jaccard
+    FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    HAVING round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) >= 0.5
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=8, threshold=0.5, max_shingle_df=None
+    )
+
+
+@q(
+    "d3_minhash_lsh_neardup",
+    "MinHash+LSH near-dup (shingle→minhash→band→bucket-join)",
+    None,  # xxhash64-based signatures are engine-specific — rows-only
+)
+def d3_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # 4 bands × 4 rows: band-collision prob = j^4 (tight enough that
+    # same-vocabulary corpora don't flood the verify join); k=12 shingles
+    # push baseline jaccard of unrelated docs down
+    return dedup.minhash_near_duplicates(
+        d, text_col="text", id_col="doc_id", threshold=0.5, num_hashes=16, bands=4, k=12
+    )
+
+
+@q(
+    "d4_simhash_neardup",
+    "SimHash 64-bit near-dup with pigeonhole chunk bucketing",
+    None,  # xxhash64-based fingerprint — rows-only
+)
+def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, text_col="text", id_col="doc_id", max_hamming=6)
+
+
+@q(
+    "d5_embedding_cosine_pairs",
+    "embedding-cosine near-dup, brute-force exact (baseline)",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+    """,
+)
+def d5_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = similarity.cosine(F.col("_va"), F.col("_vb"))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim")).where(
+        sim >= 0.45
+    )
+
+
+@q(
+    "d5b_embedding_lsh_neardup",
+    "embedding-cosine near-dup, sign-LSH bucketed (scale path)",
+    None,  # approximate by design — rows-only
+)
+def d5b_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_near_duplicates(
+        e, threshold=0.45, num_planes=4
+    )
+
+
+# ---------------------------------------------------------- similarity
+
+
+@q(
+    "sim1_cosine_topk",
+    "brute-force cosine top-k to a fixed query vector",
+    """
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q, q))), 6) AS cosine_sim
+    FROM embeddings, (SELECT [CAST(((i * 37) % 19) - 9 AS DOUBLE) / 10.0
+                              for i in generate_series(0, 63)] AS q)
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    return similarity.cosine_topk(e, qvec, k=10)
+
+
+@q(
+    "sim2_ann_lsh_topk",
+    "ANN: sign-LSH bucketed top-k (approximate scale path)",
+    None,  # approximate by design — rows-only
+)
+def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    return similarity.ann_lsh_topk(e, qvec, k=10, num_planes=6)
+
+
+@q(
+    "sim3_ivf_assignments",
+    "IVF coarse quantization: centroid assignment via broadcast join",
+    None,  # centroid choice is engine-hash-based — rows-only
+)
+def sim3_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_assignments(e, num_centroids=8)
+
+
+# ---------------------------------------------------------- normalization
+
+
+@q(
+    "n1_common_model_identity",
+    "§1.1 deterministic identity + common-model normalization",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS identifierInPrimarySource,
+           'documents-src' AS hadPrimarySource,
+           sha256('identifier' || chr(31) || 'documents-src' || chr(31)
+                  || CAST(doc_id AS VARCHAR)) AS identifier_sha,
+           source AS source_system
+    FROM documents
+    """,
+)
+def n1_common_model_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = d.withColumns(
+        {
+            "identifierInPrimarySource": F.col("doc_id").cast("string"),
+            "hadPrimarySource": F.lit("documents-src"),
+        }
+    ).withColumn(
+        "identifier_sha",
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.lit("identifier"),
+                "hadPrimarySource",
+                "identifierInPrimarySource",
+            ),
+            256,
+        ),
+    )
+    return out.select(
+        "identifierInPrimarySource",
+        "hadPrimarySource",
+        "identifier_sha",
+        F.col("source").alias("source_system"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: qd.oracle.strip()
+        for name, qd in REGISTRY.items()
+        if qd.oracle is not None
+    }

@@ -1,0 +1,272 @@
+"""Unit tests for operators: filters, joins, aggregates, dedup,
+similarity, multimodal (golden-output style, SURVEY.md §5.2 item 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.operators import dedup, similarity
+from mex_extractors_spark.operators.aggregates import (
+    distinct_value_set,
+    first_of_group,
+    group_collect,
+    group_minmax,
+    outbound_connection_count,
+    union_of_key_sets,
+)
+from mex_extractors_spark.operators.filters import (
+    author_count_cutoff,
+    deny_list_filter,
+    drop_counts,
+    exactly_one_gate,
+    filter_cascade,
+    keep_singletons,
+    kept,
+    subtree_members,
+    year_floor_filter,
+)
+from mex_extractors_spark.operators.joins import (
+    broadcast_lookup,
+    get_or_create_dim,
+    lookup_with_fallback,
+    self_link_successor,
+    synonym_lookup,
+    topological_levels,
+)
+from mex_extractors_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+
+def test_filter_cascade_first_reason_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 3, "y"), (3, 3, "denied"), (4, 9, "ok")],
+        ["id", "qty", "partner"],
+    )
+    tagged = filter_cascade(
+        df,
+        [
+            ("deny_partner", F.col("partner") == "denied"),
+            ("low_qty", F.col("qty") < 5),
+        ],
+    )
+    got = {r.id: r.drop_reason for r in tagged.collect()}
+    # row 3 matches BOTH rules; first rule in order wins
+    assert got == {1: None, 2: "low_qty", 3: "deny_partner", 4: None}
+    assert kept(tagged).count() == 2
+    counts = {r.drop_reason: r.n_dropped for r in drop_counts(tagged).collect()}
+    assert counts == {"deny_partner": 1, "low_qty": 1}
+
+
+def test_keep_singletons(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    assert [r.k for r in keep_singletons(df, ["k"]).collect()] == [2]
+
+
+def test_deny_list_filter(spark):
+    df = spark.createDataFrame(
+        [(1, ["Acme Corp", "Uni X"]), (2, ["Globex"])], ["id", "partners"]
+    )
+    out = deny_list_filter(df, "partners", ["acme", "Acme"])
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_year_floor_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "2015-06-01"), (2, "1999-01-01")], ["id", "d"]
+    ).withColumn("d", F.to_date("d"))
+    assert [r.id for r in year_floor_filter(df, "d", 2000).collect()] == [1]
+
+
+def test_exactly_one_gate(spark):
+    df = spark.createDataFrame(
+        [("q1", 1), ("q2", 2), ("q2", 3)], ["query", "person"]
+    )
+    ok = exactly_one_gate(df, ["query"])
+    assert [r.person for r in ok.collect()] == [1]
+    violations = exactly_one_gate(df, ["query"], error_if_many=True)
+    assert violations.count() == 2
+
+
+def test_author_count_cutoff(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["a", "b", "c"])], ["id", "authors"])
+    assert [r.id for r in author_count_cutoff(df, "authors", 3).collect()] == [1]
+
+
+def test_subtree_members(spark):
+    edges = spark.createDataFrame(
+        [("root", None), ("a", "root"), ("b", "a"), ("c", "b"), ("other", None)],
+        ["unit_id", "parent_unit_id"],
+    )
+    got = sorted(r.unit_id for r in subtree_members(edges, ["a"]).collect())
+    assert got == ["a", "b", "c"]
+
+
+def test_broadcast_lookup_and_fallback(spark):
+    fact = spark.createDataFrame([(1, "u1"), (2, "u9")], ["id", "unit"])
+    dim = spark.createDataFrame([("u1", "Unit One")], ["unit", "unit_name"])
+    out = broadcast_lookup(fact, dim, "unit").collect()
+    assert {r.id: r.unit_name for r in out} == {1: "Unit One", 2: None}
+    fb = lookup_with_fallback(fact, dim, "unit", "unit_name", "FALLBACK")
+    assert {r.id: r.unit_name for r in fb.collect()} == {1: "Unit One", 2: "FALLBACK"}
+    # plan must use broadcast hash join, not sort-merge
+    plan = broadcast_lookup(fact, dim, "unit")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_get_or_create_dim(spark):
+    dim = spark.createDataFrame([("RKI", "id-1")], ["label", "org_id"])
+    needed = spark.createDataFrame([("RKI",), ("WHO",), (None,)], ["label"])
+    out = get_or_create_dim(dim, needed, "label", "org_id", "org")
+    rows = {r.label: r.org_id for r in out.collect()}
+    assert rows["RKI"] == "id-1"
+    assert rows["WHO"] is not None and len(rows["WHO"]) == 22
+    # deterministic: same id when run twice
+    again = get_or_create_dim(dim, needed, "label", "org_id", "org")
+    assert {r.label: r.org_id for r in again.collect()} == rows
+
+
+def test_synonym_lookup(spark):
+    fact = spark.createDataFrame([(1, "Abt. 1"), (2, "zzz")], ["id", "unit_name"])
+    dim = spark.createDataFrame(
+        [("u1", ["Abt. 1", "Abteilung 1"])], ["unit_id", "synonyms"]
+    )
+    out = {r.id: r.unit_id for r in synonym_lookup(fact, dim, "unit_name").collect()}
+    assert out == {1: "u1", 2: None}
+
+
+def test_self_link_successor(spark):
+    df = spark.createDataFrame(
+        [("proj-a", None, "ID-A"), ("proj-b", "proj-a", "ID-B")],
+        ["shortName", "anschlussprojekt", "stableTargetId"],
+    )
+    out = self_link_successor(df, "shortName", "anschlussprojekt", "stableTargetId")
+    got = {r.shortName: r.succeeds for r in out.collect()}
+    assert got == {"proj-a": None, "proj-b": "ID-A"}
+
+
+def test_topological_levels_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [("r", None), ("a", "r"), ("b", "a"), ("x", "y"), ("y", "x")],
+        ["unit_id", "parent_unit_id"],
+    )
+    got = {r.unit_id: r.level for r in topological_levels(edges).collect()}
+    assert got["r"] == 0 and got["a"] == 1 and got["b"] == 2
+    # cycle members never stabilize -> null level (caller can fail loudly)
+    assert got["x"] is None and got["y"] is None
+
+
+def test_group_aggs(spark):
+    df = spark.createDataFrame(
+        [("k", "2020-01-01"), ("k", "2021-05-05")], ["id", "d"]
+    )
+    mm = group_minmax(df, ["id"], "d").collect()[0]
+    assert mm.start == "2020-01-01" and mm.modified == "2021-05-05"
+    sets = distinct_value_set(
+        spark.createDataFrame([("g", "b"), ("g", "a"), ("g", "a")], ["k", "v"]),
+        ["k"],
+        "v",
+    ).collect()[0]
+    assert sets.value_set == ["a", "b"]
+    fog = first_of_group(
+        spark.createDataFrame([("g", 2, "x"), ("g", 1, "y")], ["k", "o", "v"]),
+        ["k"],
+        "o",
+    ).collect()[0]
+    assert fog.v == "y"
+    uks = union_of_key_sets(
+        spark.createDataFrame([("a", "b"), ("a", "c")], ["k1", "k2"]), "k1", "k2"
+    )
+    assert sorted(r.key for r in uks.collect()) == ["a", "b", "c"]
+    occ = spark.createDataFrame(
+        [("x", None, "z")], "r1 string, r2 string, r3 string"
+    ).select(outbound_connection_count("r1", "r2", "r3").alias("n"))
+    assert occ.collect()[0].n == 2
+
+
+def test_group_collect_sorted(spark):
+    df = spark.createDataFrame([("g", 2), ("g", 1)], ["k", "v"])
+    out = group_collect(df, ["k"], ["v"]).collect()[0]
+    assert [x.v for x in out["items"]] == [1, 2]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].dup_count == 2 and groups[0].keep_id == 1
+    survivors = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert survivors == [1, 3]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different content about spark aggregation plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_near_duplicates(df, threshold=0.5, num_hashes=16, bands=8, k=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_simhash_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        # doubled text has identical token-weight *ratios* -> identical
+        # simhash (weight-scaling invariance), so (1,2) is hamming 0
+        [(1, base), (2, base + " " + base), (3, "unrelated words entirely differ")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abcdef"), (3, "zzzzzz")], ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5, max_shingle_df=None).collect()
+    assert len(pairs) == 1
+    assert pairs[0].id_a == 1 and pairs[0].id_b == 2 and pairs[0].jaccard == 1.0
+
+
+def test_cosine_topk_and_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    ann = similarity.ann_lsh_topk(
+        df, [1.0, 0.0, 0.0, 0.0], k=2, num_planes=4, multiprobe_bits=1
+    ).collect()
+    assert 1 in [r.vec_id for r in ann]
+    assign = similarity.ivf_assignments(df, num_centroids=2).collect()
+    assert len(assign) == 4 and all(r.centroid_id is not None for r in assign)
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.payload_sha256 and len(r.payload_sha256) == 64 for r in rows)
+    # deterministic across runs
+    again = extract_features(media, dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    frames = frame_sample_plan(media, every_ms=1000)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_video)  # 0,1000,2000,3000
