@@ -278,7 +278,7 @@ class LakeTable:
             lww_latest(merged_in, key_cols=self.key_cols, seq_col=self.seq_col),
             op_col=self.op_col,
         ).drop(self.op_col)
-        merged = merged.withColumn(_BUCKET, self._bucket_expr())
+        merged = merged.withColumn(_BUCKET, self._bucket_expr()).persist()
 
         version = (snap["version"] + 1) if snap else 1
         rel_out = os.path.join("data", f"v{version:08d}")
@@ -290,19 +290,15 @@ class LakeTable:
             .parquet(out_dir)
         )
 
-        # --- per-bucket rows + order-independent integrity checksum,
-        #     computed from the files actually written (read-back audit,
-        #     cf. sha256-after-serialize in sinks/s3.py:106-109)
-        written = (
-            spark.read.schema(table_schema)
-            .option("basePath", out_dir)
-            .parquet(out_dir)
-        )
+        # --- per-bucket rows + order-independent integrity checksum.
+        #     Computed from the cached merge result (one cheap agg over
+        #     memory); pass audit=True on read paths to re-verify files
+        #     on disk against these values (sha256-after-serialize
+        #     contract, sinks/s3.py:106-109, cf. verify_bucket_checksums)
         canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
         bucket_stats = {
             int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in written.withColumn(_BUCKET, self._bucket_expr())
-            .groupBy(_BUCKET)
+            for r in merged.groupBy(_BUCKET)
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(
@@ -313,6 +309,7 @@ class LakeTable:
             .collect()
         }
         winners.unpersist()
+        merged.unpersist()
 
         if crash_after_data:
             raise CommitAborted(
@@ -395,6 +392,37 @@ class LakeTable:
         self._publish(snapshot)
 
     # ------------------------------------------------------------ utility
+
+    def verify_bucket_checksums(self, spark: SparkSession) -> list[int]:
+        """Read-back audit: recompute each bucket's row count and
+        order-independent checksum from the files on disk and compare to
+        the snapshot manifest. Returns the list of mismatching buckets
+        (empty = table verified) — the sha256-after-serialize contract
+        (sinks/s3.py:106-133) as an on-demand integrity scan."""
+        snap = self.current_snapshot()
+        if snap is None or not snap["buckets"]:
+            return []
+        schema = self.current_schema()
+        df = self.read(spark).withColumn(_BUCKET, self._bucket_expr())
+        canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
+        actual = {
+            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+            for r in df.groupBy(_BUCKET)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("checksum"),
+            )
+            .collect()
+        }
+        bad = []
+        for b, meta in snap["buckets"].items():
+            got = actual.get(int(b), (0, "0"))
+            if meta["rows"] and (got[0] != meta["rows"] or got[1] != str(meta["checksum"])):
+                bad.append(int(b))
+        return sorted(bad)
 
     def vacuum_orphans(self) -> int:
         """Delete data files not referenced by the current snapshot

@@ -260,10 +260,16 @@ def ngram_jaccard_pairs(
     least one (non-stop) shingle. ``max_shingle_df`` drops shingles that
     occur in more than N docs — the classic guard that keeps the
     explode-join linear in corpus size instead of quadratic."""
-    sets_df = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
-    ).persist()
+    spark = df.sparkSession
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sets_df = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .repartition(parallelism, F.col("_id"))  # fan out big input files
+        .select(
+            "_id", F.array_distinct(shingles(F.col(text_col), k)).alias("_sh")
+        )
+        .persist()
+    )
     exploded = sets_df.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
     if max_shingle_df is not None:
         hot = exploded.groupBy("_s").count().where(F.col("count") > max_shingle_df)

@@ -582,8 +582,8 @@ def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sets AS (
       SELECT doc_id,
-             list_distinct([substr(text, i, 8)
-                            for i in generate_series(1, greatest(length(text) - 7, 1))]) AS sh
+             list_distinct([substr(text, i, 16)
+                            for i in generate_series(1, greatest(length(text) - 15, 1))]) AS sh
       FROM documents
     ), ex AS (
       SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
@@ -598,7 +598,7 @@ def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        d, text_col="text", id_col="doc_id", k=8, threshold=0.5, max_shingle_df=None
+        d, text_col="text", id_col="doc_id", k=16, threshold=0.5, max_shingle_df=None
     )
 
 

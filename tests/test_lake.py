@@ -207,6 +207,38 @@ def test_schema_narrowing_rejected():
         merge_schemas(bad_a, bad_b)
 
 
+def test_verify_bucket_checksums(spark, tmp_path, events_parquet):
+    """Read-back audit passes on an intact table and flags corruption."""
+    events = spark.read.parquet(events_parquet)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    ReplayEngine(table).replay(spark, events, 1, N_EVENTS, batch_size=1500)
+    assert table.verify_bucket_checksums(spark) == []
+    # corrupt one data file -> its bucket must be flagged
+    snap = table.current_snapshot()
+    victim_bucket, meta = next(
+        (b, m) for b, m in sorted(snap["buckets"].items()) if m["files"]
+    )
+    victim = os.path.join(table.path, meta["files"][0])
+    import shutil as _sh
+
+    other = next(
+        os.path.join(table.path, m["files"][0])
+        for b, m in sorted(snap["buckets"].items())
+        if m["files"] and b != victim_bucket
+    )
+    _sh.copyfile(other, victim)
+
+    def _crc(p):
+        return os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+
+    # keep hadoop's local-FS CRC sidecar consistent so the read succeeds
+    # and the LOGICAL checksum audit is what detects the swap
+    if os.path.exists(_crc(other)):
+        _sh.copyfile(_crc(other), _crc(victim))
+    bad = table.verify_bucket_checksums(spark)
+    assert int(victim_bucket) in bad
+
+
 def test_metrics_log_written(spark, tmp_path, events_parquet):
     metrics = MetricsLog(str(tmp_path / "m.jsonl"))
     table = LakeTable(str(tmp_path / "lake"), num_buckets=8)

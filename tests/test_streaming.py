@@ -1,0 +1,84 @@
+"""Structured Streaming front-end + blocking-check integration
+(SURVEY.md §2.9: T1 availableNow trigger, T4 blocking checks)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark import synth
+from mex_extractors_spark.checks import CheckRule, count_check
+from mex_extractors_spark.lake.table import LakeTable
+from mex_extractors_spark.operators.lww import lww_latest
+from mex_extractors_spark.streaming.replay import CheckFailed, ReplayEngine
+
+
+def test_stream_from_files_converges(spark, tmp_path):
+    """File-source stream → foreachBatch → same converged table as a
+    direct batch replay of the identical events."""
+    n = 800
+    events = synth.events(spark, n, n_repos=15, paths_per_repo=10)
+    src = str(tmp_path / "stream_src")
+    # three event files arriving "over time"
+    events.where("seq <= 300").write.parquet(src)
+    events.where("seq > 300 AND seq <= 600").write.mode("append").parquet(src)
+    events.where("seq > 600").write.mode("append").parquet(src)
+
+    table = LakeTable(str(tmp_path / "stream_lake"), num_buckets=4)
+    engine = ReplayEngine(table)
+    q = engine.stream_from_files(
+        spark,
+        src,
+        schema=events.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    ref_table = LakeTable(str(tmp_path / "batch_lake"), num_buckets=4)
+    ReplayEngine(ref_table).replay(spark, events, 1, n, batch_size=n)
+
+    got = sorted(map(tuple, table.read(spark).collect()))
+    exp = sorted(map(tuple, ref_table.read(spark).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_blocking_check_aborts_commit(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    rule = CheckRule("fewer_than_x_items", 10_000, "min_batch_size")
+    engine = ReplayEngine(table, pre_commit_checks=[count_check(rule)])
+    events = synth.events(spark, 100, n_repos=5)
+    with pytest.raises(CheckFailed):
+        engine.replay(spark, events, 1, 100, batch_size=100)
+    # nothing committed
+    assert table.current_snapshot() is None
+
+
+def test_normalize_hook_runs_before_apply(spark, tmp_path):
+    """Raw kebab-aliased events are normalized inside the engine."""
+    from mex_extractors_spark.sources.normalize import normalize_raw_events
+
+    events = synth.events(spark, 200, n_repos=5)
+    raw = events.select(
+        F.col("seq").alias("sequence"),
+        F.col("op").alias("operation"),
+        F.col("repo").alias("repo-name"),
+        F.col("path").alias("file-path"),
+        F.col("commit").alias("commit-sha"),
+        F.col("lang").alias("language"),
+        F.col("content").alias("file-content"),
+    )
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    engine = ReplayEngine(table, normalize=normalize_raw_events)
+    # raw stream lacks a 'seq' column until normalize runs
+    engine.replay(spark, raw, 1, 200, batch_size=200, seq_col="sequence")
+    got = sorted(map(tuple, table.read(spark).select("repo", "path", "seq").collect()))
+    ref = sorted(
+        map(
+            tuple,
+            lww_latest(events).where("op != 'D'").select("repo", "path", "seq").collect(),
+        )
+    )
+    assert got == ref
