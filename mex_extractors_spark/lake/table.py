@@ -60,6 +60,10 @@ class ApplyStats:
     buckets_touched: int = 0
     rows_after: int = 0
     seconds: float = 0.0
+    # phase breakdown (lineage metric + perf triage)
+    t_winners: float = 0.0
+    t_write: float = 0.0
+    t_checksum: float = 0.0
 
 
 class LakeTable:
@@ -191,12 +195,18 @@ class LakeTable:
         )
         watermarks = self.watermarks()
         if watermarks:
-            wm_map = F.map_from_arrays(
-                F.array(*[F.lit(k) for k in watermarks]),
-                F.array(*[F.lit(v) for v in watermarks.values()]),
+            # watermarks flow in as DATA (broadcast join), not as literal
+            # expressions: literals are inlined into generated code, which
+            # would force a fresh Janino compile of the whole scan+merge
+            # stage on every micro-batch (a large constant cost per batch)
+            wm_df = spark.createDataFrame(
+                [(int(b), int(w)) for b, w in watermarks.items()],
+                schema=f"{_BUCKET} long, _wm long",
             )
-            fenced = events.where(
-                F.col(self.seq_col) > F.coalesce(wm_map[F.col(_BUCKET)], F.lit(-1))
+            fenced = (
+                events.join(F.broadcast(wm_df), on=_BUCKET, how="left")
+                .where(F.col(self.seq_col) > F.coalesce(F.col("_wm"), F.lit(-1)))
+                .drop("_wm")
             )
         else:
             fenced = events
@@ -207,6 +217,7 @@ class LakeTable:
         ).persist()
 
         # one job: per-bucket watermark + upsert/delete split (+ fence obs)
+        t_phase = time.monotonic()
         op_is_del = F.col(self.op_col) == "D"
         stats_rows = (
             winners.groupBy(_BUCKET)
@@ -229,6 +240,7 @@ class LakeTable:
         upserts = sum(int(r["ups"]) for r in stats_rows)
         deletes = sum(int(r["dels"]) for r in stats_rows)
         new_wm = {int(r[_BUCKET]): int(r["wm"]) for r in stats_rows}
+        t_winners = time.monotonic() - t_phase
 
         if not touched:
             winners.unpersist()
@@ -283,12 +295,15 @@ class LakeTable:
         version = (snap["version"] + 1) if snap else 1
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
+        t_phase = time.monotonic()
         (
             merged.repartition(max(len(touched), 1), F.col(_BUCKET))
             .write.mode("overwrite")
             .partitionBy(_BUCKET)
             .parquet(out_dir)
         )
+        t_write = time.monotonic() - t_phase
+        t_phase = time.monotonic()
 
         # --- per-bucket rows + order-independent integrity checksum.
         #     Computed from the cached merge result (one cheap agg over
@@ -310,6 +325,7 @@ class LakeTable:
         }
         winners.unpersist()
         merged.unpersist()
+        t_checksum = time.monotonic() - t_phase
 
         if crash_after_data:
             raise CommitAborted(
@@ -364,6 +380,9 @@ class LakeTable:
             buckets_touched=len(touched),
             rows_after=snapshot["total_rows"],
             seconds=time.monotonic() - t0,
+            t_winners=round(t_winners, 3),
+            t_write=round(t_write, 3),
+            t_checksum=round(t_checksum, 3),
         )
 
     def _commit_noop(self, snap: dict | None, batch_id: str) -> None:

@@ -117,6 +117,39 @@ class ReplayEngine:
             out.append(stats)
         return out
 
+    def replay_files(
+        self,
+        spark: SparkSession,
+        batches: list[tuple[str, list[str]]],
+        schema=None,
+        crash_on_batch: str | None = None,
+    ) -> list[ApplyStats]:
+        """Replay from explicit per-batch file lists — binlog/offset-style
+        tailing (each batch = a set of closed segment files), the way a
+        WAL/Kafka source actually delivers data.
+
+        Besides fidelity, this keeps every batch's physical plan
+        byte-identical (file lists are scan parameters, not expression
+        literals), so whole-stage codegen compiles ONCE for the whole
+        replay instead of once per batch — at micro-batch cadence the
+        per-batch JIT constant otherwise dominates wall time.
+        """
+        done = self.table.applied_batches()
+        out: list[ApplyStats] = []
+        for bid, paths in batches:
+            if bid in done:
+                out.append(ApplyStats(batch_id=bid, applied=False))
+                continue
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            batch = reader.parquet(*paths)
+            stats = self._apply_one(
+                spark, batch, bid, crash_after_data=(bid == crash_on_batch)
+            )
+            out.append(stats)
+        return out
+
     # ----------------------------------------------- structured streaming
 
     def stream_from_files(
