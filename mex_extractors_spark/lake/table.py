@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
@@ -55,13 +55,13 @@ class ApplyStats:
     applied: bool
     events_in: int = 0
     events_fenced: int = 0
-    upserts: int = 0
-    deletes: int = 0
+    upserts: int = 0  # non-fenced I/U events in the batch
+    deletes: int = 0  # non-fenced D events in the batch
     buckets_touched: int = 0
     rows_after: int = 0
     seconds: float = 0.0
     # phase breakdown (lineage metric + perf triage)
-    t_winners: float = 0.0
+    t_stats: float = 0.0
     t_write: float = 0.0
     t_checksum: float = 0.0
 
@@ -137,7 +137,16 @@ class LakeTable:
     # --------------------------------------------------------------- read
 
     def _bucket_expr(self) -> Column:
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
+        """Bucket id = ``pmod(murmur3(key), num_buckets)`` — the EXACT
+        expression Spark's ``hashpartitioning`` uses to place rows of a
+        ``groupBy(key)`` shuffle. With the merge aggregation's shuffle
+        set to ``num_buckets`` partitions, reduce partition i therefore
+        holds exactly bucket i, so the merged output can be written
+        ``partitionBy(_bucket)`` with NO extra repartition exchange and
+        still land one file per bucket (AQE may coalesce whole
+        partitions or split a skewed one — either keeps bucket dirs
+        intact). One payload shuffle per micro-batch, total."""
+        return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
 
     def read(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current table state. ``buckets`` prunes the scan to the named
@@ -211,16 +220,14 @@ class LakeTable:
         else:
             fenced = events
 
-        # --- LWW inside the batch (map-side combining max_by: skew-safe)
-        winners = lww_latest(
-            fenced, key_cols=[*self.key_cols, _BUCKET], seq_col=self.seq_col
-        ).persist()
-
-        # one job: per-bucket watermark + upsert/delete split (+ fence obs)
+        # --- narrow pre-pass: per-bucket watermark + event counts.
+        #     Column-pruned to (key, seq, op) — the parquet scan never
+        #     touches payload columns, and the shuffle after map-side
+        #     partial aggregation is ~num_buckets rows per input split.
         t_phase = time.monotonic()
         op_is_del = F.col(self.op_col) == "D"
         stats_rows = (
-            winners.groupBy(_BUCKET)
+            fenced.groupBy(_BUCKET)
             .agg(
                 F.max(self.seq_col).alias("wm"),
                 F.sum(F.when(~op_is_del, 1).otherwise(0)).alias("ups"),
@@ -240,10 +247,9 @@ class LakeTable:
         upserts = sum(int(r["ups"]) for r in stats_rows)
         deletes = sum(int(r["dels"]) for r in stats_rows)
         new_wm = {int(r[_BUCKET]): int(r["wm"]) for r in stats_rows}
-        t_winners = time.monotonic() - t_phase
+        t_stats = time.monotonic() - t_phase
 
         if not touched:
-            winners.unpersist()
             # still record the batch id so replay bookkeeping stays exact
             self._commit_noop(snap, batch_id)
             return ApplyStats(
@@ -256,7 +262,7 @@ class LakeTable:
 
         # --- schema evolution before apply
         payload_schema = StructType(
-            [f for f in winners.schema.fields if f.name not in (_BUCKET, self.op_col)]
+            [f for f in fenced.schema.fields if f.name not in (_BUCKET, self.op_col)]
         )
         if snap is None or not snap.get("schema_version"):
             schemas = dict(snap["schemas"]) if snap else {}
@@ -273,11 +279,16 @@ class LakeTable:
                 schema_version = snap["schema_version"] + 1
                 schemas[str(schema_version)] = table_schema.jsonValue()
 
-        # --- copy-on-write merge of touched buckets only
-        schema_with_op = StructType(
-            [*table_schema.fields, winners.schema[self.op_col]]
-        )
-        batch_aligned = align_to_schema(winners, schema_with_op)
+        # --- copy-on-write merge of touched buckets only: ONE payload
+        #     shuffle. The LWW aggregation over (current ∪ batch) is a
+        #     max_by with map-side partial combine (hot keys pre-reduce on
+        #     every input split), its exchange is hashpartitioning on the
+        #     key with num_buckets partitions, and — because _bucket is
+        #     the same murmur3-pmod (see _bucket_expr) — the aggregated
+        #     partitions are already bucket-aligned, so partitionBy write
+        #     needs no further repartition.
+        schema_with_op = StructType([*table_schema.fields, fenced.schema[self.op_col]])
+        batch_aligned = align_to_schema(fenced.drop(_BUCKET), schema_with_op)
         current = self.read(spark, buckets=touched)
         if len(current.columns) > 0:
             cur_aligned = align_to_schema(
@@ -290,30 +301,39 @@ class LakeTable:
             lww_latest(merged_in, key_cols=self.key_cols, seq_col=self.seq_col),
             op_col=self.op_col,
         ).drop(self.op_col)
-        merged = merged.withColumn(_BUCKET, self._bucket_expr()).persist()
+        merged = merged.withColumn(_BUCKET, self._bucket_expr())
 
         version = (snap["version"] + 1) if snap else 1
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
         t_phase = time.monotonic()
-        (
-            merged.repartition(max(len(touched), 1), F.col(_BUCKET))
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(out_dir)
-        )
+        shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # bucket-aligned exchange (single writer; restored right after)
+            spark.conf.set("spark.sql.shuffle.partitions", str(self.num_buckets))
+            merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
         t_write = time.monotonic() - t_phase
-        t_phase = time.monotonic()
 
-        # --- per-bucket rows + order-independent integrity checksum.
-        #     Computed from the cached merge result (one cheap agg over
-        #     memory); pass audit=True on read paths to re-verify files
-        #     on disk against these values (sha256-after-serialize
-        #     contract, sinks/s3.py:106-109, cf. verify_bucket_checksums)
+        if crash_after_data:
+            raise CommitAborted(
+                f"batch {batch_id}: data files written to {out_dir}, snapshot NOT published"
+            )
+
+        # --- per-bucket rows + order-independent integrity checksum,
+        #     recomputed by READING BACK the files just written — the
+        #     manifest certifies the bytes on storage, not the in-memory
+        #     result (sha256-after-serialize contract, sinks/s3.py:106-109;
+        #     cf. verify_bucket_checksums for the on-demand re-audit)
+        t_phase = time.monotonic()
+        written = spark.read.schema(
+            StructType([*table_schema.fields, StructField(_BUCKET, IntegerType())])
+        ).parquet(out_dir)
         canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
         bucket_stats = {
             int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in merged.groupBy(_BUCKET)
+            for r in written.groupBy(_BUCKET)
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(
@@ -323,14 +343,7 @@ class LakeTable:
             )
             .collect()
         }
-        winners.unpersist()
-        merged.unpersist()
         t_checksum = time.monotonic() - t_phase
-
-        if crash_after_data:
-            raise CommitAborted(
-                f"batch {batch_id}: data files written to {out_dir}, snapshot NOT published"
-            )
 
         # --- assemble + publish snapshot
         buckets_meta = dict(snap["buckets"]) if snap else {}
@@ -380,7 +393,7 @@ class LakeTable:
             buckets_touched=len(touched),
             rows_after=snapshot["total_rows"],
             seconds=time.monotonic() - t0,
-            t_winners=round(t_winners, 3),
+            t_stats=round(t_stats, 3),
             t_write=round(t_write, 3),
             t_checksum=round(t_checksum, 3),
         )
