@@ -23,11 +23,12 @@ from mex_extractors_spark.functions import text as T
 from mex_extractors_spark.operators import dedup, similarity
 from mex_extractors_spark.operators.aggregates import (
     distinct_value_set,
+    group_collect,
     group_minmax,
     union_of_key_sets,
 )
 from mex_extractors_spark.operators.filters import filter_cascade, keep_singletons
-from mex_extractors_spark.operators.joins import topological_levels
+from mex_extractors_spark.operators.joins import synonym_lookup, topological_levels
 from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
 from mex_extractors_spark.sources.readers import columnar_pivot
 
@@ -483,6 +484,103 @@ def s8_columnar_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     piv = columnar_pivot(ev, ["event_type", "user_id"])
     return piv.select("column_name", F.concat_ws(",", "value_set").alias("value_set"))
+
+
+@q(
+    "a2_group_collect_nested",
+    "A2 sort+groupby → nested lists (collect_list of structs, array_sort)",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a2_group_collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderkey").cast("string").alias("ok")
+    )
+    nested = group_collect(o, ["o_custkey"], ["ok"], alias="items")
+    return nested.select(
+        "o_custkey",
+        F.concat_ws(",", F.transform("items", lambda s: s["ok"])).alias("order_keys"),
+    )
+
+
+@q(
+    "c7_date_parse_fallback",
+    "C7 multi-format date parse with per-format fallback (try_to_timestamp coalesce)",
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+                  WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%Y%m%d') END AS ds
+      FROM orders
+    )
+    SELECT CAST(year(coalesce(try_strptime(ds, '%d/%m/%Y'),
+                              try_strptime(ds, '%Y-%m-%d'),
+                              try_strptime(ds, '%Y%m%d'))) AS INT) AS order_year,
+           count(*) AS n
+    FROM raw GROUP BY 1
+    """,
+)
+def c7_date_parse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format date strings (deterministically derived from orders)
+    parsed with a per-format fallback chain — the reference tries each
+    union member type until one validates (synopse/transform.py:436-444)."""
+    o = _t(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("ds"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp("ds", F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp("ds", F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp("ds", F.lit("yyyyMMdd")),
+    )
+    return raw.groupBy(F.year(parsed).alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "j4_synonym_lookup",
+    "J4 synonym-explode broadcast lookup (unit-by-synonym)",
+    """
+    WITH dim AS (
+      SELECT n_nationkey, unnest([n_name, lower(n_name)]) AS syn FROM nation
+    )
+    SELECT c.c_custkey, d.n_nationkey AS resolved_nationkey
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 2 = 0 THEN n_name ELSE lower(n_name) END AS cname
+          FROM customer JOIN nation ON c_nationkey = n_nationkey) c
+    LEFT JOIN dim d ON c.cname = d.syn
+    """,
+)
+def j4_synonym_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text name (mixed case, deterministically derived) resolved
+    against a synonym-array dimension (organigram/helpers.py:70-85)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    fact = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 2 == 0, F.col("n_name"))
+            .otherwise(F.lower("n_name"))
+            .alias("cname"),
+        )
+    )
+    dim = n.select(
+        "n_nationkey", F.array(F.col("n_name"), F.lower("n_name")).alias("synonyms")
+    )
+    resolved = synonym_lookup(fact, dim, fact_name_col="cname", synonyms_col="synonyms")
+    return resolved.select(
+        "c_custkey", F.col("n_nationkey").alias("resolved_nationkey")
+    )
 
 
 # -------------------------------------------------------- text analysis

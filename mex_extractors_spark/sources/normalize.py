@@ -109,6 +109,46 @@ def normalize_raw_events(raw: DataFrame, alias_map: dict[str, str] | None = None
     )
 
 
+#: canonical lang vocabulary (mapping-rule style: raw extension → label),
+#: applied as a broadcast-map lookup with passthrough fallback (C12/C16)
+LANG_VOCAB = {
+    "py": "python",
+    "rs": "rust",
+    "go": "go",
+    "ts": "typescript",
+    "java": "java",
+    "md": "markdown",
+    "yaml": "yaml",
+}
+
+
+def normalize_change_events(df: DataFrame) -> DataFrame:
+    """The transform stage of the replayed extract→transform→load
+    contract, run on EVERY event before the merge (expression-only —
+    whole-stage codegen, no Python in the hot path):
+
+    - ``content_sha``: per-row sha256 of content, the verification
+      substrate of the commit manifest (sinks/s3.py:106-109 / C13-C14);
+    - ``size_bytes``: content length (derived metric column);
+    - ``lang`` normalized through the vocabulary map with passthrough
+      for unknown values (mapping-rule setValues/forValues, C16).
+    """
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in LANG_VOCAB.items() for x in kv]
+    )
+    return df.withColumns(
+        {
+            "lang": F.coalesce(
+                F.element_at(lang_map, F.col("lang")), F.col("lang")
+            ),
+            "content_sha": F.when(
+                F.col("content").isNotNull(), F.sha2(F.col("content"), 256)
+            ),
+            "size_bytes": F.length(F.col("content")).cast("long"),
+        }
+    )
+
+
 def to_common_model(
     df: DataFrame,
     primary_source: str,

@@ -50,6 +50,35 @@ def read_csv_validated(
     return df
 
 
+def read_xml_records(
+    spark: SparkSession,
+    path: str | list[str],
+    row_tag: str,
+    schema: StructType | None = None,
+    max_authors: int | None = None,
+    authors_col: str = "authors",
+) -> DataFrame:
+    """S6: XML record scan (endnote/extract.py:22-60) via Spark 4's
+    native XML source. ``max_authors`` applies the reference's
+    author-count cutoff (endnote/extract.py:36-44) as a pushed-down
+    ``size(col) < n`` filter instead of per-record Python."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path if isinstance(path, str) else ",".join(path))
+    if max_authors is not None:
+        df = df.where(F.size(F.col(authors_col)) < F.lit(max_authors))
+    return df
+
+
+def parse_xml_column(
+    df: DataFrame, xml_col: str, schema: str | StructType, out_col: str = "parsed"
+) -> DataFrame:
+    """S6 variant: parse an XML-string column in place (`from_xml`) —
+    for streams/tables that carry XML payloads as data."""
+    return df.withColumn(out_col, F.from_xml(F.col(xml_col), schema))
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver-testdata convention: one parquet per table."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Generate PLANS.md: physical-plan evidence for the engine's scale claims.
+
+Each section captures .explain("formatted") of a load-bearing plan and
+states what to look for (pushed filters, pruned ReadSchema, broadcast
+exchanges, map-side partial aggregation, single shuffle in the merge).
+Run: python scripts/gen_plans.py  (writes PLANS.md at the repo root).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mex_extractors_spark import synth  # noqa: E402
+from mex_extractors_spark.operators.lww import lww_latest  # noqa: E402
+from mex_extractors_spark.plans.queries import REGISTRY  # noqa: E402
+from mex_extractors_spark.session import get_spark  # noqa: E402
+from mex_extractors_spark.sources.normalize import normalize_change_events  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().strip()
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-plans", cores=8, shuffle_partitions=8)
+    sections: list[tuple[str, str, str]] = []
+
+    # 1. LWW merge kernel: ONE exchange, partial max_by before it
+    ev = synth.events(spark, 1000, n_repos=20)
+    merge = lww_latest(normalize_change_events(ev), key_cols=["repo", "path"], seq_col="seq")
+    sections.append(
+        (
+            "CDC merge kernel (normalize → LWW max_by)",
+            "Exactly ONE `Exchange hashpartitioning(repo, path, ...)`; "
+            "`SortAggregate` with `partial_max_by` ABOVE the scan (map-side "
+            "combine pre-reduces hot keys on every input split before the "
+            "shuffle — the skew story of the engine); normalize stage "
+            "(sha256 / vocab map) fused into the same codegen stage as the scan.",
+            formatted(merge),
+        )
+    )
+
+    # 2. scan pushdown + pruning
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pruned = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    sections.append(
+        (
+            "Parquet scan: predicate pushdown + column pruning",
+            "`PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]` "
+            "reaches the scan; `ReadSchema` lists ONLY the two projected columns "
+            "of the 16-column table.",
+            formatted(pruned),
+        )
+    )
+
+    # 3. broadcast dim join
+    sections.append(
+        (
+            "Dimension join (j1_broadcast_dim_join)",
+            "Three `BroadcastHashJoin`s (customer/nation/region build sides "
+            "broadcast — no shuffle of the orders fact side for the joins); "
+            "one exchange only for the final aggregate; `HashAggregate` pairs "
+            "show partial→final map-side combine.",
+            formatted(REGISTRY["j1_broadcast_dim_join"].fn(spark, SF)),
+        )
+    )
+
+    # 4. grouped aggregate partial combine
+    sections.append(
+        (
+            "Grouped aggregate (a1_pricing_summary, TPC-H Q1 shape)",
+            "`HashAggregate(keys=[l_returnflag, l_linestatus], functions=[partial_...])` "
+            "below the exchange, final above — canonical two-phase aggregation; "
+            "whole plan inside `WholeStageCodegen`.",
+            formatted(REGISTRY["a1_pricing_summary"].fn(spark, SF)),
+        )
+    )
+
+    # 5. window rank
+    sections.append(
+        (
+            "Ranking window (w6_rank_topn_per_group)",
+            "Single exchange on o_custkey, `WindowGroupLimit` pushes the "
+            "rank<=3 limit below the sort where supported.",
+            formatted(REGISTRY["w6_rank_topn_per_group"].fn(spark, SF)),
+        )
+    )
+
+    out = ["# PLANS — physical-plan evidence\n"]
+    out.append(
+        "Captured with `.explain('formatted')` on PySpark "
+        f"{spark.version}, sf0.01 inputs. Regenerate: `python scripts/gen_plans.py`.\n"
+    )
+    for title, what, plan in sections:
+        out.append(f"\n## {title}\n\n{what}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -218,3 +218,32 @@ def test_check_rules(spark):
     assert check(df) is not None
     check_ok = count_check(CheckRule("fewer_than_x_items", 1, "batch"))
     assert check_ok(df) is None
+
+
+def test_xml_record_scan_with_author_cutoff(spark, tmp_path):
+    """S6: native XML source scan + author-count cutoff filter
+    (endnote/extract.py:22-60, :36-44)."""
+    from mex_extractors_spark.sources.readers import parse_xml_column, read_xml_records
+
+    xml = tmp_path / "refs.xml"
+    xml.write_text(
+        """<library>
+  <record><title>alpha</title><authors><author>a</author></authors></record>
+  <record><title>beta</title><authors><author>a</author><author>b</author><author>c</author></authors></record>
+  <record><title>gamma</title><authors><author>x</author><author>y</author></authors></record>
+</library>"""
+    )
+    df = read_xml_records(spark, str(xml), row_tag="record")
+    assert df.count() == 3
+    kept = read_xml_records(
+        spark, str(xml), row_tag="record", max_authors=3, authors_col="authors.author"
+    )
+    assert sorted(r["title"] for r in kept.collect()) == ["alpha", "gamma"]
+
+    # from_xml on a column
+    sdf = spark.createDataFrame(
+        [("<r><t>hi</t><n>2</n></r>",)], "payload string"
+    )
+    parsed = parse_xml_column(sdf, "payload", "t STRING, n INT")
+    row = parsed.select("parsed.t", "parsed.n").first()
+    assert (row["t"], row["n"]) == ("hi", 2)

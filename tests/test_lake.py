@@ -80,6 +80,47 @@ def test_replay_matches_duckdb_oracle(spark, tmp_path, events_parquet):
     assert got == exp
 
 
+def test_replay_with_normalize_stage_matches_oracle(spark, tmp_path, events_parquet):
+    """extract→transform→load: the normalize stage (lang vocabulary map,
+    content sha256, size) runs on every event pre-merge; the final table
+    must equal the oracle applying the same transform row-by-row."""
+    from mex_extractors_spark.sources.normalize import normalize_change_events
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    engine = ReplayEngine(table, normalize=normalize_change_events)
+    events = spark.read.parquet(events_parquet)
+    engine.replay(spark, events, 1, N_EVENTS, batch_size=1000)
+
+    got = sorted(
+        tuple(r)
+        for r in table.read(spark)
+        .select("repo", "path", "seq", "lang", "content_sha", "size_bytes")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{events_parquet}/*.parquet'")
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH latest AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn
+              FROM events
+            )
+            SELECT repo, path, seq,
+                   coalesce(CASE lang WHEN 'py' THEN 'python' WHEN 'rs' THEN 'rust'
+                            WHEN 'go' THEN 'go' WHEN 'ts' THEN 'typescript'
+                            WHEN 'java' THEN 'java' WHEN 'md' THEN 'markdown'
+                            WHEN 'yaml' THEN 'yaml' END, lang) AS lang,
+                   sha256(content) AS content_sha,
+                   CAST(length(content) AS BIGINT) AS size_bytes
+            FROM latest WHERE rn = 1 AND op <> 'D'
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
 def test_replay_idempotent_on_duplicate_delivery(spark, tmp_path, events_parquet):
     """At-least-once delivered stream (1-3 copies per event) converges to
     the identical table (FIXTURES.md duplicated-delivery variant)."""

@@ -82,3 +82,82 @@ def test_normalize_hook_runs_before_apply(spark, tmp_path):
         )
     )
     assert got == ref
+
+
+def test_tumbling_counts_static_matches_sql(spark, sf001):
+    """Windowed rollup (batch/stream-symmetric plan) == plain SQL over
+    the same static frame."""
+    from mex_extractors_spark.streaming.windows import tumbling_counts
+
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    got = tumbling_counts(ev, ts_col="ts", key_col="event_type", window="1 day")
+    exp = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n"] for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_session_windows_static(spark, sf001):
+    from mex_extractors_spark.streaming.windows import session_windows
+
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    out = session_windows(ev, ts_col="ts", key_col="user_id", gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    # sessions of one key never overlap
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # every event is inside exactly one session of its key
+    assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_running_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: per-key totals carry
+    across micro-batches; final state equals the batch ground truth."""
+    from mex_extractors_spark.streaming.windows import running_totals
+
+    n = 600
+    events = synth.events(spark, n, n_repos=8, paths_per_repo=5)
+    src = str(tmp_path / "src")
+    events.where("seq <= 300").coalesce(1).write.parquet(src)
+    events.where("seq > 300").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = running_totals(stream, key_col="repo", seq_col="seq")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last update per key = final running state
+    upd = spark.sql("SELECT * FROM running_totals_out").collect()
+    final: dict = {}
+    for r in upd:
+        prev = final.get(r["key"])
+        if prev is None or r["total_events"] >= prev["total_events"]:
+            final[r["key"]] = r
+    truth = {
+        r["repo"]: (r["n"], r["mx"])
+        for r in events.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"))
+        .collect()
+    }
+    assert {k: (v["total_events"], v["max_seq"]) for k, v in final.items()} == truth
