@@ -280,6 +280,10 @@ def main() -> None:
         help="core counts measured by --scaling (pairs at 4x ratio get an efficiency line)",
     )
     ap.add_argument("--repeats", type=int, default=2, help="runs per core count (best-of)")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="replay a uniform vs an extreme hot-repo corpus; write BENCH/SKEW.md",
+    )
     args = ap.parse_args()
 
     sf = _sf_from_dir(SF_DIR)
@@ -294,6 +298,66 @@ def main() -> None:
         else:
             res = replay_bench(args.cores or CPUS, n_events, batches, n_repos, paths)
         print(json.dumps(res))
+        return
+
+    if args.skew:
+        cores = args.cores or CPUS
+        shared = _mktemp("bench_skew_ev_")
+        try:
+            spark = _bench_spark(CPUS, "bench-skew-gen")
+            # uniform: wide keyspace; hot: zipf over 25 repos -> repo 0
+            # alone carries a large share of all events, every partition
+            # full of the same few (repo,path) keys
+            gen_events(spark, os.path.join(shared, "uniform"), n_events, 2, n_repos, paths)
+            gen_events(spark, os.path.join(shared, "hot"), n_events, 2, 25, paths)
+            gen_events(spark, os.path.join(shared, "warm"), 100_000, 2, n_repos, paths)
+            spark.stop()
+            res = {}
+            for kind in ("uniform", "hot"):
+                out = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__), "--replay-only",
+                        f"--cores={cores}", f"--events={n_events}", "--batches=2",
+                        f"--events-dir={os.path.join(shared, kind)}",
+                        f"--warm-dir={os.path.join(shared, 'warm')}",
+                    ],
+                    capture_output=True, text=True, cwd=REPO,
+                )
+                lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    sys.stderr.write(out.stdout + "\n" + out.stderr)
+                    raise SystemExit(f"skew run ({kind}) failed")
+                res[kind] = json.loads(lines[-1])
+        finally:
+            shutil.rmtree(shared, ignore_errors=True)
+        ratio = res["hot"]["events_per_sec"] / res["uniform"]["events_per_sec"]
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as fh:
+            fh.write(
+                "# BENCH skew — hot-key resilience\n\n"
+                "Identical replay (same event count, same engine, "
+                f"local[{cores}]) over a uniform keyspace "
+                f"(~{n_repos*paths:,} keys) vs an extreme hot corpus "
+                f"(25 repos, zipf: repo 0 alone carries a large share of "
+                "all events). The LWW merge is a max_by aggregate with "
+                "map-side partial combine, so a hot key pre-reduces to one "
+                "row per input split BEFORE the shuffle — throughput must "
+                "not collapse under skew (north rule: hot-repo skew "
+                "handled explicitly; `lww_latest_salted` is the fallback "
+                "for agg-less plans).\n\n"
+                f"- uniform: {res['uniform']['seconds']} s -> "
+                f"{res['uniform']['events_per_sec']:,} events/s "
+                f"(final rows {res['uniform']['final_rows']:,})\n"
+                f"- hot:     {res['hot']['seconds']} s -> "
+                f"{res['hot']['events_per_sec']:,} events/s "
+                f"(final rows {res['hot']['final_rows']:,})\n"
+                f"- **hot/uniform throughput ratio: {ratio:.2f}** "
+                "(>1 expected: fewer live keys = smaller merge/write; "
+                "a skew-broken engine shows <<1 from straggler tasks)\n"
+            )
+        print(json.dumps({"hot_over_uniform": round(ratio, 3),
+                          "uniform": res["uniform"]["events_per_sec"],
+                          "hot": res["hot"]["events_per_sec"]}))
         return
 
     if args.scaling:

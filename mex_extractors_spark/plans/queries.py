@@ -583,6 +583,62 @@ def j4_synonym_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "f8_exactly_one_gate",
+    "F8/S14 exactly-one semantics: keys with precisely one row pass",
+    """
+    SELECT o_custkey, min(o_orderkey) AS only_orderkey
+    FROM orders GROUP BY o_custkey HAVING count(*) = 1
+    """,
+)
+def f8_exactly_one_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consent-gate / LDAP exactly-one contract (publisher/filter.py:11-54,
+    ldap/helpers.py:33-87): a key qualifies only if it has exactly one
+    matching row."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("o_orderkey").alias("only_orderkey"),
+        )
+        .where(F.col("_n") == 1)
+        .select("o_custkey", "only_orderkey")
+    )
+
+
+@q(
+    "u34_array_intersect_except",
+    "U3/U4 set intersection + difference on array columns",
+    """
+    SELECT o_custkey,
+           coalesce(array_to_string(list_sort(list_filter(prios, p -> p IN ('1-URGENT','2-HIGH'))), ','), '')
+             AS allowed,
+           coalesce(array_to_string(list_sort(list_filter(prios, p -> p NOT IN ('1-URGENT','2-HIGH'))), ','), '')
+             AS denied
+    FROM (SELECT o_custkey, list_distinct(list(o_orderpriority)) AS prios
+          FROM orders GROUP BY o_custkey)
+    """,
+)
+def u34_array_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowed-actors intersection / substitution difference
+    (publisher/transform.py:81-96) as array_intersect / array_except."""
+    o = _t(spark, sf_dir, "orders")
+    allowed = F.array(F.lit("1-URGENT"), F.lit("2-HIGH"))
+    sets = o.groupBy("o_custkey").agg(
+        F.array_distinct(F.collect_list("o_orderpriority")).alias("prios")
+    )
+    return sets.select(
+        "o_custkey",
+        F.concat_ws(",", F.array_sort(F.array_intersect("prios", allowed))).alias(
+            "allowed"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except("prios", allowed))).alias(
+            "denied"
+        ),
+    )
+
+
 # -------------------------------------------------------- text analysis
 
 
