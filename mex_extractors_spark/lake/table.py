@@ -8,7 +8,10 @@ snapshot semantics:
 - data lives in immutable parquet files, hash-bucketed by the merge key
   ``(repo, path)`` so a batch rewrites ONLY the buckets it touches
   (copy-on-write at bucket granularity — at 100 TB a micro-batch touching
-  5% of key-space rewrites 5% of files, not the table);
+  5% of key-space rewrites 5% of files, not the table); bucket files use
+  Spark's bucketed-table layout, so the MERGE is a storage-partitioned
+  sort-merge join that shuffles ONLY the batch — current table rows are
+  merged in place, never moved (see ``apply_batch``);
 - each commit publishes a snapshot JSON listing every live file, the
   schema (with full schema history for evolved reads), per-bucket
   high-watermarks (max applied ``seq``), the set of applied batch ids,
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -36,12 +40,44 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import DataType, StructType
 
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
 
 _BUCKET = "_bucket"
+
+# bucket id Spark's bucketed writer embeds in data file names
+# (part-00000-<uuid>_00007.c000.snappy.parquet -> 7); same pattern as
+# org.apache.spark.sql.execution.datasources.BucketingUtils
+_BUCKET_NAME_RE = re.compile(r"_(\d+)(?:\..*)?\.parquet$")
+
+# parquet-type promotions Spark's vectorized reader performs natively
+# (verified on 4.1: int-family upcasts, int->double, float->double; NOT
+# long->double / int->float / date->timestamp). Buckets whose files need
+# an unsupported promotion are merged via the shuffle fallback, which
+# rewrites them to the current schema with explicit casts.
+_READER_WIDENINGS: set[tuple[str, str]] = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("int", "double"),
+    ("tinyint", "double"), ("smallint", "double"),
+    ("float", "double"),
+}
+
+
+def _reader_compatible(file_schema: StructType, read_schema: StructType) -> bool:
+    """True when the parquet reader can serve ``file_schema`` files
+    through ``read_schema`` directly (missing columns null-fill; type
+    changes limited to native reader promotions)."""
+    want: dict[str, DataType] = {f.name: f.dataType for f in read_schema.fields}
+    for f in file_schema.fields:
+        target = want.get(f.name)
+        if target is None or f.dataType == target:
+            continue
+        if (f.dataType.simpleString(), target.simpleString()) not in _READER_WIDENINGS:
+            return False
+    return True
 
 
 class CommitAborted(RuntimeError):
@@ -148,6 +184,68 @@ class LakeTable:
         intact). One payload shuffle per micro-batch, total."""
         return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
 
+    def _register_current_view(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        touched: Sequence[int],
+        table_schema: StructType,
+    ) -> tuple[str, str]:
+        """Expose the touched buckets' live files as a BUCKETED catalog
+        table so the merge join reads them hash-aligned, shuffle-free.
+
+        Live files are hard-linked (copied as a fallback) into a scratch
+        view directory — copy-on-write leaves each snapshot's live set
+        scattered across version directories, while a bucketed table
+        needs one location. File names keep their ``_NNNNN`` bucket tag,
+        which is how Spark assigns them to buckets. On a real cluster
+        this whole hop is Iceberg's bucket partition transform + storage-
+        partitioned joins; link-a-view is the local-filesystem stand-in.
+        """
+        tag = uuid.uuid4().hex[:12]
+        view_dir = os.path.join(self.path, "_views", tag)
+        os.makedirs(view_dir)
+        for b in touched:
+            meta = snap["buckets"].get(str(b))
+            for rel in meta["files"] if meta else []:
+                src = os.path.join(self.path, rel)
+                dst = os.path.join(view_dir, os.path.basename(rel))
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        cur_tbl = f"mex_lake_cur_{tag}"
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in table_schema.fields
+        )
+        keys = ", ".join(f"`{c}`" for c in self.key_cols)
+        spark.sql(
+            f"CREATE TABLE {cur_tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {self.num_buckets} BUCKETS LOCATION '{view_dir}'"
+        )
+        return view_dir, cur_tbl
+
+    def _write_bucketed(self, spark: SparkSession, df: DataFrame, out_dir: str) -> None:
+        """Write the merged state as one sorted parquet file per bucket.
+
+        The writer's bucket function is the same murmur3-pmod as
+        ``_bucket_expr``/the merge exchange, so the incoming partitions
+        are already bucket-aligned and no extra exchange is planned. The
+        catalog entry is transient (external table; DROP keeps files).
+        """
+        out_tbl = f"mex_lake_out_{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(self.num_buckets, *self.key_cols)
+                .sortBy(*self.key_cols)
+                .option("path", out_dir)
+                .saveAsTable(out_tbl)
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {out_tbl}")
+
     def read(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current table state. ``buckets`` prunes the scan to the named
         key-space partitions (the copy-on-write read path)."""
@@ -196,6 +294,8 @@ class LakeTable:
         snap = self.current_snapshot()
         if snap is not None and batch_id in snap["applied_batches"]:
             return ApplyStats(batch_id=batch_id, applied=False)
+        # scratch view dirs are transient per-apply; clear crash leftovers
+        shutil.rmtree(os.path.join(self.path, "_views"), ignore_errors=True)
 
         # --- fence redelivered events at/below each bucket's watermark
         obs = Observation()
@@ -280,40 +380,103 @@ class LakeTable:
                 schemas[str(schema_version)] = table_schema.jsonValue()
 
         # --- copy-on-write merge of touched buckets only: ONE payload
-        #     shuffle. The LWW aggregation over (current ∪ batch) is a
-        #     max_by with map-side partial combine (hot keys pre-reduce on
-        #     every input split), its exchange is hashpartitioning on the
-        #     key with num_buckets partitions, and — because _bucket is
-        #     the same murmur3-pmod (see _bucket_expr) — the aggregated
-        #     partitions are already bucket-aligned, so partitionBy write
-        #     needs no further repartition.
+        #     shuffle, over the BATCH alone. The batch is LWW-reduced by a
+        #     max_by aggregate (map-side partial combine pre-reduces hot
+        #     keys on every input split; its exchange is hashpartitioning
+        #     on the key with num_buckets partitions), then joined to the
+        #     current table with a sort-merge FULL OUTER join whose table
+        #     side is a BUCKETED parquet scan — bucket files are hash-
+        #     aligned with the agg's exchange (identical murmur3-pmod, see
+        #     _bucket_expr), so the table rows are merged IN PLACE, never
+        #     shuffled. At 100 TB (table >> batch) this is the difference
+        #     between moving each micro-batch and moving the whole table
+        #     every micro-batch; on a real cluster the same plan falls out
+        #     of Iceberg's bucket partition transform + storage-partitioned
+        #     joins. Fenced batch seqs are strictly above every current
+        #     row's seq (per-bucket watermark), so "row in batch wins" IS
+        #     last-writer-wins.
         schema_with_op = StructType([*table_schema.fields, fenced.schema[self.op_col]])
         batch_aligned = align_to_schema(fenced.drop(_BUCKET), schema_with_op)
-        current = self.read(spark, buckets=touched)
-        if len(current.columns) > 0:
-            cur_aligned = align_to_schema(
-                current.withColumn(self.op_col, F.lit("I")), schema_with_op
-            )
-            merged_in = cur_aligned.unionByName(batch_aligned)
-        else:
-            merged_in = batch_aligned
-        merged = apply_deletes(
-            lww_latest(merged_in, key_cols=self.key_cols, seq_col=self.seq_col),
-            op_col=self.op_col,
-        ).drop(self.op_col)
-        merged = merged.withColumn(_BUCKET, self._bucket_expr())
+        batch_latest = lww_latest(
+            batch_aligned, key_cols=self.key_cols, seq_col=self.seq_col
+        )
+
+        touched_versions = set()
+        if snap:
+            for b in touched:
+                meta = snap["buckets"].get(str(b))
+                if meta and meta["files"]:
+                    touched_versions.add(int(meta["schema_version"]))
+        fast = all(
+            _reader_compatible(StructType.fromJson(schemas[str(sv)]), table_schema)
+            for sv in touched_versions
+        )
 
         version = (snap["version"] + 1) if snap else 1
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
         t_phase = time.monotonic()
         shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+        view_dir, cur_tbl = None, None
         try:
-            # bucket-aligned exchange (single writer; restored right after)
+            # merge exchange sized to the bucket count (single writer)
             spark.conf.set("spark.sql.shuffle.partitions", str(self.num_buckets))
-            merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
+            if fast and touched_versions:
+                view_dir, cur_tbl = self._register_current_view(
+                    spark, snap, touched, table_schema
+                )
+                payload = [
+                    f.name for f in table_schema.fields if f.name not in self.key_cols
+                ]
+                cur = spark.table(cur_tbl).select(
+                    *self.key_cols,
+                    *[F.col(c).alias(f"__cur__{c}") for c in payload],
+                )
+                in_batch = F.col(self.op_col).isNotNull()
+                merged = (
+                    batch_latest.join(cur, on=list(self.key_cols), how="full_outer")
+                    .where(~in_batch | (F.col(self.op_col) != "D"))
+                    .select(
+                        *self.key_cols,
+                        *[
+                            F.when(in_batch, F.col(c))
+                            .otherwise(F.col(f"__cur__{c}"))
+                            .alias(c)
+                            for c in payload
+                        ],
+                    )
+                )
+            elif touched_versions:
+                # shuffle fallback: files needing a non-native promotion
+                # are read per schema version, cast explicitly, unioned
+                # with the batch and re-reduced — rewriting them to the
+                # current schema so the fast path resumes next batch
+                cur_aligned = align_to_schema(
+                    self.read(spark, buckets=touched).withColumn(
+                        self.op_col, F.lit("I")
+                    ),
+                    schema_with_op,
+                )
+                merged = apply_deletes(
+                    lww_latest(
+                        cur_aligned.unionByName(batch_aligned),
+                        key_cols=self.key_cols,
+                        seq_col=self.seq_col,
+                    ),
+                    op_col=self.op_col,
+                ).drop(self.op_col)
+            else:
+                # first write into these buckets: batch reduce only
+                merged = apply_deletes(batch_latest, op_col=self.op_col).drop(
+                    self.op_col
+                )
+            self._write_bucketed(spark, merged, out_dir)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+            if cur_tbl is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {cur_tbl}")
+            if view_dir is not None:
+                shutil.rmtree(view_dir, ignore_errors=True)
         t_write = time.monotonic() - t_phase
 
         if crash_after_data:
@@ -327,9 +490,9 @@ class LakeTable:
         #     result (sha256-after-serialize contract, sinks/s3.py:106-109;
         #     cf. verify_bucket_checksums for the on-demand re-audit)
         t_phase = time.monotonic()
-        written = spark.read.schema(
-            StructType([*table_schema.fields, StructField(_BUCKET, IntegerType())])
-        ).parquet(out_dir)
+        written = spark.read.schema(table_schema).parquet(out_dir).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
         canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
         bucket_stats = {
             int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
@@ -346,21 +509,18 @@ class LakeTable:
         t_checksum = time.monotonic() - t_phase
 
         # --- assemble + publish snapshot
+        files_by_bucket: dict[int, list[str]] = {}
+        for f in os.listdir(out_dir):
+            m = _BUCKET_NAME_RE.search(f)
+            if m:
+                files_by_bucket.setdefault(int(m.group(1)), []).append(
+                    os.path.join(rel_out, f)
+                )
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
-            bdir = os.path.join(out_dir, f"{_BUCKET}={b}")
-            files = (
-                sorted(
-                    os.path.join(rel_out, f"{_BUCKET}={b}", f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet")
-                )
-                if os.path.isdir(bdir)
-                else []
-            )
             rows, checksum = bucket_stats.get(b, (0, "0"))
             buckets_meta[str(b)] = {
-                "files": files,
+                "files": sorted(files_by_bucket.get(b, [])),
                 "schema_version": schema_version,
                 "rows": rows,
                 "checksum": checksum,

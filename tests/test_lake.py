@@ -290,3 +290,59 @@ def test_metrics_log_written(spark, tmp_path, events_parquet):
     assert len(hist) == 3
     assert all(h["events_in"] == 1000 for h in hist)
     assert os.path.exists(str(tmp_path / "m.jsonl"))
+
+
+def test_bucket_file_tags_match_hash_expr(spark, tmp_path, events_parquet):
+    """The bucket id Spark's bucketed writer embeds in each file name
+    must equal pmod(murmur3(key), n) — the expression fencing, stats and
+    the merge exchange all key on. If these ever diverged, watermark
+    fencing would fence the wrong rows."""
+    import re
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    ReplayEngine(table).replay(spark, ev, 1, N_EVENTS, batch_size=N_EVENTS)
+    snap = table.current_snapshot()
+    for b, meta in snap["buckets"].items():
+        for rel in meta["files"]:
+            name_tag = int(re.search(r"_(\d+)(?:\..*)?\.parquet$", rel).group(1))
+            assert name_tag == int(b)
+        if not meta["files"]:
+            continue
+        df = spark.read.parquet(
+            *[os.path.join(table.path, f) for f in meta["files"]]
+        ).withColumn("_b", table._bucket_expr())
+        assert df.where(F.col("_b") != int(b)).count() == 0
+
+
+def test_merge_shuffles_only_the_batch(spark, tmp_path, events_parquet):
+    """Physical-plan gate for the storage-partitioned merge: batch 2+
+    must plan exactly ONE exchange (the batch LWW agg) and read the
+    current table as a bucketed scan — table rows merge in place."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    engine = ReplayEngine(table)
+    engine.replay(spark, ev, 1, N_EVENTS // 2, batch_size=N_EVENTS // 2)
+
+    captured: list[str] = []
+    orig = LakeTable._write_bucketed
+
+    def spy(self, spark_, df, out_dir):
+        captured.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, spark_, df, out_dir)
+
+    LakeTable._write_bucketed = spy
+    try:
+        engine.replay(
+            spark, ev, N_EVENTS // 2 + 1, N_EVENTS, batch_size=N_EVENTS // 2
+        )
+    finally:
+        LakeTable._write_bucketed = orig
+    assert len(captured) == 1
+    plan = captured[0]
+    # exactly one SHUFFLE exchange (the batch LWW agg); the watermark
+    # fence is a BroadcastExchange, which moves ~num_buckets rows
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
