@@ -133,8 +133,59 @@ class LakeTable:
             return None
         with open(cur) as fh:
             version = int(fh.read().strip())
-        with open(os.path.join(self.ledger_dir, f"v{version:08d}.json")) as fh:
+        return self.snapshot_at(version)
+
+    def snapshot_at(self, version: int) -> dict | None:
+        """Snapshot metadata for a specific version (time travel); None
+        if that version was never published or has been expired."""
+        path = os.path.join(self.ledger_dir, f"v{version:08d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
             return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """All retained snapshots, oldest first — the Iceberg snapshot
+        log (version, parent, commit time, row/schema summary)."""
+        out = []
+        for f in sorted(os.listdir(self.ledger_dir)):
+            m = re.fullmatch(r"v(\d{8})\.json", f)
+            if not m:
+                continue
+            snap = self.snapshot_at(int(m.group(1)))
+            out.append(
+                {
+                    "version": snap["version"],
+                    "parent": snap["parent"],
+                    "committed_at": snap["committed_at"],
+                    "schema_version": snap["schema_version"],
+                    "total_rows": snap["total_rows"],
+                    "applied_batches": len(snap["applied_batches"]),
+                }
+            )
+        return out
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshots' metadata,
+        then vacuum data files no retained snapshot references (Iceberg
+        ``expire_snapshots`` + orphan cleanup). The CURRENT snapshot is
+        always retained. Returns the number of snapshots expired."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return 0
+        versions = sorted(
+            int(m.group(1))
+            for f in os.listdir(self.ledger_dir)
+            if (m := re.fullmatch(r"v(\d{8})\.json", f))
+        )
+        keep = set(versions[-max(keep_last, 1):]) | {cur["version"]}
+        expired = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.ledger_dir, f"v{v:08d}.json"))
+                expired += 1
+        self.vacuum_orphans()
+        return expired
 
     def _publish(self, snapshot: dict) -> None:
         """Atomic two-step publish: snapshot file, then pointer swap."""
@@ -174,14 +225,16 @@ class LakeTable:
 
     def _bucket_expr(self) -> Column:
         """Bucket id = ``pmod(murmur3(key), num_buckets)`` — the EXACT
-        expression Spark's ``hashpartitioning`` uses to place rows of a
-        ``groupBy(key)`` shuffle. With the merge aggregation's shuffle
-        set to ``num_buckets`` partitions, reduce partition i therefore
-        holds exactly bucket i, so the merged output can be written
-        ``partitionBy(_bucket)`` with NO extra repartition exchange and
-        still land one file per bucket (AQE may coalesce whole
-        partitions or split a skewed one — either keeps bucket dirs
-        intact). One payload shuffle per micro-batch, total."""
+        expression behind Spark's ``hashpartitioning`` AND its bucketed
+        table layout. Three things key on this identity: watermark
+        fencing/stats assign events to buckets with it, the merge
+        aggregation's exchange places reduce partition i ≡ bucket i, and
+        the bucketed writer tags file names with the same id — so the
+        sort-merge MERGE joins batch partitions to table buckets with no
+        realignment, and the bucketed write adds no exchange. One payload
+        shuffle per micro-batch, over the batch alone (asserted by
+        tests/test_lake.py::test_merge_shuffles_only_the_batch and
+        test_bucket_file_tags_match_hash_expr)."""
         return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
 
     def _register_current_view(
@@ -246,11 +299,23 @@ class LakeTable:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {out_tbl}")
 
-    def read(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
-        """Current table state. ``buckets`` prunes the scan to the named
-        key-space partitions (the copy-on-write read path)."""
-        snap = self.current_snapshot()
-        schema = self.current_schema()
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Table state — current, or as of ``version`` (time travel).
+        ``buckets`` prunes the scan to the named key-space partitions
+        (the copy-on-write read path)."""
+        snap = self.snapshot_at(version) if version is not None else self.current_snapshot()
+        if version is not None and snap is None:
+            raise ValueError(f"snapshot v{version} not found (expired or never published)")
+        schema = (
+            StructType.fromJson(snap["schemas"][str(snap["schema_version"])])
+            if snap and snap.get("schema_version")
+            else None
+        )
         if snap is None or schema is None or not snap["buckets"]:
             return spark.createDataFrame([], schema or StructType([]))
         wanted = set(buckets) if buckets is not None else None
@@ -616,12 +681,37 @@ class LakeTable:
                 bad.append(int(b))
         return sorted(bad)
 
+    def incremental_read(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows of every bucket that changed between two snapshots — the
+        engine's CDC-read primitive (Iceberg incremental scan at bucket
+        granularity). Changed = file list or checksum differs; returns
+        the changed buckets' state AT ``to_version`` (default current)."""
+        to_snap = (
+            self.snapshot_at(to_version) if to_version is not None else self.current_snapshot()
+        )
+        from_snap = self.snapshot_at(from_version)
+        if to_snap is None or from_snap is None:
+            raise ValueError("both snapshot versions must be retained")
+        changed = [
+            int(b)
+            for b, meta in to_snap["buckets"].items()
+            if from_snap["buckets"].get(b, {}).get("files") != meta["files"]
+            or from_snap["buckets"].get(b, {}).get("checksum") != meta["checksum"]
+        ]
+        return self.read(spark, buckets=changed, version=to_snap["version"])
+
     def vacuum_orphans(self) -> int:
-        """Delete data files not referenced by the current snapshot
-        (crash leftovers). Returns count removed."""
-        snap = self.current_snapshot()
+        """Delete data files referenced by NO retained snapshot (crash
+        leftovers, or files orphaned by expire_snapshots). Returns count
+        removed."""
         live: set[str] = set()
-        if snap:
+        for f in os.listdir(self.ledger_dir):
+            m = re.fullmatch(r"v(\d{8})\.json", f)
+            if not m:
+                continue
+            snap = self.snapshot_at(int(m.group(1)))
             for meta in snap["buckets"].values():
                 live.update(meta["files"])
         removed = 0

@@ -346,3 +346,48 @@ def test_merge_shuffles_only_the_batch(spark, tmp_path, events_parquet):
     assert plan.count("Exchange rangepartitioning") == 0, plan
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+
+
+def test_time_travel_history_and_incremental_read(spark, tmp_path, events_parquet):
+    """Snapshot log, read-as-of-version, and bucket-granular incremental
+    reads between two snapshots (the CDC-read primitive)."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    engine = ReplayEngine(table)
+    engine.replay(spark, ev, 1, N_EVENTS, batch_size=1000)
+    hist = table.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[-1]["total_rows"] == table.current_snapshot()["total_rows"]
+
+    # time travel: state at v1 == replay of only the first batch
+    t1 = LakeTable(str(tmp_path / "lake_b1"), num_buckets=8)
+    ReplayEngine(t1).replay(spark, ev, 1, 1000, batch_size=1000)
+    as_of_v1 = sorted(tuple(r) for r in table.read(spark, version=1).collect())
+    want_v1 = sorted(tuple(r) for r in t1.read(spark).collect())
+    assert as_of_v1 == want_v1
+
+    # incremental read v2 -> v3 covers exactly the buckets batch 3 touched
+    inc = table.read(spark, version=3).withColumn("_b", table._bucket_expr())
+    changed = table.incremental_read(spark, from_version=2, to_version=3)
+    v2 = table.snapshot_at(2)["buckets"]
+    v3 = table.snapshot_at(3)["buckets"]
+    changed_buckets = {
+        int(b) for b, m in v3.items() if v2.get(b, {}).get("files") != m["files"]
+    }
+    want = inc.where(F.col("_b").isin(*changed_buckets)).drop("_b")
+    assert sorted(map(tuple, changed.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_expire_snapshots_keeps_current_and_vacuums(spark, tmp_path, events_parquet):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    ReplayEngine(table).replay(spark, ev, 1, N_EVENTS, batch_size=1000)
+    rows_before = sorted(tuple(r) for r in table.read(spark).collect())
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == 2
+    assert [h["version"] for h in table.history()] == [3]
+    # expired snapshots are unreadable; current state is untouched
+    with pytest.raises(ValueError):
+        table.read(spark, version=1)
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == rows_before
+    assert table.verify_bucket_checksums(spark) == []
