@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "w1_lww_latest_event",
     "a1_pricing_summary",
     "j1_broadcast_dim_join",
+    "j5way_regional_revenue",
     "w6_rank_topn_per_group",
     "d1_exact_duplicates",
     "d2_ngram_jaccard",
@@ -215,8 +216,19 @@ def run_replay(
             spark.stop()
 
 
-def replay_bench(cores: int, n_events: int, batches: int, n_repos: int, paths: int) -> dict:
-    """Self-contained: generate + warm up + timed replay in one session."""
+def replay_bench(
+    cores: int,
+    n_events: int,
+    batches: int,
+    n_repos: int,
+    paths: int,
+    repeats: int = 2,
+) -> dict:
+    """Self-contained: generate + warm up + timed replay in one session.
+
+    Best-of-``repeats`` over the same corpus into fresh tables: host
+    noise on a shared box is additive (intermittent multi-second
+    stalls), so the minimum is the low-variance estimator."""
     spark = _bench_spark(cores, f"bench-replay-{cores}", aqe=False)
     tmp = _mktemp("bench_ev_")
     try:
@@ -224,14 +236,19 @@ def replay_bench(cores: int, n_events: int, batches: int, n_repos: int, paths: i
             spark, os.path.join(tmp, "events"), n_events, batches, n_repos, paths
         )
         gen_events(spark, os.path.join(tmp, "warm"), 100_000, 2, n_repos, paths)
-        return run_replay(
-            cores,
-            os.path.join(tmp, "events"),
-            os.path.join(tmp, "warm"),
-            n_events,
-            batches,
-            spark=spark,
-        )
+        best: dict | None = None
+        for i in range(max(1, repeats)):
+            res = run_replay(
+                cores,
+                os.path.join(tmp, "events"),
+                os.path.join(tmp, "warm") if i == 0 else None,
+                n_events,
+                batches,
+                spark=spark,
+            )
+            if best is None or res["seconds"] < best["seconds"]:
+                best = res
+        return best
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -245,11 +262,14 @@ def query_bench(spark, sf_dir: str) -> dict[str, float]:
         qd = REGISTRY.get(name)
         if qd is None:
             continue
-        t0 = time.monotonic()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(2):  # best-of-2: shared-host stalls are additive
+            t0 = time.monotonic()
+            df = qd.fn(spark, sf_dir)
+            df.count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -280,6 +300,13 @@ def main() -> None:
         help="core counts measured by --scaling (pairs at 4x ratio get an efficiency line)",
     )
     ap.add_argument("--repeats", type=int, default=2, help="runs per core count (best-of)")
+    ap.add_argument(
+        "--pin", action="store_true",
+        help="taskset each level to exactly N host CPUs — the cgroup CPU "
+        "budget an N-core executor has on a real cluster. Unpinned "
+        "local[N] lets JVM GC/JIT threads borrow idle host cores, which "
+        "inflates small-N throughput and understates scaling efficiency.",
+    )
     ap.add_argument(
         "--skew", action="store_true",
         help="replay a uniform vs an extreme hot-repo corpus; write BENCH/SKEW.md",
@@ -375,8 +402,10 @@ def main() -> None:
             # additive, so per-config minimum wall time is the estimator
             for rep in range(args.repeats):
                 for cores in core_list:
+                    pin = ["taskset", "-c", f"0-{cores - 1}"] if args.pin else []
                     out = subprocess.run(
                         [
+                            *pin,
                             sys.executable,
                             os.path.abspath(__file__),
                             "--replay-only",
@@ -408,7 +437,7 @@ def main() -> None:
         if os.path.exists(state_path):
             with open(state_path) as fh:
                 state = json.load(fh)
-        cfg_key = f"{n_events}x{batches}"
+        cfg_key = f"{n_events}x{batches}" + ("-pinned" if args.pin else "")
         merged = {int(k): v for k, v in state.get(cfg_key, {}).items()}
         for c, res in best.items():
             if c not in merged or res["seconds"] < merged[c]["seconds"]:
@@ -443,13 +472,22 @@ def main() -> None:
                 "  per-config minimum is the low-variance estimator.\n"
                 "- events + lake on tmpfs; on a real cluster segment/table\n"
                 "  I/O (HDFS/S3) scales with executors, a single disk doesn't.\n"
-                "- this host's 32 vCPUs share hyperthreads/memory bandwidth:\n"
-                "  raw AVX/SHA python workloads scale 8→32 procs at ~0.96\n"
-                "  efficiency, but JVM columnar kernels saturate bandwidth\n"
-                "  above ~8-16 threads — so the faithful N-vs-4N executor\n"
-                "  comparison is the pairs that stay under saturation (1→4,\n"
-                "  2→8); 8→32 is reported for transparency and measures the\n"
-                "  box, not the engine.\n\n"
+                + (
+                    "- each level is PINNED (`taskset -c 0-(N-1)`) to exactly N\n"
+                    "  host CPUs — the cgroup CPU budget an N-core executor has\n"
+                    "  on a real YARN/k8s cluster. Unpinned local[N] lets the\n"
+                    "  JVM's GC/JIT/shuffle threads borrow idle host cores,\n"
+                    "  which inflates small-N throughput and understates true\n"
+                    "  scaling efficiency.\n"
+                    if args.pin
+                    else "- UNPINNED local[N]: the JVM's GC/JIT/shuffle threads can\n"
+                    "  borrow idle host cores, so small-N levels run faster than a\n"
+                    "  true N-core executor would — efficiency numbers here are a\n"
+                    "  LOWER bound (see the pinned table for the faithful one).\n"
+                )
+                + "- the full 32-vCPU level shares the machine with the driver\n"
+                "  and OS and is bandwidth-saturated; it is reported for\n"
+                "  transparency and measures the box, not the engine.\n\n"
                 f"- events: {n_events:,} in {batches} micro-batches"
                 f" (sf={sf}; keyspace ~{n_repos*paths:,} keys)\n\n"
                 "| cores | wall s | events/s | per-batch s |\n"

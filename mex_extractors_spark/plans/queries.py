@@ -906,6 +906,110 @@ def n1_common_model_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "j5way_regional_revenue",
+    "J1/J2 multi-join reordering (TPC-H Q5 shape): Catalyst reorders a "
+    "6-table join, broadcasts every dim, shuffles only the fact agg",
+    """
+    SELECT n.n_name AS nation,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def j5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@q(
+    "subq_above_brand_avg",
+    "decorrelated scalar subquery (parts above their brand's average "
+    "retail price) — window-based, single shuffle on the group key",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    ) WHERE p_retailprice > brand_avg
+    """,
+)
+def subq_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand", _cents("p_retailprice").alias("price_cents")
+        )
+    )
+
+
+@q(
+    "a9_rollup_order_totals",
+    "A9 grouping sets / rollup (absent in the reference, free in Spark): "
+    "order totals by (status, priority) with subtotal and grand-total rows",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "total_cents",
+            "n_orders",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
