@@ -8,8 +8,9 @@ content-level dedup. All operators here are DataFrame-native:
 - minhash LSH:  shingle → minhash signature → band → bucket join —
                 candidate pairs meet only inside a band bucket, so the
                 join never goes quadratic;
-- simhash:      64-bit sign fingerprint; near-dups share one of four
-                16-bit chunks (pigeonhole for hamming ≤ 3);
+- simhash:      64-bit sign fingerprint; near-dups share one of
+                max_hamming+1 bit-chunks (pigeonhole guarantee holds
+                for ANY requested hamming budget);
 - n-gram jaccard: exact pair scoring via explode + equi-join on shared
                 shingles (with a document-frequency cutoff so stop-
                 shingles don't explode the join).
@@ -178,12 +179,17 @@ def minhash_near_duplicates(
 # --------------------------------------------------------------- simhash
 
 
-def simhash64(text_col: str | Column) -> Column:
+def simhash64(text_col: str | Column, token_hash=None) -> Column:
     """64-bit SimHash over whitespace tokens: bit i is the sign of the
-    token-weighted ±1 vote of bit i of each token's xxhash64."""
+    token-weighted ±1 vote of bit i of each token's hash.
+
+    ``token_hash`` is a Column→Column hash (default ``xxhash64`` — the
+    fast production path). Pass ``hashing.md5_long60`` for a hash an
+    external DuckDB oracle can reproduce bit-for-bit (60 effective
+    bits; the top 4 vote negative and stay unset on both engines)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(F.lower(c)), "\\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
 
     def _vote(i: int) -> Column:
         return F.aggregate(
@@ -205,20 +211,36 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
-    pigeonhole chunk bucketing: split 64 bits into 4 chunks of 16; any
-    pair within hamming 3 agrees on ≥1 whole chunk, so the candidate
-    join is an equi-join on (chunk_index, chunk_value)."""
-    with_sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    pigeonhole chunk bucketing: split the 64 signature bits into
+    ``max_hamming + 1`` chunks — a pair within the hamming budget has
+    fewer differing bits than chunks, so (pigeonhole) it must agree on
+    ≥1 whole chunk and the candidate join is an equi-join on
+    (chunk_index, chunk_value). Chunk count is DERIVED from the budget:
+    4×16-bit chunks only ever guarantee hamming ≤ 3, so a caller asking
+    for 6 gets 7 chunks, never silent recall loss."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
+    with_sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col, token_hash).alias("_sig")
+    )
     chunked = with_sig.select(
         "_id",
         "_sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("_sig"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-                    for j in range(4)
+                    F.shiftrightunsigned(F.col("_sig"), offsets[j]).bitwiseAND(
+                        # width 64 (max_hamming=0, one chunk) → all-ones long
+                        F.lit(((1 << widths[j]) - 1) if widths[j] < 64 else -1)
+                    )
+                    for j in range(n_chunks)
                 ]
             )
         ).alias("_chunk_idx", "_chunk"),

@@ -124,6 +124,7 @@ def subtree_members(
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(r,) for r in root_ids], [id_col])
     seen = frontier
+    cached: list[DataFrame] = []
     for _ in range(max_depth):
         children = (
             edges.join(
@@ -134,8 +135,14 @@ def subtree_members(
             .distinct()
         )
         new = children.join(seen, id_col, "left_anti").persist()
+        cached.append(new)
         if new.isEmpty():
             break
         seen = seen.unionByName(new).persist()
+        cached.append(seen)
         frontier = new
-    return seen
+    # materialize the subtree, then free every per-iteration cache
+    result = seen.localCheckpoint()
+    for df in cached:
+        df.unpersist()
+    return result

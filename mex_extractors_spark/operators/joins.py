@@ -116,6 +116,7 @@ def topological_levels(
         id_col, F.lit(0).alias("level")
     )
     frontier = levels
+    cached: list[DataFrame] = []
     for _ in range(max_depth):
         nxt = (
             nodes.join(
@@ -129,8 +130,17 @@ def topological_levels(
             .select(id_col, (F.col("_pl") + 1).alias("level"))
         )
         new = nxt.join(levels.select(id_col), id_col, "left_anti").persist()
+        cached.append(new)
         if new.isEmpty():
             break
         levels = levels.unionByName(new)
         frontier = new
-    return nodes.select(id_col).distinct().join(levels, id_col, "left")
+    # materialize the (dimension-sized) result, then free every
+    # per-iteration cache — a deep hierarchy must not leave O(depth)
+    # cached partitions behind for the rest of the session
+    result = (
+        nodes.select(id_col).distinct().join(levels, id_col, "left").localCheckpoint()
+    )
+    for df in cached:
+        df.unpersist()
+    return result

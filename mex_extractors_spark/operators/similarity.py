@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mex_extractors_spark.functions import hashing
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -55,30 +57,40 @@ def cosine_topk(
 
 
 def sign_lsh_bucket(vec_col: str | Column, num_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
-    """h-bit sign-LSH bucket id. Plane p component j is a deterministic
-    pseudo-random value in [-0.5, 0.5) derived from xxhash64(seed,p,j),
-    so every executor (and every run) derives identical planes."""
+    """h-bit sign-LSH bucket id. Planes are computed ONCE on the driver
+    (pure-Python md5 PRNG, ``hashing.lsh_planes``) and embedded as
+    literal arrays, so every executor sees identical planes with zero
+    per-row hash work — and an external oracle can embed the exact same
+    constants to reproduce the bucketing bit-for-bit."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = hashing.lsh_planes(num_planes, dim, seed)
 
-    def _proj(p: int) -> Column:
-        # closure over p (a 2-param lambda would be transform's
-        # (element, index) form and clobber the plane id)
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(1000)).cast("double")
-                / 1000.0
-                - 0.5
-            ),
-        )
+    def _proj(plane: list[float]) -> Column:
+        lit_plane = F.array(*[F.lit(w) for w in plane])
         return F.aggregate(
-            F.zip_with(v, plane, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(v, lit_plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
 
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        bucket = bucket + F.when(_proj(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        bucket = bucket + F.when(
+            _proj(planes[p]) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(0)
     return bucket
+
+
+def derive_num_planes(corpus_size: int, target_bucket_size: int = 64) -> int:
+    """Corpus-size-driven plane count: enough sign bits that the
+    EXPECTED bucket occupancy is ~``target_bucket_size`` rows, so the
+    within-bucket pair join stays ~n·target instead of n²/2^planes with
+    a fixed small plane count. Clamped to [4, 24]."""
+    import math
+
+    if corpus_size <= target_bucket_size:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(corpus_size / target_bucket_size))))
 
 
 def ann_lsh_topk(
@@ -99,13 +111,10 @@ def ann_lsh_topk(
     row-group stats can still skip on.
     """
     dim = len(query_vec)
-    spark = df.sparkSession
-    qdf = spark.range(1).select(
-        F.array(*[F.lit(float(x)) for x in query_vec]).alias("_q")
-    )
-    q_bucket = qdf.select(
-        sign_lsh_bucket(F.col("_q"), num_planes, dim, seed).alias("b")
-    ).collect()[0]["b"]
+    # the query vector is a literal, so its bucket is computable on the
+    # driver in pure Python — no Spark job, no collect
+    planes = hashing.lsh_planes(num_planes, dim, seed)
+    q_bucket = hashing.sign_bucket_of([float(x) for x in query_vec], planes)
     probe = {q_bucket}
     if multiprobe_bits >= 1:
         probe |= {q_bucket ^ (1 << p) for p in range(num_planes)}
@@ -128,12 +137,13 @@ def ivf_assignments(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF coarse quantization: centroids = deterministic sample (the
-    ``num_centroids`` vectors with smallest xxhash64(id)), assignment =
-    argmin L2 distance via a broadcast join against the tiny centroid
-    set. Returns (id, centroid_id, l2_dist)."""
+    ``num_centroids`` vectors with smallest md5(id) — md5 so an
+    external oracle selects the identical sample), assignment = argmin
+    L2 distance via a broadcast join against the tiny centroid set,
+    ties broken by centroid id. Returns (id, centroid_id, l2_dist)."""
     centroids = (
         df.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cvec"))
-        .orderBy(F.xxhash64(F.col("_cid").cast("string")))
+        .orderBy(F.md5(F.col("_cid").cast("string")))
         .limit(num_centroids)
     )
     l2 = F.sqrt(
@@ -149,7 +159,9 @@ def ivf_assignments(
         F.col(id_col), F.col("_cid"), F.round(l2, 6).alias("l2_dist")
     )
     best = scored.groupBy(id_col).agg(
-        F.min_by(F.struct("_cid", "l2_dist"), F.col("l2_dist")).alias("_w")
+        F.min_by(
+            F.struct("_cid", "l2_dist"), F.struct("l2_dist", "_cid")
+        ).alias("_w")
     )
     return best.select(
         F.col(id_col),
@@ -163,15 +175,31 @@ def pairwise_cosine_near_duplicates(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 6,
+    num_planes: int | None = 6,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed so the pair join is
     an equi-join on bucket id (never a cross join). Returns (id_a, id_b,
     cosine_sim ≥ threshold); pairs in different buckets are missed —
-    that is the approximation, tuned by num_planes."""
+    that is the approximation, tuned by num_planes.
+
+    ``num_planes=None`` derives the plane count from the corpus size
+    (``derive_num_planes``) so expected bucket occupancy stays bounded:
+    a fixed small plane count means ~n²/2^planes candidate pairs at
+    scale. More planes trade recall (near-dup pairs split across
+    buckets) for a linear-size join — the classic LSH knob."""
     dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
+    if num_planes is None:
+        n = df.count()
+        num_planes = derive_num_planes(n)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "pairwise_cosine_near_duplicates: corpus=%d -> num_planes=%d "
+            "(expected bucket occupancy ~%d; recall drops as planes grow)",
+            n, num_planes, max(1, n >> num_planes),
+        )
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

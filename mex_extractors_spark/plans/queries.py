@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mex_extractors_spark.functions import hashing
 from mex_extractors_spark.functions import text as T
 from mex_extractors_spark.operators import dedup, similarity
 from mex_extractors_spark.operators.aggregates import (
@@ -46,6 +47,165 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
+
+
+# Oracle builders for the approximate (LSH/simhash) operators. The
+# trick that makes these EXACTLY oracle-checkable: every source of
+# "randomness" (hyperplanes, hash values, centroid sample) is either
+# computed in pure Python on the driver and embedded as literals into
+# BOTH the Spark plan and the generated SQL, or uses md5 — which Spark
+# and DuckDB compute identically (``functions/hashing.py``).
+
+
+def _plane_array_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Sign-LSH bucket id of ``vec_expr`` as a DuckDB expression using
+    the same literal planes the Spark plan embeds."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_array_sql(plane)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _jaccard_pairs_oracle(k: int, threshold: float, max_shingle_df: int | None) -> str:
+    """Exact k-gram jaccard pair SQL, mirroring ngram_jaccard_pairs
+    semantics exactly: set size n = FULL distinct-shingle count, the
+    intersection counted only over non-stop shingles."""
+    guard = (
+        f"""
+    , hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {max_shingle_df})
+    , exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot))
+    """
+        if max_shingle_df is not None
+        else ", exf AS (SELECT * FROM ex)"
+    )
+    return f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, {k})
+                            for i in generate_series(1, greatest(length(text) - {k - 1}, 1))]) AS sh
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+    ){guard}
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) AS jaccard
+    FROM exf l JOIN exf r ON l.s = r.s AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    HAVING round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) >= {threshold}
+    """
+
+
+def _simhash_pairs_oracle(max_hamming: int) -> str:
+    """Full 60-bit md5 simhash + BRUTE-FORCE all-pairs hamming in SQL.
+    The engine computes the same pairs via pigeonhole chunk bucketing,
+    so equality against this oracle PROVES the bucketing loses no pair
+    within the hamming budget (the recall contract)."""
+    h = hashing.md5_long60_sql("tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, {h} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, g.i AS i,
+             sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN generate_series(0, 59) AS g(i)
+      GROUP BY doc_id, g.i
+    ), sig AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+    """
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _d5b_oracle(threshold: float, num_planes: int, dim: int = 64, seed: int = 42) -> str:
+    planes = hashing.lsh_planes(num_planes, dim, seed)
+    bucket = _bucket_sql("embedding::DOUBLE[]", planes)
+    cos = _cos_sql("l.v", "r.v")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bk
+      FROM embeddings
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round({cos}, 6) AS cosine_sim
+    FROM b l JOIN b r ON l.bk = r.bk AND l.vec_id < r.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+def _sim2_oracle(qvec: list[float], k: int, num_planes: int, seed: int = 42) -> str:
+    planes = hashing.lsh_planes(num_planes, len(qvec), seed)
+    q_bucket = hashing.sign_bucket_of(qvec, planes)
+    probe = sorted({q_bucket} | {q_bucket ^ (1 << p) for p in range(num_planes)})
+    bucket = _bucket_sql("embedding::DOUBLE[]", planes)
+    qarr = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+    cos = _cos_sql("embedding::DOUBLE[]", qarr)
+    return f"""
+    SELECT vec_id, round({cos}, 6) AS cosine_sim
+    FROM embeddings
+    WHERE {bucket} IN ({", ".join(map(str, probe))})
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _sim3_oracle(num_centroids: int) -> str:
+    d = "e.embedding::DOUBLE[]"
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+    ), scored AS (
+      SELECT e.vec_id AS vec_id, c.cid AS cid,
+             round(sqrt(list_sum([(({d})[i] - c.cvec[i]) * (({d})[i] - c.cvec[i])
+                                   for i in generate_series(1, len(c.cvec))])), 6) AS l2_dist
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, cid AS centroid_id, l2_dist
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2_dist, cid) = 1
+    """
+
+
+def _t3_oracle() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    counts = ",\n             ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in T.LANG_MARKERS[lang])}))) AS c_{lang}"
+        for lang in langs
+    )
+    allc = ", ".join(f"c_{lang}" for lang in langs)
+    # mirror detect_lang's tiebreak: alphabetically-first max wins
+    cascade = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+    WITH counts AS (
+      SELECT doc_id,
+             {counts}
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN m = 0 THEN 'und' {cascade} ELSE '{langs[-1]}' END AS detected_lang
+    FROM (SELECT *, greatest({allc}) AS m FROM counts)
+    """
+
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -156,7 +316,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J1 broadcast hash join through two dims",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -639,6 +799,83 @@ def u34_array_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- J7 publisher rewrite
+
+
+@q(
+    "j7_reference_rewrite",
+    "J7 correlated actor-reference rewrite (publisher/transform.py:54-111): "
+    "per-field allowed-actor intersect, person→unit substitution via "
+    "broadcast dim, contact-point fallback — one melt + broadcast joins + "
+    "one re-aggregation shuffle",
+    """
+    WITH ucust AS (
+      SELECT c_custkey,
+             'c' || CAST(c_custkey AS VARCHAR) AS pid,
+             'n' || CAST(c_nationkey AS VARCHAR) AS uid,
+             c_acctbal > 0 AS p_allowed,
+             c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+               AS u_ok
+      FROM customer
+    )
+    SELECT 'o' || CAST(o.o_orderkey AS VARCHAR) AS identifier,
+           CASE WHEN u.p_allowed THEN u.pid
+                WHEN u.u_ok THEN u.uid
+                ELSE 'cp-fallback' END AS contact,
+           CASE WHEN u.p_allowed THEN u.pid ELSE '' END AS involved_person,
+           CASE WHEN u.p_allowed THEN u.pid ELSE '' END AS external_associate,
+           u.uid AS responsible_unit
+    FROM orders o JOIN ucust u ON o.o_custkey = u.c_custkey
+    """,
+)
+def j7_reference_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.publisher import (
+        ACTIVITY_SPECS,
+        rewrite_actor_references,
+        unit_ids_per_person,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    pid = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    uid_of_cust = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+    uid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+
+    persons = c.select(pid.alias("identifier"), F.array(uid_of_cust).alias("memberOf"))
+    units = n.select(
+        uid.alias("identifier"),
+        F.when(F.col("n_regionkey") < 3, F.lit("unit@example.org")).alias("email"),
+    )
+    allowed = (
+        c.where(F.col("c_acctbal") > 0).select(pid.alias("id"))
+        .unionByName(n.where(F.col("n_regionkey") < 3).select(uid.alias("id")))
+    )
+    items = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("identifier"),
+        F.lit("MergedActivity").alias("entity_type"),
+        F.array(pid).alias("contact"),
+        F.array(pid).alias("involvedPerson"),
+        # 'c-ghost' is never an allowed actor -> always filtered out
+        F.array(pid, F.lit("c-ghost")).alias("externalAssociate"),
+        F.array(uid_of_cust).alias("responsibleUnit"),
+    )
+    out, _broken = rewrite_actor_references(
+        items,
+        ACTIVITY_SPECS,
+        allowed,
+        unit_ids_per_person(persons, units),
+        ["cp-fallback"],
+    )
+    return out.select(
+        "identifier",
+        F.concat_ws(",", "contact").alias("contact"),
+        F.concat_ws(",", "involvedPerson").alias("involved_person"),
+        F.concat_ws(",", "externalAssociate").alias("external_associate"),
+        F.concat_ws(",", "responsibleUnit").alias("responsible_unit"),
+    )
+
+
 # -------------------------------------------------------- text analysis
 
 
@@ -687,9 +924,9 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "t3_lang_id",
-    "n-gram heuristic language identification",
-    None,  # argmax CASE cascade is expressible but brittle; engine-side
-    # golden tests cover it — driver does the rows-only check
+    "n-gram heuristic language identification (argmax CASE cascade "
+    "generated from the same LANG_MARKERS table the engine uses)",
+    _t3_oracle(),
 )
 def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -714,7 +951,6 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- dedup
 
-
 @q(
     "d1_exact_duplicates",
     "exact dedup: sha256 hash-groupBy duplicate groups",
@@ -732,34 +968,25 @@ def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "d2_ngram_jaccard",
-    "n-gram jaccard near-dup pair scoring (explode + equi-join)",
-    """
-    WITH sets AS (
-      SELECT doc_id,
-             list_distinct([substr(text, i, 16)
-                            for i in generate_series(1, greatest(length(text) - 15, 1))]) AS sh
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
-    )
-    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-           round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) AS jaccard
-    FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
-    GROUP BY l.doc_id, r.doc_id
-    HAVING round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) >= 0.5
-    """,
+    "n-gram jaccard near-dup pair scoring (explode + equi-join), "
+    "stop-shingle guard ON (document-frequency cutoff keeps the join "
+    "linear in corpus size; the oracle mirrors the same cutoff)",
+    _jaccard_pairs_oracle(k=16, threshold=0.5, max_shingle_df=100),
 )
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        d, text_col="text", id_col="doc_id", k=16, threshold=0.5, max_shingle_df=None
+        d, text_col="text", id_col="doc_id", k=16, threshold=0.5, max_shingle_df=100
     )
 
 
 @q(
     "d3_minhash_lsh_neardup",
-    "MinHash+LSH near-dup (shingle→minhash→band→bucket-join)",
-    None,  # xxhash64-based signatures are engine-specific — rows-only
+    "MinHash+LSH near-dup (shingle→minhash→band→bucket-join); the "
+    "oracle is the EXACT k=12 jaccard pair set — equality proves LSH "
+    "recall is total on this corpus (candidates are already verified "
+    "with exact jaccard, so precision is 1 by construction)",
+    _jaccard_pairs_oracle(k=12, threshold=0.5, max_shingle_df=None),
 )
 def d3_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -773,12 +1000,21 @@ def d3_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "d4_simhash_neardup",
-    "SimHash 64-bit near-dup with pigeonhole chunk bucketing",
-    None,  # xxhash64-based fingerprint — rows-only
+    "SimHash near-dup with pigeonhole chunk bucketing (chunk count "
+    "derived from the hamming budget); oracle = brute-force all-pairs "
+    "hamming over the same md5-based simhash, so equality proves the "
+    "bucketing's recall contract",
+    _simhash_pairs_oracle(max_hamming=6),
 )
 def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(d, text_col="text", id_col="doc_id", max_hamming=6)
+    return dedup.simhash_near_duplicates(
+        d,
+        text_col="text",
+        id_col="doc_id",
+        max_hamming=6,
+        token_hash=hashing.md5_long60,
+    )
 
 
 @q(
@@ -811,13 +1047,16 @@ def d5_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "d5b_embedding_lsh_neardup",
-    "embedding-cosine near-dup, sign-LSH bucketed (scale path)",
-    None,  # approximate by design — rows-only
+    "embedding-cosine near-dup, sign-LSH bucketed (scale path); "
+    "planes are driver-computed literals, so the oracle reproduces the "
+    "bucketing exactly (at scale pass num_planes=None to derive the "
+    "plane count from corpus size — see derive_num_planes)",
+    _d5b_oracle(threshold=0.45, num_planes=6),
 )
 def d5b_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.pairwise_cosine_near_duplicates(
-        e, threshold=0.45, num_planes=4
+        e, threshold=0.45, num_planes=6
     )
 
 
@@ -845,8 +1084,11 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "sim2_ann_lsh_topk",
-    "ANN: sign-LSH bucketed top-k (approximate scale path)",
-    None,  # approximate by design — rows-only
+    "ANN: sign-LSH bucketed top-k (approximate scale path); the probe "
+    "bucket set and planes are driver-computed literals embedded in "
+    "both the plan and the oracle, so the approximate result is still "
+    "exactly reproducible",
+    _sim2_oracle([((i * 37) % 19 - 9) / 10.0 for i in range(64)], k=10, num_planes=6),
 )
 def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -856,8 +1098,10 @@ def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "sim3_ivf_assignments",
-    "IVF coarse quantization: centroid assignment via broadcast join",
-    None,  # centroid choice is engine-hash-based — rows-only
+    "IVF coarse quantization: centroid assignment via broadcast join; "
+    "centroids = md5-smallest ids (md5 is engine-independent), argmin "
+    "ties broken by centroid id — fully oracle-checkable",
+    _sim3_oracle(num_centroids=8),
 )
 def sim3_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -912,8 +1156,8 @@ def n1_common_model_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "6-table join, broadcasts every dim, shuffles only the fact agg",
     """
     SELECT n.n_name AS nation,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS revenue_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -987,7 +1231,7 @@ def subq_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            count(*) AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

@@ -232,6 +232,44 @@ def test_simhash_near_duplicates(spark):
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_bucketing_recall_at_mid_hamming(spark):
+    """Recall contract: bucketed pair search equals brute-force all-pairs
+    hamming for max_hamming=6, on a corpus that CONTAINS pairs at
+    hamming 4-6 (the regime the old fixed 4x16-bit chunking silently
+    dropped — pigeonhole over 4 chunks only guarantees hamming <= 3)."""
+    from pyspark.sql import functions as F
+
+    base = ("w%d" % i for i in range(40))
+    base_words = list(base)
+    rows = []
+    # perturb j words of the base text -> a spread of hamming distances
+    for doc_id in range(30):
+        words = list(base_words)
+        for j in range(doc_id % 7):
+            words[j] = f"x{doc_id}_{j}"
+        rows.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = df.select("doc_id", dedup.simhash64("text").alias("sig"))
+    l, r = sigs.alias("l"), sigs.alias("r")
+    brute = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+    )
+    expected = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    # the test corpus must actually exercise hamming 4-6
+    assert any(4 <= h <= 6 for _, _, h in expected), sorted(expected)
+
+    got_rows = dedup.simhash_near_duplicates(df, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_rows}
+    assert got == expected
+
+
 def test_ngram_jaccard_exact_value(spark):
     df = spark.createDataFrame([(1, "abcdef"), (2, "abcdef"), (3, "zzzzzz")], ["doc_id", "text"])
     pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5, max_shingle_df=None).collect()

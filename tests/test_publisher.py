@@ -1,0 +1,162 @@
+"""J7 publisher actor-reference rewrite — goldens mirrored from the
+reference's tests/publisher/test_transform.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.operators.publisher import (
+    ACTIVITY_SPECS,
+    rewrite_actor_references,
+    unit_ids_per_person,
+)
+
+PERSON_SCHEMA = "identifier string, memberOf array<string>"
+UNIT_SCHEMA = "identifier string, email string"
+ITEM_SCHEMA = (
+    "identifier string, entity_type string, contact array<string>, "
+    "involvedPerson array<string>, externalAssociate array<string>, "
+    "responsibleUnit array<string>"
+)
+
+
+def _person_units(spark):
+    persons = spark.createDataFrame(
+        [
+            ("PersonWithFallbackUnit", ["ValidUnitWithEmail", "InvalidUnitNoEmail"]),
+            ("PersonWithoutFallback", ["InvalidUnitNoEmail"]),
+        ],
+        PERSON_SCHEMA,
+    )
+    units = spark.createDataFrame(
+        [("ValidUnitWithEmail", "unit@example.org"), ("InvalidUnitNoEmail", None)],
+        UNIT_SCHEMA,
+    )
+    return persons, units
+
+
+def test_unit_ids_per_person(spark):
+    # mirrors tests/publisher/test_transform.py::test_get_unit_id_per_person
+    persons, units = _person_units(spark)
+    got = {
+        (r._person_id, r._unit_id)
+        for r in unit_ids_per_person(persons, units).collect()
+    }
+    assert got == {("PersonWithFallbackUnit", "ValidUnitWithEmail")}
+
+
+def _rewrite(spark, items_rows, allowed, fallback):
+    items = spark.createDataFrame(items_rows, ITEM_SCHEMA)
+    persons, units = _person_units(spark)
+    pu = unit_ids_per_person(persons, units)
+    allowed_df = spark.createDataFrame([(a,) for a in allowed], "id string")
+    out, broken = rewrite_actor_references(
+        items, ACTIVITY_SPECS, allowed_df, pu, fallback
+    )
+    return (
+        {r.identifier: r.asDict() for r in out.collect()},
+        [(r.identifier, r.field, r.refs) for r in broken.collect()],
+    )
+
+
+def test_rewrite_with_contactpoint_fallback(spark):
+    # mirrors ..._with_contactpoint_fallback
+    out, broken = _rewrite(
+        spark,
+        [
+            (
+                "activityCPointFallback",
+                "MergedActivity",
+                ["thisIdIsBlocked"],
+                ["thisIdentifierIsOkay"],
+                ["thisIdIsBlocked", "thisIdentifierIsOkay"],
+                ["thisUnitIsResponsible"],
+            )
+        ],
+        allowed=["thisIdentifierIsOkay", "thisIdWouldBeOkayToo"],
+        fallback=["thisIsTheFallbackId"],
+    )
+    item = out["activityCPointFallback"]
+    assert item["contact"] == ["thisIsTheFallbackId"]
+    assert item["externalAssociate"] == ["thisIdentifierIsOkay"]
+    assert item["involvedPerson"] == ["thisIdentifierIsOkay"]
+    assert item["responsibleUnit"] == ["thisUnitIsResponsible"]  # untouched
+    assert broken == []
+
+
+def test_rewrite_with_unit_fallback(spark):
+    # mirrors ..._with_unit_fallback
+    out, broken = _rewrite(
+        spark,
+        [
+            (
+                "activityUnitFallback",
+                "MergedActivity",
+                ["PersonWithFallbackUnit", "PersonWithoutFallback"],
+                ["thisIdentifierIsOkay"],
+                ["thisIdIsBlocked", "thisIdentifierIsOkay", "PersonWithFallbackUnit"],
+                ["thisUnitIsResponsible"],
+            )
+        ],
+        allowed=[
+            "thisIdentifierIsOkay",
+            "thisIdWouldBeOkayToo",
+            "ValidUnitWithEmail",
+            "InvalidUnitNoEmail",
+        ],
+        fallback=["thisIsTheFallbackId"],
+    )
+    item = out["activityUnitFallback"]
+    # non-consenting person replaced by their (allowed, has-email) unit
+    assert item["contact"] == ["ValidUnitWithEmail"]
+    # externalAssociate allows no units -> just filtered
+    assert item["externalAssociate"] == ["thisIdentifierIsOkay"]
+    assert item["involvedPerson"] == ["thisIdentifierIsOkay"]
+    assert item["responsibleUnit"] == ["thisUnitIsResponsible"]
+    assert broken == []
+
+
+def test_rewrite_keeps_broken_refs_on_required_field(spark):
+    # transform.py:102-110 — required field with no valid refs keeps the
+    # broken originals and reports them (side output instead of a log)
+    out, broken = _rewrite(
+        spark,
+        [
+            (
+                "activityBroken",
+                "MergedActivity",
+                ["thisIdIsBlocked"],
+                ["thisIdIsBlocked"],
+                [],
+                ["thisUnitIsResponsible"],
+            )
+        ],
+        allowed=["somebodyElse"],
+        fallback=[],  # no fallback contact configured
+    )
+    item = out["activityBroken"]
+    assert item["contact"] == ["thisIdIsBlocked"]  # kept broken on purpose
+    assert item["involvedPerson"] == []  # optional -> emptied
+    assert item["externalAssociate"] == []
+    assert broken == [("activityBroken", "contact", ["thisIdIsBlocked"])]
+
+
+def test_rewrite_preserves_kept_order_and_sorts_substitutions(spark):
+    items = [
+        (
+            "act1",
+            "MergedActivity",
+            ["z-ok", "PersonWithFallbackUnit", "a-ok"],
+            [],
+            [],
+            None,
+        )
+    ]
+    out, _ = _rewrite(
+        spark,
+        items,
+        allowed=["z-ok", "a-ok", "ValidUnitWithEmail"],
+        fallback=["fb"],
+    )
+    # kept refs preserve ORIGINAL order; substitutions sorted + appended
+    assert out["act1"]["contact"] == ["z-ok", "a-ok", "ValidUnitWithEmail"]
