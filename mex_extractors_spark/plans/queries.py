@@ -185,6 +185,21 @@ def _sim3_oracle(num_centroids: int) -> str:
     """
 
 
+_BASE62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def _stable_id_sql(*part_exprs: str, length: int = 22) -> str:
+    """functions.ids.stable_id as a DuckDB expression: sha256 over
+    chr(31)-joined parts, base62-folded — byte-identical to the Spark
+    column (md5/sha256 are engine-independent)."""
+    joined = " || chr(31) || ".join(part_exprs)
+    return (
+        f"array_to_string([substr('{_BASE62}', "
+        f"(('0x' || substr(sha256({joined}), 1 + 2*i, 2))::INT % 62) + 1, 1) "
+        "for i in generate_series(0, 21)], '')"
+    )
+
+
 def _t3_oracle() -> str:
     langs = sorted(T.LANG_MARKERS)
     counts = ",\n             ".join(
@@ -647,6 +662,50 @@ def s8_columnar_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "s4_style_scan",
+    "S4/S5-shape generic vectorized scan: work-unit list → mapInPandas "
+    "with declared schema + quarantine (Excel plumbing, demonstrated "
+    "with per-file pandas CSV since openpyxl is absent)",
+    """
+    SELECT n_name AS name, CAST(n_regionkey AS INT) AS region, count(*) AS n
+    FROM nation GROUP BY n_name, n_regionkey
+    """,
+)
+def s4_style_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from mex_extractors_spark.sources.file_scan import (
+        read_csv_files_pandas,
+        split_scan_errors,
+    )
+
+    # deterministic local "workbook" files derived from the nation table
+    # (one file per region — the multi-file fan-out the Excel sources have)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"s4_scan_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    nation_pd = _t(spark, sf_dir, "nation").toPandas()
+    paths = []
+    for region, grp in nation_pd.groupby("n_regionkey"):
+        p = os.path.join(out_dir, f"region_{region}.csv")
+        grp[["n_name", "n_regionkey"]].rename(
+            columns={"n_name": "name", "n_regionkey": "region"}
+        ).sort_values("name").to_csv(p, index=False)
+        paths.append(p)
+
+    schema = StructType(
+        [StructField("name", StringType()), StructField("region", IntegerType())]
+    )
+    scanned = read_csv_files_pandas(spark, sorted(paths), schema)
+    good, _bad = split_scan_errors(scanned)
+    return good.groupBy("name", "region").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
     "a2_group_collect_nested",
     "A2 sort+groupby → nested lists (collect_list of structs, array_sort)",
     """
@@ -873,6 +932,78 @@ def j7_reference_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", "involvedPerson").alias("involved_person"),
         F.concat_ws(",", "externalAssociate").alias("external_associate"),
         F.concat_ws(",", "responsibleUnit").alias("responsible_unit"),
+    )
+
+
+@q(
+    "n2_multi_source_union",
+    "§3.2 all_extractors composition: two heterogeneous sources → "
+    "common model (deterministic identity) → ONE shared get-or-create "
+    "org dimension → union; same org key from different sources "
+    "resolves to the same minted id",
+    f"""
+    WITH orgs AS (
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS org_key,
+             CASE WHEN n_regionkey < 2
+                  THEN {_stable_id_sql("'org-pre'", "'n' || CAST(n_nationkey AS VARCHAR)")}
+                  ELSE {_stable_id_sql("'org'", "'n' || CAST(n_nationkey AS VARCHAR)")}
+             END AS org_id
+      FROM nation
+    ), src AS (
+      SELECT 'crm' AS ps, CAST(c_custkey AS VARCHAR) AS nk, c_name AS title,
+             'n' || CAST(c_nationkey AS VARCHAR) AS org_key
+      FROM customer
+      UNION ALL
+      SELECT 'hr', CAST(s_suppkey AS VARCHAR), s_name,
+             'n' || CAST(s_nationkey AS VARCHAR)
+      FROM supplier
+    )
+    SELECT {_stable_id_sql("'identifier'", "ps", "nk")} AS identifier,
+           {_stable_id_sql("'stableTargetId'", "ps", "nk")} AS stable_target_id,
+           ps AS had_primary_source,
+           nk AS identifier_in_primary_source,
+           title AS title_text,
+           o.org_id AS org_id
+    FROM src JOIN orgs o USING (org_key)
+    """,
+)
+def n2_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.functions.ids import stable_id
+    from mex_extractors_spark.plans.compose import SourceSpec, compose_sources
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    org_of = lambda k: F.concat(F.lit("n"), F.col(k).cast("string"))  # noqa: E731
+    crm = c.select(
+        F.col("c_custkey").alias("proj_id"),
+        F.col("c_name").alias("proj_name"),
+        org_of("c_nationkey").alias("org"),
+    )
+    hr = s.select(
+        F.col("s_suppkey").alias("code"),
+        F.col("s_name").alias("label"),
+        org_of("s_nationkey").alias("owner_org"),
+    )
+    org_key = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    org_dim = n.where(F.col("n_regionkey") < 2).select(
+        org_key.alias("org_key"),
+        stable_id(F.lit("org-pre"), org_key).alias("org_id"),
+    )
+    items, _dim = compose_sources(
+        [
+            (crm, SourceSpec("crm", "proj_id", "proj_name", "org")),
+            (hr, SourceSpec("hr", "code", "label", "owner_org")),
+        ],
+        org_dim,
+    )
+    return items.select(
+        "identifier",
+        F.col("stableTargetId").alias("stable_target_id"),
+        F.col("hadPrimarySource").alias("had_primary_source"),
+        F.col("identifierInPrimarySource").alias("identifier_in_primary_source"),
+        "title_text",
+        "org_id",
     )
 
 

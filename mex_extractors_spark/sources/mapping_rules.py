@@ -37,9 +37,29 @@ def load_rules(path: str) -> dict:
         return yaml.safe_load(fh)
 
 
+def _lit_value(v) -> Column:
+    """setValues literal → Column: scalars, Text-shaped dicts
+    ({value, language} — seq_repo mapping defaults consumed at
+    seq_repo/transform.py:93-118), and lists of either (theme/keyword
+    vocab lists, transform.py:49 ``setValues`` list indexing)."""
+    if isinstance(v, dict):
+        keys = ("value", "language") if set(v) <= {"value", "language"} else sorted(v)
+        return F.struct(
+            *[F.lit(v.get(k)).cast("string").alias(k) for k in keys]
+        )
+    if isinstance(v, list):
+        return F.array(*[_lit_value(x) for x in v])
+    return F.lit(v)
+
+
 def compile_field(rules: list[dict], source_col: str | None) -> Column:
-    """Compile one field's rule list into a single expression."""
-    mapping: dict[str, str] = {}
+    """Compile one field's rule list into a single expression.
+
+    ``setValues`` may be a scalar, a Text object ({value, language}),
+    or a list of either — matching the reference's mapping models. All
+    rules of one field must use one consistent shape (the reference's
+    Pydantic mapping models enforce the same)."""
+    mapping: dict[str, object] = {}
     default = None
     for rule in rules:
         set_values = rule.get("setValues")
@@ -51,10 +71,13 @@ def compile_field(rules: list[dict], source_col: str | None) -> Column:
             default = set_values
     expr = None
     if mapping and source_col is not None:
-        lookup = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        lookup = F.create_map(
+            *[x for k, sv in mapping.items() for x in (F.lit(k), _lit_value(sv))]
+        )
         expr = lookup[F.col(source_col)]
     if default is not None:
-        expr = F.coalesce(expr, F.lit(default)) if expr is not None else F.lit(default)
+        d = _lit_value(default)
+        expr = F.coalesce(expr, d) if expr is not None else d
     return expr if expr is not None else F.lit(None).cast("string")
 
 

@@ -76,13 +76,23 @@ def run_one(cores: int, events_dir: str, num_buckets: int) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="profile_out_", dir=BENCH_TMP)
     try:
-        out["C_plus_parquet_write"] = best_of(
-            2,
-            lambda: merged().write.mode("overwrite").partitionBy("_bucket").parquet(tmp),
-        )
+        # profile the SHIPPED write path (bucketBy/saveAsTable via
+        # LakeTable._write_bucketed), not the legacy partitionBy write —
+        # phase C must measure what apply_batch actually does
+        from mex_extractors_spark.lake.table import LakeTable
+
+        prof_table = LakeTable(tmp, num_buckets=num_buckets)
+        bucketed_out = os.path.join(tmp, "data_phase_c")
+
+        def _write_shipped():
+            prof_table._write_bucketed(spark, merged().drop("_bucket"), bucketed_out)
+
+        out["C_plus_parquet_write"] = best_of(2, _write_shipped)
 
         def readback():
-            w = spark.read.parquet(tmp)
+            w = spark.read.parquet(bucketed_out).withColumn(
+                "_bucket", F.pmod(F.hash("repo", "path"), F.lit(num_buckets))
+            )
             canonical = F.to_json(
                 F.struct(*sorted(c for c in w.columns if c != "_bucket"))
             )

@@ -46,6 +46,14 @@ def main() -> None:
         "--no-normalize", action="store_true",
         help="skip the normalize stage (events already in the common schema)",
     )
+    ap.add_argument(
+        "--fixed-schema", action="store_true",
+        help="read every segment with segment 0's schema: identical plans "
+        "=> whole-stage codegen compiles once for the whole replay. Only "
+        "safe when the stream schema is fixed — columns added in later "
+        "segments would be dropped at scan time. Default: infer per "
+        "segment so schema evolution flows through.",
+    )
     args = ap.parse_args()
 
     # configuration comes from spark-submit; only engine invariants here
@@ -75,7 +83,7 @@ def main() -> None:
         metrics=MetricsLog(args.metrics) if args.metrics else None,
         normalize=None if args.no_normalize else normalize_change_events,
     )
-    schema = spark.read.parquet(segments[0][1]).schema
+    schema = spark.read.parquet(segments[0][1]).schema if args.fixed_schema else None
     t0 = time.monotonic()
     stats = engine.replay_files(
         spark, [(f"segment:{i}", [p]) for i, p in segments], schema=schema

@@ -169,6 +169,34 @@ def test_compile_field_no_rules():
     assert c is not None
 
 
+def test_mapping_rules_list_and_text_set_values(spark):
+    # seq_repo mapping defaults set vocab LISTS (theme/keyword,
+    # seq_repo/transform.py:49,118) and Text objects (description)
+    doc = {
+        "fields": {
+            "theme": {
+                "fieldInPrimarySource": "src",
+                "mappingRules": [
+                    {"forValues": ["A"], "setValues": ["t-1", "t-2"]},
+                    {"setValues": ["t-default"]},
+                ],
+            },
+            "description": {
+                "mappingRules": [
+                    {"setValues": [{"value": "Beschreibung", "language": "de"}]}
+                ]
+            },
+        }
+    }
+    df = spark.createDataFrame([("A",), ("Z",)], ["src"])
+    out = apply_mapping(df, doc).collect()
+    assert [r.theme for r in out] == [["t-1", "t-2"], ["t-default"]]
+    for r in out:
+        assert len(r.description) == 1
+        assert r.description[0].value == "Beschreibung"
+        assert r.description[0].language == "de"
+
+
 def test_normalize_raw_events(spark):
     raw = spark.createDataFrame(
         [("r1", "p1", "c1", "py", "body", "7", "i")],
