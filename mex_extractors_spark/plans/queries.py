@@ -6,9 +6,11 @@ sides (the driver hash-compares values after sorting columns by name).
 Money aggregates use exact integer cents (no float-sum drift); float
 outputs are rounded.
 
-Entries with ``oracle=None`` are genuinely non-SQL-expressible (engine-
-specific hashing, approximate algorithms, pandas UDFs) and get the
-driver's weaker rows-only check.
+Every entry has an oracle — including the approximate (LSH/simhash/
+IVF) operators: their "randomness" (hyperplanes, hash values, centroid
+samples) is derived driver-side from md5 and embedded as literals into
+BOTH the Spark plan and the generated SQL, so even approximate results
+are exactly reproducible in DuckDB.
 """
 
 from __future__ import annotations
@@ -855,6 +857,100 @@ def u34_array_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.array_except("prios", allowed))).alias(
             "denied"
         ),
+    )
+
+
+@q(
+    "a4_first_of_group",
+    "A4 deterministic first-of-group via min_by (partial-agg friendly, "
+    "no row_number shuffle-sort)",
+    """
+    SELECT user_id, event_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+    """,
+)
+def a4_first_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.aggregates import first_of_group
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return first_of_group(ev, ["user_id"], "event_id")
+
+
+@q(
+    "f9_deny_list_filter",
+    "F1/F9 global deny-list filter: drop rows where ANY array element "
+    "matches ANY deny pattern (one folded regex alternation)",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(prios), ',') AS prios
+    FROM (SELECT o_custkey, list_distinct(list(o_orderpriority)) AS prios
+          FROM orders GROUP BY o_custkey)
+    WHERE len(list_filter(prios, p -> regexp_matches(p, 'URGENT|2-HIGH'))) = 0
+    """,
+)
+def f9_deny_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.filters import deny_list_filter
+
+    o = _t(spark, sf_dir, "orders")
+    sets = o.groupBy("o_custkey").agg(
+        F.array_distinct(F.collect_list("o_orderpriority")).alias("prios")
+    )
+    kept = deny_list_filter(sets, "prios", ["URGENT", "2-HIGH"])
+    return kept.select(
+        "o_custkey", F.concat_ws(",", F.array_sort("prios")).alias("prios")
+    )
+
+
+@q(
+    "f10_subtree_filter",
+    "F10 org-unit subtree membership (iterative broadcast BFS; oracle "
+    "is the equivalent recursive CTE): custkey hierarchy parent = "
+    "custkey/10",
+    """
+    WITH RECURSIVE sub AS (
+      SELECT CAST(1 AS BIGINT) AS unit_id
+      UNION ALL
+      SELECT c.c_custkey FROM customer c
+      JOIN sub s ON CAST(c.c_custkey // 10 AS BIGINT) = s.unit_id
+      WHERE c.c_custkey >= 10
+    )
+    SELECT DISTINCT unit_id FROM sub
+    """,
+)
+def f10_subtree_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.filters import subtree_members
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").cast("long").alias("unit_id"),
+        F.when(
+            F.col("c_custkey") >= 10, F.floor(F.col("c_custkey") / 10).cast("long")
+        ).alias("parent_unit_id"),
+    )
+    return subtree_members(edges, [1], id_col="unit_id", parent_col="parent_unit_id")
+
+
+@q(
+    "t5_tumbling_window_counts",
+    "T5 tumbling event-time window counts (watermarked on a stream; "
+    "identical plan as a grouped agg on a static frame)",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.streaming.windows import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    win = tumbling_counts(ev, ts_col="ts", key_col="event_type", window="1 hour")
+    return win.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
     )
 
 
