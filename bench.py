@@ -62,9 +62,13 @@ BENCH_QUERIES = [
     "d1_exact_duplicates",
     "d2_ngram_jaccard",
     "d3_minhash_lsh_neardup",
+    "d4_simhash_neardup",
     "sim1_cosine_topk",
+    "j7_reference_rewrite",
+    "n2_multi_source_union",
     "t2_quality_scores",
     "t4_fingerprint",
+    "t5_tumbling_window_counts",
 ]
 
 
