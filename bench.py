@@ -458,12 +458,21 @@ def main() -> None:
         }
         headline = effs.get("1->4") or next(iter(effs.values()), None)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # hand-written appendix sections survive regeneration
+        appendix = ""
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as fh:
+                old = fh.read()
+            idx = old.find("\n## Appendix")
+            if idx != -1:
+                appendix = old[idx:]
+        with open(baseline_path, "w") as fh:
             fh.write(
                 "# BENCH baseline — CDC replay scaling evidence\n\n"
                 "Same job (deterministic synthetic change stream → converged\n"
                 "copy-on-write lake table, exactly-once idempotent commits,\n"
-                "read-back sha manifest) at several parallelism levels on the\n"
+                "per-bucket sha manifest observed during the write) at several parallelism levels on the\n"
                 "SAME pre-generated input segments — the sandbox stand-in for\n"
                 "N vs 4N executors (north rule: scaling efficiency ≥ 0.8).\n\n"
                 "Methodology (single 32-vCPU shared microVM):\n"
@@ -506,6 +515,7 @@ def main() -> None:
                 + f"\nHeadline (first under-saturation pair): **{headline}**\n"
                 + f"\nfinal table rows: {best[core_list[0]]['final_rows']:,}"
                 " (identical at every parallelism level)\n"
+                + appendix
             )
         print(json.dumps({"scaling_efficiency": headline, "pairs": effs,
                           "best": {str(k): {kk: v[kk] for kk in ("seconds", "events_per_sec")}
