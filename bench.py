@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "d3_minhash_lsh_neardup",
     "d4_simhash_neardup",
     "sim1_cosine_topk",
+    "m1_multimodal_features",
     "j7_reference_rewrite",
     "n2_multi_source_union",
     "t2_quality_scores",

@@ -954,6 +954,86 @@ def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m1_oracle(dim: int = 8) -> str:
+    feats = ",\n           ".join(
+        f"round(('0x' || substr(sha256(hexp || kind), {1 + 2 * i}, 2))::INT / 255.0, 6) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             sha256(text) AS hexp
+      FROM documents
+    )
+    SELECT media_id, kind, sha256(hexp) AS payload_sha256,
+           {feats}
+    FROM m
+    """
+
+
+@q(
+    "m1_multimodal_features",
+    "multimodal columns: opaque binary payload + Arrow-batched "
+    "mapInPandas feature extraction (operators/multimodal.py). The "
+    "deterministic stub decoder is sha256-based, so the ENTIRE "
+    "plumbing — binary column, batch shapes, vectorized decode — is "
+    "oracle-checked end-to-end; a real codec swaps in without "
+    "touching the plan",
+    _m1_oracle(),
+)
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        # payload = utf8 bytes of the text's hex digest: opaque binary
+        # for the engine, reproducible for the oracle
+        F.encode(F.sha2("text", 256), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+@q(
+    "m2_frame_sample_plan",
+    "video frame-sampling fan-out: rows multiply (sequence+explode) "
+    "BEFORE the heavy decode so Spark can rebalance the frame work",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, (doc_id % 5) * 1000 + 1000, 1000)) AS frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def m2_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        ((F.col("doc_id") % 5) * 1000 + 1000).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
 # ------------------------------------------------- J7 publisher rewrite
 
 
