@@ -56,6 +56,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------- minhash
 
 
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(_id, _s): one row per character-k-gram POSITION (duplicates
+    included). Explode the position sequence, then take the substring as
+    an ordinary projected expression — both stay in whole-stage codegen,
+    ~5× faster than building the shingle array with transform() (higher-
+    order functions are interpreted per element). The repartition on
+    ``_id`` fans a few big input files out across all cores AND pre-
+    aligns the downstream per-doc groupBy so Catalyst inserts no second
+    exchange."""
+    spark = df.sparkSession
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(parallelism, F.col("_id"))
+        .select(
+            "_id",
+            "_text",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_text") - F.lit(k - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select("_id", F.substring(F.col("_text"), F.col("_i"), F.lit(k)).alias("_s"))
+    )
+
+
 def minhash_signature(text_col: str | Column, num_hashes: int = 16, k: int = 5) -> Column:
     """MinHash signature (array<bigint>) over character k-gram shingles.
     Hash family i = xxhash64(i, shingle) — deterministic, seedable."""
@@ -85,17 +114,9 @@ def minhash_signatures(
     shingle-array expression into every hash family, and HOF lambdas are
     interpreted per element.
     """
-    # shuffle BEFORE the heavy shingle/hash work: repartition by the
-    # grouping key so (a) a few big input files still fan out across all
-    # cores and (b) the groupBy below reuses the partitioning — Catalyst
-    # inserts no second exchange, so it is still exactly one shuffle
-    spark = df.sparkSession
-    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ex = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col))
-        .repartition(parallelism, F.col("_id"))
-        .select("_id", F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("_s"))
-    )
+    # min over duplicate shingles == min over the distinct set, so the
+    # positional explode needs NO per-doc dedup before the aggregate
+    ex = _exploded_shingles(df, text_col, id_col, k)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -157,8 +178,10 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set jaccard ≥ threshold."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    sets_df = df.select(
-        F.col(id_col).alias("_id"), F.array_distinct(shingles(F.col(text_col), k)).alias("_sh")
+    sets_df = (
+        _exploded_shingles(df, text_col, id_col, k)
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sh"))
     )
     joined = (
         cands.join(sets_df.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
@@ -327,31 +350,40 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact jaccard over distinct k-gram sets for every pair sharing at
-    least one (non-stop) shingle. ``max_shingle_df`` drops shingles that
-    occur in more than N docs — the classic guard that keeps the
-    explode-join linear in corpus size instead of quadratic."""
-    spark = df.sparkSession
-    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    least one (non-stop) shingle, via an INVERTED INDEX: group doc
+    postings per shingle, emit each posting list's id pairs, count
+    shared shingles per pair. Two shuffles total (postings, pair agg) —
+    no self-join, and the ``max_shingle_df`` stop-shingle guard is a
+    free ``size(postings)`` filter instead of a separate document-
+    frequency job + anti-join. The guard is ALSO the memory bound: a
+    posting list never exceeds max_shingle_df entries, so the per-group
+    pair fan-out is ≤ C(max_df, 2) regardless of corpus size."""
+    # per-doc distinct via collect_set — rides the _exploded_shingles
+    # repartition(_id), so this aggregate plans NO exchange of its own
     sets_df = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col))
-        .repartition(parallelism, F.col("_id"))  # fan out big input files
-        .select(
-            "_id", F.array_distinct(shingles(F.col(text_col), k)).alias("_sh")
-        )
-        .persist()
+        _exploded_shingles(df, text_col, id_col, k)
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sh"))
     )
     exploded = sets_df.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    postings = (
+        exploded.groupBy("_s")
+        .agg(F.collect_list(F.struct("_id", "_n")).alias("_docs"))
+        .where(F.size("_docs") >= 2)
+    )
     if max_shingle_df is not None:
-        hot = exploded.groupBy("_s").count().where(F.col("count") > max_shingle_df)
-        exploded = exploded.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
-    l, r = exploded.alias("l"), exploded.alias("r")
+        postings = postings.where(F.size("_docs") <= max_shingle_df)
+    # pair fan-out: double explode + a<b filter stays in whole-stage
+    # codegen (no HOF lambdas — those are interpreted row-at-a-time)
     shared = (
-        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        postings.select(F.explode("_docs").alias("_a"), "_docs")
+        .select("_a", F.explode("_docs").alias("_b"))
+        .where(F.col("_a._id") < F.col("_b._id"))
         .groupBy(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._n").alias("_na"),
-            F.col("r._n").alias("_nb"),
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._n").alias("_na"),
+            F.col("_b._n").alias("_nb"),
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
