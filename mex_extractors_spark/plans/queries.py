@@ -1561,6 +1561,193 @@ def a9_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- paginated / scrape / sinks
+
+
+@q(
+    "s9_paginated_scan",
+    "S9/S12 paginated bearer-token REST scan: count-probe then parallel "
+    "page fan-out through mapInPandas, constant-interval retry on "
+    "rate-limit (open_data/connector.py:29-72, blueant/connector.py:13-45)",
+    """
+    SELECT CAST(i AS BIGINT) AS id,
+           'rec-' || CAST(i AS VARCHAR) AS title,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4) AS INT) AS INT) AS value,
+           CAST(i % 7 AS BIGINT) AS grp
+    FROM range(403) t(i)
+    """,
+)
+def s9_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.paginated import (
+        EXPECTED_TOKEN,
+        RECORD_SCHEMA,
+        paginated_scan,
+        synthetic_api_fetch,
+        synthetic_api_total,
+    )
+
+    conf = {"bearer_token": EXPECTED_TOKEN, "page_size": 25, "n_records": 403}
+    total = synthetic_api_total(conf)  # the size=1 count probe
+    return paginated_scan(
+        spark, synthetic_api_fetch, conf, RECORD_SCHEMA,
+        total_records=total, page_size=25,
+    )
+
+
+@q(
+    "s10_child_page_scan",
+    "S10 until-empty child-page scan: O(log n) geometric page-count probe "
+    "replaces the serial until-empty loop, then a second per-parent "
+    "detail fan-out (confluence_vvt/extract.py:20-76)",
+    """
+    SELECT CAST(p AS BIGINT) AS parent_id,
+           CAST(p * 10 + j AS BIGINT) AS child_id,
+           md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS payload
+    FROM range(137) t(p), range(1, 4) u(j)
+    WHERE j <= p % 4
+    """,
+)
+def s10_child_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.paginated import (
+        CHILD_SCHEMA,
+        EXPECTED_TOKEN,
+        child_page_scan,
+        paginated_scan,
+        synthetic_child_fetch,
+        synthetic_parent_ids,
+    )
+
+    conf = {"bearer_token": EXPECTED_TOKEN, "page_size": 100, "n_parents": 137}
+    parents = paginated_scan(
+        spark, synthetic_parent_ids, conf, "parent_id long", total_records=None
+    )
+    return child_page_scan(parents, synthetic_child_fetch, conf, CHILD_SCHEMA)
+
+
+@q(
+    "s11_html_scrape",
+    "S11 HTML scrape as codegen'd expressions: index-page href harvest → "
+    "per-item field-table parse, zero Python in the loop "
+    "(datscha_web/connector.py:18-50, extract.py:18-31)",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS item_id,
+           n_name AS name,
+           CAST(n_regionkey AS INT) AS region
+    FROM nation
+    """,
+)
+def s11_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.functions.html import (
+        extract_field,
+        extract_item_urls,
+        url_item_id,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    # synthesize the pages the reference would fetch: one index page with
+    # one href per item, one field-table page per item
+    index_html = nation.agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.concat(
+                        F.lit('<a href="item_show.php?id='),
+                        F.col("n_nationkey").cast("string"),
+                        F.lit('">x</a>'),
+                    )
+                )
+            ),
+        ).alias("html")
+    )
+    urls = index_html.select(
+        F.explode(extract_item_urls("html")).alias("url")
+    ).select(url_item_id("url").alias("item_id"))
+    pages = nation.select(
+        F.col("n_nationkey").cast("long").alias("item_id"),
+        F.concat(
+            F.lit('<table><td id="name">'), F.col("n_name"),
+            F.lit('</td><td id="region">'), F.col("n_regionkey").cast("string"),
+            F.lit("</td></table>"),
+        ).alias("page_html"),
+    )
+    return urls.join(pages, "item_id").select(
+        "item_id",
+        extract_field("page_html", "name").alias("name"),
+        extract_field("page_html", "region").cast("int").alias("region"),
+    )
+
+
+@q(
+    "k3_group_reports",
+    "K3 per-group report sink: groupBy(group).applyInPandas renders and "
+    "writes each group's file on the executor; only a (file_name, n_rows, "
+    "sha256) manifest returns (sinks/s3.py:136-193)",
+    """
+    WITH body AS (
+      SELECT n_regionkey AS grp,
+             count(*) AS n_rows,
+             'name,region' || chr(10) ||
+             string_agg(n_name || ',' || CAST(n_regionkey AS VARCHAR),
+                        chr(10) ORDER BY n_name) AS content
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT 'nation_' || CAST(grp AS VARCHAR) || '.csv' AS file_name,
+           n_rows, sha256(content) AS content_sha256
+    FROM body
+    """,
+)
+def k3_group_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from mex_extractors_spark.sinks.report import write_group_reports
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"k3_reports_{tag}")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("region"),
+    )
+    return write_group_reports(
+        nation, out_dir, group_col="region", entity_name="nation",
+        row_cols=["name", "region"], order_col="name",
+    )
+
+
+@q(
+    "k6_consent_emails",
+    "K6 consent-email sink transform: in-domain address filter → "
+    "array_join To: field → template fill, all codegen'd expressions "
+    "(consent_mailer/transform.py:15-61)",
+    """
+    SELECT lower(replace(c_name, '#', '-')) || '@rki.de' AS to_field,
+           'Your consent is required' AS subject,
+           'Dear ' || c_name || ', please confirm your consent to be listed.'
+             AS body
+    FROM customer WHERE c_custkey % 3 <> 0
+    """,
+)
+def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sinks.mailer import consent_emails
+
+    slug = F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("-")))
+    persons = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.array(
+            F.concat(slug, F.lit("@example.org")),
+            F.concat(
+                slug,
+                F.when(F.col("c_custkey") % 3 == 0, F.lit("@other.de")).otherwise(
+                    F.lit("@rki.de")
+                ),
+            ),
+        ).alias("emails"),
+    )
+    return consent_emails(persons)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

@@ -1,0 +1,91 @@
+"""Per-group report export — the S3 XLSX sink shape (SURVEY.md §2.2 K3).
+
+The reference collects all items of one entity/unit into pandas and
+uploads one XLSX per group to S3 (sinks/s3.py:136-193, file name
+``{Entity}_{primary_source}_{unit}.xlsx``). Cluster shape: the group
+is the unit of work, so ``groupBy(group).applyInPandas`` renders and
+writes each group's file ON THE EXECUTOR (to shared storage — a local
+directory stands in for the S3 bucket here) and only a one-row
+manifest (file name, row count, content sha256) returns to the plan.
+Nothing is collected to the driver; a skewed group costs one task,
+not the job.
+
+XLSX needs openpyxl, which this container lacks — the writer falls
+back to CSV bytes with the same naming and manifest contract, and the
+``to_excel`` branch activates when openpyxl is importable (same
+pattern as the reference's pandas ExcelWriter usage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MANIFEST_SCHEMA = "file_name string, n_rows long, content_sha256 string"
+
+
+def _safe(name: object) -> str:
+    return re.sub(r"\s+", "", str(name))
+
+
+def render_csv_bytes(pdf: pd.DataFrame, row_cols: Sequence[str], order_col: str) -> bytes:
+    """Canonical CSV rendering: fixed column order, rows sorted by
+    ``order_col`` — byte-stable across partitionings, so the manifest
+    sha256 is deterministic (and expressible as a SQL oracle)."""
+    body = pdf.sort_values(order_col)[list(row_cols)]
+    lines = [",".join(row_cols)]
+    lines += [",".join(str(v) for v in row) for row in body.itertuples(index=False)]
+    return "\n".join(lines).encode("utf-8")
+
+
+def write_group_reports(
+    df: DataFrame,
+    out_dir: str,
+    group_col: str,
+    entity_name: str,
+    row_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """One report file per ``group_col`` value; returns the manifest
+    DataFrame (file_name, n_rows, content_sha256)."""
+    os.makedirs(out_dir, exist_ok=True)
+    row_cols = list(row_cols)
+
+    try:  # pragma: no cover - container has no openpyxl
+        import openpyxl  # noqa: F401
+
+        use_xlsx = True
+    except ImportError:
+        use_xlsx = False
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = pdf[group_col].iloc[0]
+        if use_xlsx:  # pragma: no cover - exercised only with openpyxl
+            file_name = f"{entity_name}_{_safe(group)}.xlsx"
+            body = pdf.sort_values(order_col)[row_cols]
+            body.to_excel(os.path.join(out_dir, file_name), index=False)
+            payload = open(os.path.join(out_dir, file_name), "rb").read()
+        else:
+            file_name = f"{entity_name}_{_safe(group)}.csv"
+            payload = render_csv_bytes(pdf, row_cols, order_col)
+            with open(os.path.join(out_dir, file_name), "wb") as fh:
+                fh.write(payload)
+        return pd.DataFrame(
+            {
+                "file_name": [file_name],
+                "n_rows": [len(pdf)],
+                "content_sha256": [hashlib.sha256(payload).hexdigest()],
+            }
+        )
+
+    cols = list(dict.fromkeys([group_col, *row_cols]))  # group may be a row col
+    return (
+        df.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(render, MANIFEST_SCHEMA)
+    )

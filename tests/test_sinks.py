@@ -1,0 +1,106 @@
+"""Reporting sinks (K3 per-group export, K6 consent mailer) and the
+S11 HTML scrape expressions (reference: sinks/s3.py:136-193,
+consent_mailer/transform.py:15-61, datscha_web/extract.py:18-31)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.functions.html import (
+    extract_field,
+    extract_item_urls,
+    url_item_id,
+)
+from mex_extractors_spark.sinks.mailer import consent_emails, write_outbox
+from mex_extractors_spark.sinks.report import render_csv_bytes, write_group_reports
+
+
+def test_group_reports_write_files_and_manifest(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("b", 1, 20), ("a", 1, 10), ("c", 2, 30)], "name string, grp int, v int"
+    )
+    out = str(tmp_path / "reports")
+    manifest = {
+        r.file_name: r
+        for r in write_group_reports(
+            df, out, group_col="grp", entity_name="item",
+            row_cols=["name", "v"], order_col="name",
+        ).collect()
+    }
+    assert set(manifest) == {"item_1.csv", "item_2.csv"}
+    assert manifest["item_1.csv"].n_rows == 2
+    payload = open(os.path.join(out, "item_1.csv"), "rb").read()
+    # rows sorted by order_col, header first — byte-stable rendering
+    assert payload == b"name,v\na,10\nb,20"
+    assert manifest["item_1.csv"].content_sha256 == hashlib.sha256(payload).hexdigest()
+
+
+def test_render_csv_bytes_partition_order_invariant():
+    import pandas as pd
+
+    a = pd.DataFrame({"name": ["z", "a"], "v": [1, 2]})
+    b = pd.DataFrame({"name": ["a", "z"], "v": [2, 1]})
+    assert render_csv_bytes(a, ["name", "v"], "name") == render_csv_bytes(
+        b, ["name", "v"], "name"
+    )
+
+
+def test_consent_emails_filters_and_fills(spark):
+    persons = spark.createDataFrame(
+        [
+            ("Ada", ["ada@rki.de", "ada@gmail.com"]),
+            ("Bob", ["bob@gmail.com"]),  # no in-domain address → dropped
+            ("Eve", ["e1@rki.de", "e2@rki.de"]),
+        ],
+        "name string, emails array<string>",
+    )
+    got = {r.to_field: r for r in consent_emails(persons).collect()}
+    assert set(got) == {"ada@rki.de", "e1@rki.de; e2@rki.de"}
+    assert got["ada@rki.de"].body == (
+        "Dear Ada, please confirm your consent to be listed."
+    )
+    assert got["ada@rki.de"].subject == "Your consent is required"
+
+
+def test_write_outbox_spools_all_messages(spark, tmp_path):
+    persons = spark.createDataFrame(
+        [(f"P{i}", [f"p{i}@rki.de"]) for i in range(10)],
+        "name string, emails array<string>",
+    )
+    out = str(tmp_path / "outbox")
+    manifest = write_outbox(consent_emails(persons), out).collect()
+    assert sum(r.n_messages for r in manifest) == 10
+    for r in manifest:
+        payload = open(os.path.join(out, r.file_name), "rb").read()
+        assert hashlib.sha256(payload).hexdigest() == r.content_sha256
+        assert payload.count(b"From: ") == r.n_messages
+
+
+def test_html_scrape_expressions(spark):
+    page = (
+        '<a href="item_show.php?id=7">x</a><a href="other.php?id=9">y</a>'
+        '<td id="name">Alpha Beta</td><td id="missing"></td>'
+    )
+    row = (
+        spark.range(1)
+        .select(F.lit(page).alias("html"))
+        .select(
+            extract_item_urls("html").alias("urls"),
+            extract_field("html", "name").alias("name"),
+            extract_field("html", "missing").alias("missing"),
+            extract_field("html", "absent").alias("absent"),
+        )
+        .first()
+    )
+    assert row.urls == ["item_show.php?id=7", "other.php?id=9"]
+    assert row.name == "Alpha Beta"
+    assert row.missing == "" and row.absent == ""
+    ids = (
+        spark.createDataFrame([(u,) for u in row.urls], "url string")
+        .select(url_item_id("url").alias("i"))
+        .collect()
+    )
+    assert [r.i for r in ids] == [7, 9]
