@@ -170,6 +170,76 @@ def ivf_assignments(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF with trained centroids: Lloyd's k-means over the embedding
+    column, the missing refinement step on top of ``ivf_assignments``.
+
+    Per iteration: assign every vector to its nearest centroid
+    (broadcast argmin — centroids are k×dim doubles, tiny), then
+    recompute each centroid as the element-wise mean of its members via
+    ``dim`` codegen'd ``avg`` aggregates in ONE groupBy — a single
+    shuffle of k·dim partial sums per executor, the classic MLlib
+    k-means shape. The k centroid rows come back to the driver between
+    iterations (sanctioned tiny-metadata collect, exactly what MLlib's
+    runs do); the big table is scanned once per iteration and never
+    shuffled on its own keys.
+
+    Init is the same deterministic md5-sample as ``ivf_assignments`` so
+    an external oracle can replay every iteration in closed form.
+    Returns the final (id, centroid_id, l2_dist) assignment; clusters
+    that lose all members drop out (their id never reappears), matching
+    the grouped recompute.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    data = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    dim_probe = data.select(F.size("_v").alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+
+    seed_rows = (
+        data.orderBy(F.md5(F.col("_id").cast("string")))
+        .limit(num_centroids)
+        .collect()
+    )
+    centroids: list[tuple] = [(r["_id"], list(r["_v"])) for r in seed_rows]
+
+    def _assign(cent: list[tuple]) -> DataFrame:
+        spark = df.sparkSession
+        cent_df = spark.createDataFrame(cent, "_cid long, _cvec array<double>")
+        l2sq = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        scored = data.crossJoin(F.broadcast(cent_df)).select(
+            "_id", "_v", "_cid", F.sqrt(l2sq).alias("_l2")
+        )
+        return scored.groupBy("_id").agg(
+            F.min_by(F.struct("_cid", "_v", "_l2"), F.struct("_l2", "_cid")).alias("_w")
+        ).select("_id", F.col("_w._v").alias("_v"), F.col("_w._cid").alias("_cid"),
+                 F.col("_w._l2").alias("_l2"))
+
+    for _ in range(iterations):
+        assigned = _assign(centroids)
+        new_cent = (
+            assigned.groupBy("_cid")
+            .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_cvec"))
+            .collect()
+        )
+        centroids = sorted((r["_cid"], list(r["_cvec"])) for r in new_cent)
+
+    return _assign(centroids).select(
+        F.col("_id").alias(id_col),
+        F.col("_cid").alias("centroid_id"),
+        F.round("_l2", 6).alias("l2_dist"),
+    )
+
+
 def pairwise_cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -187,6 +187,51 @@ def _sim3_oracle(num_centroids: int) -> str:
     """
 
 
+def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
+    """Lloyd's k-means unrolled: iterations is a compile-time constant,
+    so each assign+recompute round is one more CTE pair — no recursion
+    needed. Mirrors kmeans_refine bit-for-bit (same md5 seed sample,
+    same (x-y)*(x-y) fold, same lost-cluster semantics)."""
+    l2 = (
+        "sqrt(list_sum([((e.embedding::DOUBLE[])[i] - c.cvec[i]) * "
+        "((e.embedding::DOUBLE[])[i] - c.cvec[i]) "
+        "for i in generate_series(1, len(c.cvec))]))"
+    )
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid, {l2} AS l2
+        FROM embeddings e CROSS JOIN {cent} c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) = 1
+    )"""
+
+    def recompute(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+        SELECT cid, i AS pos, avg(v[i]) AS val
+        FROM {assigned}, generate_series(1, {dim}) t(i) GROUP BY cid, i)
+      GROUP BY cid
+    )"""
+
+    ctes = [
+        f"""cent0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+    )"""
+    ]
+    for it in range(iterations):
+        ctes.append(assign(f"cent{it}", f"a{it + 1}"))
+        ctes.append(recompute(f"a{it + 1}", f"cent{it + 1}"))
+    final = f"""
+    SELECT vec_id, cid AS centroid_id, round(l2, 6) AS l2_dist FROM (
+      SELECT e.vec_id, c.cid, {l2} AS l2
+      FROM embeddings e CROSS JOIN cent{iterations} c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) = 1
+    """
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
 _BASE62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
 
@@ -1413,6 +1458,18 @@ def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim3_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_assignments(e, num_centroids=8)
+
+
+@q(
+    "sim4_kmeans_refine",
+    "IVF with TRAINED centroids: distributed Lloyd's k-means (assign via "
+    "broadcast argmin, recompute via dim codegen'd avg aggregates in one "
+    "groupBy — the MLlib shape); oracle unrolls both iterations as CTEs",
+    _sim4_oracle(num_centroids=8, iterations=2, dim=64),
+)
+def sim4_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_refine(e, num_centroids=8, iterations=2)
 
 
 # ---------------------------------------------------------- normalization

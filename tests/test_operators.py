@@ -295,6 +295,28 @@ def test_cosine_topk_and_lsh(spark):
     assert len(assign) == 4 and all(r.centroid_id is not None for r in assign)
 
 
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    # three tight, well-separated clusters; seeds land wherever md5 puts
+    # them — two Lloyd's iterations must still co-assign each cluster
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = [
+        (c * 100 + i, [v + 0.01 * ((i * 7 + d) % 5) for d, v in enumerate(base)])
+        for c, base in enumerate(centers)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.kmeans_refine(df, num_centroids=3, iterations=2).collect()
+    assert len(got) == 36
+    by_cluster: dict[int, set[int]] = {}
+    for r in got:
+        by_cluster.setdefault(r.centroid_id, set()).add(r.vec_id // 100)
+    # every final centroid serves exactly one planted cluster
+    assert all(len(planted) == 1 for planted in by_cluster.values())
+    assert len(by_cluster) == 3
+    # refined centroids sit near the cluster mean: distances are tiny
+    assert all(r.l2_dist < 0.1 for r in got)
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 30)
     feats = extract_features(media, dim=8)
