@@ -121,3 +121,50 @@ def fingerprint(col: str | Column, k: int = 8) -> Column:
     MinHash). Stable across engines — md5 is universal."""
     normalized = F.regexp_replace(F.lower(F.trim(_c(col))), "\\s+", " ")
     return F.array_min(F.transform(shingles(normalized, k), F.md5))
+
+
+def dup_token_fraction(col: str | Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token (0 for empty/all-distinct text). Pure
+    expression — ``1 - |distinct| / |tokens|``."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 6)
+    )
+
+
+def bigram_array(col: str | Column) -> Column:
+    """Adjacent word bigrams as 'w1 w2' strings (empty below 2 tokens).
+    Built from one split + a position ``transform`` — codegen-friendly,
+    no explode needed when the consumer only wants the array."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+
+
+def top_bigram_fraction(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher repetition signal: fraction of all bigram occurrences
+    taken by the single most frequent bigram, per document (0 when the
+    doc has <2 tokens). The mode is found by explode → count per
+    (doc, bigram) → max/sum per doc: two partial-aggregated shuffles
+    keyed by doc id, never a per-row interpreted fold — at corpus scale
+    this is the same plan shape as the shingle pipeline."""
+    pairs = df.select(
+        F.col(id_col), F.explode_outer(bigram_array(text_col)).alias("_bg")
+    )
+    counts = pairs.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    return counts.groupBy(id_col).agg(
+        F.when(
+            F.max(F.col("_bg").isNotNull().cast("int")) == 0, F.lit(0.0)
+        )
+        .otherwise(F.round(F.max("_c") / F.sum("_c"), 6))
+        .alias("top_bigram_fraction")
+    )

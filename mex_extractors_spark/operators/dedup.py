@@ -392,3 +392,67 @@ def ngram_jaccard_pairs(
         F.col("jaccard") >= threshold
     )
     return out
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    survivor-selection step after any pairwise dedup (d1-d5): every doc
+    gets a ``component_id`` = the smallest doc id reachable through
+    duplicate edges, so ``component_id == doc_id`` marks the canonical
+    survivor and everything else in the component is droppable.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels (one join + one
+    groupBy-min per round), stopping when a round changes nothing.
+    Rounds needed = graph diameter in label-hops — near-dup components
+    are small and dense in practice, so this converges in a handful of
+    rounds; each round's shuffle is sized by the EDGE list, never the
+    corpus squared.
+
+    Every round's frontier is truncated with an eager
+    ``localCheckpoint`` — the canonical iterative-plan pattern (what
+    GraphFrames does): a mere ``persist`` is not enough, because the
+    early-exit convergence probe (``limit(1)``) materializes only SOME
+    cached partitions and the next round then recomputes the missing
+    ones through the whole unpersisted lineage chain — exponential
+    recompute that OOMs after ~7 rounds even on a 12-vertex graph.
+
+    Singleton docs (no duplicate edges) keep their own id as the
+    component, so the output covers the full corpus.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
+        .unionByName(pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["_d"] == labels["_v"])
+            .groupBy("_s")
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_v"] == neighbor_min["_s"], "left")
+            .select("_v", F.least(F.col("_lbl"), F.col("_nlbl")).alias("_lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._v") == F.col("o._v"))
+            .where(F.col("n._lbl") != F.col("o._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels  # prior checkpoint blocks are GC-reclaimed
+        if changed == 0:
+            break
+    return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("component_id"))

@@ -74,10 +74,14 @@ def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _jaccard_pairs_oracle(k: int, threshold: float, max_shingle_df: int | None) -> str:
-    """Exact k-gram jaccard pair SQL, mirroring ngram_jaccard_pairs
-    semantics exactly: set size n = FULL distinct-shingle count, the
-    intersection counted only over non-stop shingles."""
+def _jaccard_pairs_parts(
+    k: int, threshold: float, max_shingle_df: int | None
+) -> tuple[str, str]:
+    """(cte_block, pair_select) for exact k-gram jaccard pairs,
+    mirroring ngram_jaccard_pairs semantics exactly: set size n = FULL
+    distinct-shingle count, the intersection counted only over non-stop
+    shingles. Split so _d6_oracle can reuse the block under WITH
+    RECURSIVE."""
     guard = (
         f"""
     , hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {max_shingle_df})
@@ -86,20 +90,51 @@ def _jaccard_pairs_oracle(k: int, threshold: float, max_shingle_df: int | None) 
         if max_shingle_df is not None
         else ", exf AS (SELECT * FROM ex)"
     )
-    return f"""
-    WITH sets AS (
+    ctes = f"""sets AS (
       SELECT doc_id,
              list_distinct([substr(text, i, {k})
                             for i in generate_series(1, greatest(length(text) - {k - 1}, 1))]) AS sh
       FROM documents
     ), ex AS (
       SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
-    ){guard}
+    ){guard}"""
+    select = f"""
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) AS jaccard
     FROM exf l JOIN exf r ON l.s = r.s AND l.doc_id < r.doc_id
     GROUP BY l.doc_id, r.doc_id
     HAVING round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) >= {threshold}
+    """
+    return ctes, select
+
+
+def _jaccard_pairs_oracle(k: int, threshold: float, max_shingle_df: int | None) -> str:
+    ctes, select = _jaccard_pairs_parts(k, threshold, max_shingle_df)
+    return f"WITH {ctes}{select}"
+
+
+def _d6_oracle(k: int, threshold: float, max_shingle_df: int | None) -> str:
+    """Connected components over the exact-jaccard pair graph via a
+    recursive transitive closure; component id = min reachable doc id
+    (self included), singleton docs map to themselves — mirroring
+    dedup_components' min-label-propagation fixpoint."""
+    ctes, select = _jaccard_pairs_parts(k, threshold, max_shingle_df)
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    step(v, u) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT step.v, e.d FROM step JOIN edges e ON step.u = e.s
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component_id
+    FROM documents d
+    LEFT JOIN (SELECT v, min(u) AS mn FROM step GROUP BY v) m ON d.doc_id = m.v
     """
 
 
@@ -1301,6 +1336,45 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint("text", k=8).alias("fp"))
 
 
+@q(
+    "t6_repetition_signals",
+    "Gopher-style repetition quality signals: duplicate-token fraction "
+    "(pure expression) + top-bigram occupancy (explode → two partial-"
+    "aggregated shuffles keyed by doc id, the shingle-pipeline shape)",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM base
+    ), bgc AS (
+      SELECT doc_id, b, count(*) AS c FROM (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                               for i in generate_series(1, n - 1)]) AS b
+        FROM sized WHERE n >= 2)
+      GROUP BY doc_id, b
+    ), top AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT sized.doc_id,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(t)) * 1.0 / n, 6)
+           END AS dup_token_fraction,
+           coalesce(top.f, 0.0) AS top_bigram_fraction
+    FROM sized LEFT JOIN top ON sized.doc_id = top.doc_id
+    """,
+)
+def t6_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    rep = d.select(
+        "doc_id", T.dup_token_fraction("text").alias("dup_token_fraction")
+    )
+    return rep.join(T.top_bigram_fraction(d), "doc_id")
+
+
 # -------------------------------------------------------------- dedup
 
 @q(
@@ -1330,6 +1404,21 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         d, text_col="text", id_col="doc_id", k=16, threshold=0.5, max_shingle_df=100
     )
+
+
+@q(
+    "d6_dedup_components",
+    "connected components over the near-dup pair graph (survivor "
+    "selection): iterative min-label propagation to fixpoint, edges "
+    "from the d2 jaccard pairs; oracle = recursive transitive closure",
+    _d6_oracle(k=16, threshold=0.5, max_shingle_df=100),
+)
+def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=16, threshold=0.5, max_shingle_df=100
+    )
+    return dedup.dedup_components(d, pairs)
 
 
 @q(

@@ -330,3 +330,50 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=1000)
     per_video = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in per_video)  # 0,1000,2000,3000
+
+
+def test_dedup_components_planted_graph(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    # components: {1,2,3} via chain 1-2, 2-3; {5,7}; singletons 4, 6, 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.dedup_components(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8}
+
+
+def test_dedup_components_long_chain_converges(spark):
+    n = 12  # diameter > a couple of rounds: 1-2-3-...-12
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    got = dedup.dedup_components(docs, pairs).collect()
+    assert all(r.component_id == 1 for r in got) and len(got) == n
+
+
+def test_repetition_signals(spark):
+    from mex_extractors_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # dup tokens 4/6; "a b" 3 of 5 bigrams
+            (2, "x y z"),            # all distinct
+            (3, ""),                 # degenerate
+            (4, "one"),              # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", T.dup_token_fraction("text").alias("d")
+        ).join(T.top_bigram_fraction(df), "doc_id").collect()
+    }
+    assert rep[1].d == round(1 - 2 / 6, 6) and rep[1].top_bigram_fraction == 0.6
+    assert rep[2].d == 0.0 and rep[2].top_bigram_fraction == round(1 / 2, 6)
+    assert rep[3].d == 0.0 and rep[3].top_bigram_fraction == 0.0
+    assert rep[4].d == 0.0 and rep[4].top_bigram_fraction == 0.0
