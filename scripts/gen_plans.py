@@ -144,6 +144,47 @@ def main() -> None:
         )
     )
 
+    # 6. k-means single-round shape: broadcast argmin + one tiny shuffle
+    from mex_extractors_spark.operators.similarity import kmeans_refine
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    sections.append(
+        (
+            "K-means round (sim4_kmeans_refine final assignment)",
+            "`BroadcastNestedLoopJoin`/`BroadcastExchange` of the k×dim "
+            "centroid literals against the corpus (the corpus side never "
+            "shuffles for the join); ONE `Exchange hashpartitioning(_id)` "
+            "for the argmin with `partial_min_by` below it — per-round cost "
+            "is a corpus scan plus k·dim partial sums per executor.",
+            formatted(kmeans_refine(emb, num_centroids=8, iterations=0)),
+        )
+    )
+
+    # 7. repetition-signal pipeline: two partial-aggregated shuffles
+    sections.append(
+        (
+            "Top-bigram occupancy (t6_repetition_signals)",
+            "Explode → `HashAggregate(keys=[doc_id, _bg], partial_count)` → "
+            "exchange on (doc_id,_bg) → final → second partial/final pair "
+            "keyed by doc_id: the mode is found with aggregation only, no "
+            "per-row interpreted fold and no self-join.",
+            formatted(REGISTRY["t6_repetition_signals"].fn(spark, SF)),
+        )
+    )
+
+    # 8. near-dup pair generation via inverted index (no self-join)
+    sections.append(
+        (
+            "N-gram jaccard pairs (d2_ngram_jaccard, inverted index)",
+            "Shingle explode feeds `collect_set` per doc riding ONE "
+            "repartition; postings built with a single exchange on the "
+            "shingle; pair fan-out is a double explode inside codegen with "
+            "the `size(_docs) <= max_df` stop-shingle guard as a plain "
+            "filter — no document self-join appears anywhere in the plan.",
+            formatted(REGISTRY["d2_ngram_jaccard"].fn(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence\n"]
     out.append(
         "Captured with `.explain('formatted')` on PySpark "
