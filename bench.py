@@ -63,12 +63,15 @@ BENCH_QUERIES = [
     "d2_ngram_jaccard",
     "d3_minhash_lsh_neardup",
     "d4_simhash_neardup",
+    "d6_dedup_components",
     "sim1_cosine_topk",
+    "sim4_kmeans_refine",
     "m1_multimodal_features",
     "j7_reference_rewrite",
     "n2_multi_source_union",
     "t2_quality_scores",
     "t4_fingerprint",
+    "t6_repetition_signals",
     "t5_tumbling_window_counts",
 ]
 
