@@ -139,6 +139,13 @@ class LakeTable:
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.ledger_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # storage wins over the constructor arg: the bucket function is a
+        # property of the files on disk (every merge/fence/write keys on
+        # it), so a reopened table adopts the committed layout — the arg
+        # only seeds brand-new tables (and rebucket() evolves it).
+        snap = self.current_snapshot()
+        if snap is not None and snap.get("num_buckets"):
+            self.num_buckets = int(snap["num_buckets"])
 
     # ------------------------------------------------------------- ledger
 
@@ -793,6 +800,261 @@ class LakeTable:
             or from_snap["buckets"].get(b, {}).get("checksum") != meta["checksum"]
         ]
         return self.read(spark, buckets=changed, version=to_snap["version"])
+
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots: one row per key whose
+        stored row differs, tagged ``_change_type`` in ``insert`` /
+        ``delete`` / ``update_postimage`` (Iceberg changelog scan /
+        Delta CDF shape). ``insert``/``update`` rows carry the state at
+        ``to_version`` (post-image), ``delete`` rows the last state the
+        key had at ``from_version``. A re-upsert that only advances
+        ``seq_col`` counts as an update — the stored row changed.
+
+        Scale shape: the manifest prunes the diff to buckets whose file
+        list or content checksum differs between the two snapshots, and
+        when both snapshots share the live bucket layout the two sides
+        are read as bucketed tables, so the key-equi FULL OUTER join is
+        storage-partitioned — neither snapshot's rows shuffle
+        (tests/test_lake.py::test_read_changes_is_shuffle_free). Across
+        a ``rebucket`` boundary the layouts are incomparable and the
+        diff falls back to a full shuffled join.
+
+        The returned DataFrame is lazy over scratch bucketed views; it
+        stays valid until the next ``apply_batch``/``rebucket`` on this
+        table clears the scratch area — collect it first.
+        """
+        to_snap = (
+            self.snapshot_at(to_version) if to_version is not None else self.current_snapshot()
+        )
+        from_snap = self.snapshot_at(from_version)
+        if to_snap is None or from_snap is None:
+            raise ValueError("both snapshot versions must be retained")
+
+        def _schema_of(snap: dict) -> StructType | None:
+            if not snap.get("schema_version"):
+                return None
+            return StructType.fromJson(snap["schemas"][str(snap["schema_version"])])
+
+        out_schema = _schema_of(to_snap) or _schema_of(from_snap)
+        if out_schema is None:  # both snapshots empty bootstrap states
+            return spark.createDataFrame(
+                [], StructType([])
+            ).withColumn("_change_type", F.lit(""))
+
+        same_layout = int(from_snap["num_buckets"]) == int(to_snap["num_buckets"])
+        changed: list[int] | None = None
+        if same_layout:
+            all_b = set(from_snap["buckets"]) | set(to_snap["buckets"])
+            changed = sorted(
+                int(b)
+                for b in all_b
+                if from_snap["buckets"].get(b, {}).get("files", [])
+                != to_snap["buckets"].get(b, {}).get("files", [])
+                or str(from_snap["buckets"].get(b, {}).get("checksum", "0"))
+                != str(to_snap["buckets"].get(b, {}).get("checksum", "0"))
+            )
+
+        def _compatible(snap: dict) -> bool:
+            versions = {
+                int(m["schema_version"])
+                for b, m in snap["buckets"].items()
+                if m["files"] and (changed is None or int(b) in set(changed))
+            }
+            return all(
+                _reader_compatible(
+                    StructType.fromJson(snap["schemas"][str(sv)]), out_schema
+                )
+                for sv in versions
+            )
+
+        fast = (
+            same_layout
+            and int(to_snap["num_buckets"]) == self.num_buckets
+            and _compatible(from_snap)
+            and _compatible(to_snap)
+        )
+        if fast:
+            wanted = changed if changed is not None else None
+            _vd_old, tbl_old = self._register_current_view(
+                spark, from_snap, wanted or [], out_schema
+            )
+            _vd_new, tbl_new = self._register_current_view(
+                spark, to_snap, wanted or [], out_schema
+            )
+            old_side, new_side = spark.table(tbl_old), spark.table(tbl_new)
+        else:
+            old_side = align_to_schema(
+                self.read(spark, buckets=changed, version=from_snap["version"]),
+                out_schema,
+            )
+            new_side = align_to_schema(
+                self.read(spark, buckets=changed, version=to_snap["version"]),
+                out_schema,
+            )
+
+        payload = [f.name for f in out_schema.fields if f.name not in self.key_cols]
+        o = old_side.select(
+            *self.key_cols, *[F.col(c).alias(f"__old__{c}") for c in payload]
+        ).withColumn("_in_old", F.lit(True))
+        n = new_side.withColumn("_in_new", F.lit(True))
+        in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+        in_new = F.coalesce(F.col("_in_new"), F.lit(False))
+        # order-canonical content hashes: field names aliased identically
+        # on both sides so to_json() compares payloads, not column names
+        new_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in sorted(payload)])))
+        old_hash = F.xxhash64(
+            F.to_json(F.struct(*[F.col(f"__old__{c}").alias(c) for c in sorted(payload)]))
+        )
+        change = (
+            F.when(~in_old, F.lit("insert"))
+            .when(~in_new, F.lit("delete"))
+            .when(new_hash != old_hash, F.lit("update_postimage"))
+        )
+        return (
+            n.join(o, on=list(self.key_cols), how="full_outer")
+            .withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *self.key_cols,
+                *[
+                    F.when(in_new, F.col(c)).otherwise(F.col(f"__old__{c}")).alias(c)
+                    for c in payload
+                ],
+                "_change_type",
+            )
+        )
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Bucket-layout evolution: rewrite the table into a different
+        bucket count and commit it as a snapshot (Iceberg partition-spec
+        evolution for the ``bucket(N, key)`` transform). The ONE rare
+        operation that shuffles the whole table — a table sized for 16
+        buckets at bootstrap needs hundreds once it holds 100 TB, and
+        every merge/fence/write keys on the bucket function, so growth
+        has to be an explicit committed rewrite, not a constructor arg
+        change (reopened tables adopt the committed layout; see
+        ``__init__``).
+
+        Watermark carry: every new bucket's high-watermark becomes the
+        MAX over the old per-bucket watermarks. The replay driver feeds
+        global seq-range batches, so when the batch ending at seq B has
+        committed, every stream event with seq <= B is applied — per-
+        bucket watermarks only lag B because a bucket records the max
+        seq it has SEEN, and events it never saw don't exist below B.
+        Raising each fence to the global max therefore only fences
+        redeliveries. Any rule that LOWERS a fence (min-carry, or
+        recomputing from surviving row seqs) re-admits superseded
+        updates whose delete already applied and resurrects deleted
+        keys (tests/test_lake.py::test_rebucket_blocks_resurrection).
+
+        Crash-safe like apply_batch: data files land in a fresh version
+        directory first, the snapshot publish is atomic, and a kill in
+        between leaves orphans that ``vacuum_orphans`` reclaims. Returns
+        the committed snapshot version. Older snapshots keep reading
+        through their own manifests (time travel across the layout
+        change).
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        snap = self.current_snapshot()
+        if snap is None:
+            # nothing committed yet — the arg simply seeds the layout
+            self.num_buckets = new_num_buckets
+            return 0
+        if int(snap["num_buckets"]) == new_num_buckets:
+            return snap["version"]
+        schema = self.current_schema()
+        old_num = self.num_buckets
+        version = snap["version"] + 1
+        if schema is None or not snap["buckets"]:
+            # only bookkeeping no-op snapshots so far: commit the layout
+            snapshot = dict(snap)
+            snapshot.update(
+                version=version, parent=snap["version"],
+                num_buckets=new_num_buckets,
+                committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            )
+            self._publish(snapshot)
+            self.num_buckets = new_num_buckets
+            return version
+        current = self.read(spark)  # aligned to the current schema
+        rel_out = os.path.join("data", f"v{version:08d}")
+        out_dir = os.path.join(self.path, rel_out)
+        shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+        self.num_buckets = new_num_buckets
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(new_num_buckets))
+            self._write_bucketed(spark, current, out_dir)
+            # read-back stats: a layout rewrite is rare enough that the
+            # manifest should certify the bytes actually on storage
+            written = spark.read.schema(schema).parquet(out_dir).withColumn(
+                _BUCKET, self._bucket_expr()
+            )
+            canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
+            bucket_stats = {
+                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+                for r in written.groupBy(_BUCKET)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.coalesce(
+                        F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("checksum"),
+                )
+                .collect()
+            }
+        except BaseException:
+            self.num_buckets = old_num
+            raise
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        total = sum(rows for rows, _c in bucket_stats.values())
+        if total != snap["total_rows"]:
+            self.num_buckets = old_num
+            raise RuntimeError(
+                f"rebucket row-count drift: {total} != {snap['total_rows']}"
+            )
+        files_by_bucket: dict[int, list[str]] = {}
+        for f in os.listdir(out_dir):
+            m = _BUCKET_NAME_RE.search(f)
+            if m:
+                files_by_bucket.setdefault(int(m.group(1)), []).append(
+                    os.path.join(rel_out, f)
+                )
+        schema_version = snap["schema_version"]
+        buckets_meta = {
+            str(b): {
+                "files": sorted(files_by_bucket.get(b, [])),
+                "schema_version": schema_version,
+                "rows": rows,
+                "checksum": checksum,
+            }
+            for b, (rows, checksum) in bucket_stats.items()
+        }
+        wm_max = max(
+            (int(v) for v in snap["watermarks"].values()), default=-1
+        )
+        snapshot = {
+            "version": version,
+            "parent": snap["version"],
+            "schema_version": schema_version,
+            "schemas": snap["schemas"],
+            "buckets": buckets_meta,
+            # EVERY new bucket gets the fence, including empty ones — an
+            # empty bucket left at -1 would admit redelivered updates for
+            # keys whose delete already applied (resurrection)
+            "watermarks": {str(b): wm_max for b in range(new_num_buckets)},
+            "applied_batches": snap["applied_batches"],
+            "num_buckets": new_num_buckets,
+            "key_cols": self.key_cols,
+            "seq_col": self.seq_col,
+            "total_rows": total,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._publish(snapshot)
+        return version
 
     def vacuum_orphans(self) -> int:
         """Delete data files referenced by NO retained snapshot (crash

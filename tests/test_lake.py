@@ -423,3 +423,169 @@ def test_malformed_rows_dropped_consistently_on_both_merge_paths(spark, tmp_path
     t2.apply_batch(spark, bad, "b1")
     rows2 = {(r.repo, r.path, r.content) for r in t2.read(spark).collect()}
     assert rows2 == {("r1", "a", "x2")}
+
+
+# ------------------------------------------------------- rebucket / CDF
+
+
+def test_rebucket_preserves_state_watermarks_and_time_travel(
+    spark, tmp_path, events_parquet
+):
+    """Bucket-layout evolution: rewrite 8 -> 32 buckets mid-stream. The
+    state is byte-identical, the manifest re-certifies, a reopened
+    handle adopts the committed layout over its constructor arg, replay
+    continues correctly on the new layout, and time travel still reads
+    the pre-rebucket snapshot."""
+    path = str(tmp_path / "lake")
+    table = LakeTable(path, num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    engine = ReplayEngine(table)
+    engine.replay(spark, ev, 1, N_EVENTS // 2, batch_size=N_EVENTS // 2)
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    v_pre = table.current_snapshot()["version"]
+
+    v = table.rebucket(spark, 32)
+    assert v == v_pre + 1
+    snap = table.current_snapshot()
+    assert snap["num_buckets"] == 32 and table.num_buckets == 32
+    # every bucket is fenced at the global max watermark, empties included
+    assert set(snap["watermarks"]) == {str(b) for b in range(32)}
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+    assert table.verify_bucket_checksums(spark) == []
+    # time travel across the layout change
+    assert (
+        sorted(tuple(r) for r in table.read(spark, version=v_pre).collect()) == before
+    )
+
+    # a reopened handle adopts the committed layout (storage wins)
+    reopened = LakeTable(path, num_buckets=8)
+    assert reopened.num_buckets == 32
+
+    # replay continues on the new layout and still matches the oracle
+    ReplayEngine(reopened).replay(
+        spark, ev, N_EVENTS // 2 + 1, N_EVENTS, batch_size=N_EVENTS // 2
+    )
+    got = _table_rows(spark, reopened)
+    exp = sorted(tuple(r) for r in _oracle_rows(events_parquet))
+    assert got == exp
+    assert reopened.verify_bucket_checksums(spark) == []
+
+
+def test_rebucket_blocks_resurrection(spark, tmp_path):
+    """The watermark-carry rule is MAX over old buckets: after a
+    rebucket, a redelivered update whose delete already applied must
+    stay fenced — recomputing fences from surviving row seqs (or
+    carrying the min) would resurrect the deleted key."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    sch = "repo string, path string, seq long, op string, content string"
+    b1 = spark.createDataFrame(
+        [("r", "k", 5, "U", "v5"), ("r", "other", 3, "U", "x")], sch
+    )
+    b2 = spark.createDataFrame([("r", "k", 9, "D", "")], sch)
+    table.apply_batch(spark, b1, "b1")
+    table.apply_batch(spark, b2, "b2")
+    assert {(r.repo, r.path) for r in table.read(spark).collect()} == {("r", "other")}
+
+    table.rebucket(spark, 16)
+
+    # checkpoint-loss redelivery: same events, fresh batch id
+    st = table.apply_batch(spark, b1, "b1-redelivered")
+    assert st.applied and st.events_fenced == st.events_in
+    assert {(r.repo, r.path) for r in table.read(spark).collect()} == {("r", "other")}
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    """CDF between snapshots: inserts/updates carry the post-image,
+    deletes the pre-image; unchanged keys don't appear."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    sch = "repo string, path string, seq long, op string, content string"
+    b1 = spark.createDataFrame(
+        [
+            ("r", "a", 1, "U", "a1"),
+            ("r", "b", 2, "U", "b1"),
+            ("r", "c", 3, "U", "c1"),
+        ],
+        sch,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("r", "b", 11, "U", "b2"),  # update
+            ("r", "c", 12, "D", ""),    # delete
+            ("r", "d", 13, "U", "d1"),  # insert
+        ],
+        sch,
+    )
+    table.apply_batch(spark, b1, "b1")
+    table.apply_batch(spark, b2, "b2")
+
+    got = {
+        (r.path, r._change_type, r.content, r.seq)
+        for r in table.read_changes(spark, from_version=1, to_version=2).collect()
+    }
+    assert got == {
+        ("b", "update_postimage", "b2", 11),
+        ("c", "delete", "c1", 3),
+        ("d", "insert", "d1", 13),
+    }
+    # identical snapshots diff to nothing
+    assert table.read_changes(spark, 2, 2).count() == 0
+
+
+def test_read_changes_is_shuffle_free(spark, tmp_path, events_parquet):
+    """Physical-plan gate: on a shared bucket layout the CDF join reads
+    both snapshots as bucketed scans and plans NO exchange — neither
+    snapshot's rows shuffle, and the scan is pruned to the buckets
+    whose manifest entries differ."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    ReplayEngine(table).replay(spark, ev, 1, N_EVENTS, batch_size=N_EVENTS // 3 + 1)
+
+    df = table.read_changes(spark, from_version=1, to_version=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+
+    # semantic check against a driver-side diff of the two states
+    # (column order matches read_changes: keys first, then payload)
+    sel = ["repo", "path"] + [
+        c for c in table.read(spark).columns if c not in ("repo", "path")
+    ]
+    old = {tuple(r) for r in table.read(spark, version=1).select(*sel).collect()}
+    new = {tuple(r) for r in table.read(spark, version=2).select(*sel).collect()}
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    old_k = {key(t): t for t in old}
+    new_k = {key(t): t for t in new}
+    want = set()
+    for k, t in new_k.items():
+        if k not in old_k:
+            want.add((*t, "insert"))
+        elif old_k[k] != t:
+            want.add((*t, "update_postimage"))
+    for k, t in old_k.items():
+        if k not in new_k:
+            want.add((*t, "delete"))
+    assert {tuple(r) for r in df.collect()} == want
+
+
+def test_read_changes_across_rebucket_falls_back(spark, tmp_path):
+    """Across a layout change the manifests are incomparable: the diff
+    must still be correct via the shuffled fallback."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1"
+    )
+    table.rebucket(spark, 8)
+    table.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", "a", 21, "U", "a2"), ("r", "b", 22, "U", "b1")], sch
+        ),
+        "b2",
+    )
+    got = {
+        (r.path, r._change_type, r.content)
+        for r in table.read_changes(spark, from_version=1).collect()
+    }
+    assert got == {("a", "update_postimage", "a2"), ("b", "insert", "b1")}
