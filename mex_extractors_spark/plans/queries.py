@@ -371,6 +371,71 @@ def cdc_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_changes_feed",
+    "CDF between lake snapshots: insert/delete/update_postimage rows "
+    "(Iceberg changelog scan shape) from LakeTable.read_changes over a "
+    "real two-batch replay of the events stream",
+    """
+    WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+    s1 AS (
+      SELECT user_id, event_id AS seq, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events WHERE event_id <= (SELECT mid FROM m))
+      WHERE rn = 1 AND event_type <> 'error'
+    ),
+    s2 AS (
+      SELECT user_id, event_id AS seq, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+           CAST(coalesce(s2.seq, s1.seq) AS BIGINT) AS last_event_id,
+           coalesce(s2.event_type, s1.event_type) AS last_event_type,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS change_type
+    FROM s2 FULL OUTER JOIN s1 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR (s1.seq, s1.event_type) IS DISTINCT FROM (s2.seq, s2.event_type)
+    """,
+)
+def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDF check: replay the events stream into a real
+    LakeTable in two committed batches (tombstone law as in
+    cdc_converged_state), then diff snapshot 1 vs snapshot 2 with
+    ``read_changes``. The oracle restates the diff as a FULL OUTER join
+    of the two LWW states. Inserts/updates carry the post-image, deletes
+    the pre-image — the Delta-CDF/Iceberg-changelog contract."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_cdf_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "cdf-b1")
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "cdf-b2")
+    return table.read_changes(spark, from_version=1, to_version=2).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+@q(
     "f4_first_wins_dedup",
     "F4 seen-set dedup (first per key in seq order)",
     """
