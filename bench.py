@@ -159,8 +159,16 @@ def run_replay(
     batches: int,
     spark=None,
     num_buckets: int = 32,
+    merge_mode: str = "cow",
+    compact_after: bool = False,
 ) -> dict:
-    """Replay pre-generated segments into a fresh lake table; timed."""
+    """Replay pre-generated segments into a fresh lake table; timed.
+
+    ``merge_mode="mor"`` benches the merge-on-read write path (delta
+    appends, table never rewritten per batch); ``compact_after`` times
+    the post-replay compaction separately — at the 10^10-event target
+    compaction is amortized background maintenance, so the replay and
+    compact costs are reported as separate numbers."""
     from mex_extractors_spark import synth
     from mex_extractors_spark.lake.table import LakeTable
     from mex_extractors_spark.sources.normalize import normalize_change_events
@@ -187,7 +195,14 @@ def run_replay(
             )
         # table layout constant across cluster sizes (identical input AND
         # identical table; only executor count varies)
-        table = LakeTable(os.path.join(tmp, "lake"), num_buckets=num_buckets)
+        table = LakeTable(
+            os.path.join(tmp, "lake"),
+            num_buckets=num_buckets,
+            merge_mode=merge_mode,
+            # pure-mode bench: no mid-replay escalation, compaction is
+            # timed explicitly below
+            max_deltas_per_bucket=None,
+        )
         # full extract→transform→load: every event runs the normalize
         # stage (lang vocab map, per-row content sha256, size) before the
         # LWW merge — the benched number includes the transform contract
@@ -199,6 +214,11 @@ def run_replay(
         t0 = time.monotonic()
         stats = engine.replay_files(spark, file_batches, schema=schema)
         dt = time.monotonic() - t0
+        compact_s = None
+        if compact_after:
+            t1 = time.monotonic()
+            table.compact(spark)
+            compact_s = round(time.monotonic() - t1, 3)
         rows = table.current_snapshot()["total_rows"]
         return {
             "cores": cores,
@@ -206,6 +226,8 @@ def run_replay(
             "batches": len(stats),
             "seconds": round(dt, 3),
             "events_per_sec": round(n_events / dt, 1),
+            "merge_mode": merge_mode,
+            "compact_seconds": compact_s,
             "final_rows": rows,
             "batch_seconds": [round(s.seconds, 2) for s in stats],
             "batch_phases": [
@@ -231,12 +253,15 @@ def replay_bench(
     n_repos: int,
     paths: int,
     repeats: int = 2,
+    modes: tuple[str, ...] = ("cow",),
 ) -> dict:
     """Self-contained: generate + warm up + timed replay in one session.
 
     Best-of-``repeats`` over the same corpus into fresh tables: host
     noise on a shared box is additive (intermittent multi-second
-    stalls), so the minimum is the low-variance estimator."""
+    stalls), so the minimum is the low-variance estimator. Returns
+    ``{mode: best_result}`` over ``modes`` (one shared corpus/session,
+    so cow-vs-mor numbers are directly comparable)."""
     spark = _bench_spark(cores, f"bench-replay-{cores}", aqe=False)
     tmp = _mktemp("bench_ev_")
     try:
@@ -244,18 +269,21 @@ def replay_bench(
             spark, os.path.join(tmp, "events"), n_events, batches, n_repos, paths
         )
         gen_events(spark, os.path.join(tmp, "warm"), 100_000, 2, n_repos, paths)
-        best: dict | None = None
+        best: dict[str, dict] = {}
         for i in range(max(1, repeats)):
-            res = run_replay(
-                cores,
-                os.path.join(tmp, "events"),
-                os.path.join(tmp, "warm") if i == 0 else None,
-                n_events,
-                batches,
-                spark=spark,
-            )
-            if best is None or res["seconds"] < best["seconds"]:
-                best = res
+            for m in modes:
+                res = run_replay(
+                    cores,
+                    os.path.join(tmp, "events"),
+                    os.path.join(tmp, "warm") if i == 0 and m == modes[0] else None,
+                    n_events,
+                    batches,
+                    spark=spark,
+                    merge_mode=m,
+                    compact_after=(m == "mor"),
+                )
+                if m not in best or res["seconds"] < best[m]["seconds"]:
+                    best[m] = res
         return best
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -309,6 +337,11 @@ def main() -> None:
     )
     ap.add_argument("--repeats", type=int, default=2, help="runs per core count (best-of)")
     ap.add_argument(
+        "--merge-mode", default="cow", choices=("cow", "mor", "auto"),
+        help="write strategy for --replay-only (cow rewrites touched "
+        "buckets; mor appends delta files and times a final compact)",
+    )
+    ap.add_argument(
         "--pin", action="store_true",
         help="taskset each level to exactly N host CPUs — the cgroup CPU "
         "budget an N-core executor has on a real cluster. Unpinned "
@@ -319,6 +352,11 @@ def main() -> None:
         "--skew", action="store_true",
         help="replay a uniform vs an extreme hot-repo corpus; write BENCH/SKEW.md",
     )
+    ap.add_argument(
+        "--mor-compare", action="store_true",
+        help="trickle-ingest cow-vs-mor write-amplification bench; "
+        "write BENCH/MOR.md",
+    )
     args = ap.parse_args()
 
     sf = _sf_from_dir(SF_DIR)
@@ -328,10 +366,14 @@ def main() -> None:
         if args.events_dir:
             res = run_replay(
                 args.cores or CPUS, args.events_dir, args.warm_dir, n_events, batches,
-                num_buckets=args.buckets,
+                num_buckets=args.buckets, merge_mode=args.merge_mode,
+                compact_after=(args.merge_mode == "mor"),
             )
         else:
-            res = replay_bench(args.cores or CPUS, n_events, batches, n_repos, paths)
+            res = replay_bench(
+                args.cores or CPUS, n_events, batches, n_repos, paths,
+                modes=(args.merge_mode,),
+            )[args.merge_mode]
         print(json.dumps(res))
         return
 
@@ -393,6 +435,115 @@ def main() -> None:
         print(json.dumps({"hot_over_uniform": round(ratio, 3),
                           "uniform": res["uniform"]["events_per_sec"],
                           "hot": res["hot"]["events_per_sec"]}))
+        return
+
+    if args.mor_compare:
+        # Trickle-ingest regime — the one merge-on-read exists for: a
+        # LARGE standing table receiving many SMALL batches. Copy-on-
+        # write rewrites every touched bucket per batch (write cost ~
+        # table size when keys spread over all buckets); mor appends
+        # deltas (write cost ~ batch) and pays one amortized compaction.
+        import glob as _glob
+
+        from mex_extractors_spark.lake.table import LakeTable
+        from mex_extractors_spark.sources.normalize import normalize_change_events
+        from mex_extractors_spark.streaming.replay import ReplayEngine
+
+        cores = args.cores or CPUS
+        trickle_batches = 40
+        hist = int(n_events * 0.9)
+        tb = max(1, (n_events - hist) // trickle_batches)
+        tmp = _mktemp("bench_mor_")
+
+        def _du(d):
+            return sum(
+                os.path.getsize(f)
+                for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            )
+
+        try:
+            spark = _bench_spark(cores, "bench-mor", aqe=False)
+            evdir = os.path.join(tmp, "events")
+            gen_events(spark, evdir, n_events, 2, n_repos, paths)
+            ev = spark.read.parquet(evdir)
+            res = {}
+            for mode in ("cow", "mor"):
+                lake = os.path.join(tmp, f"lake_{mode}")
+                table = LakeTable(
+                    lake, num_buckets=args.buckets, merge_mode="cow",
+                    max_deltas_per_bucket=None,
+                )
+                engine = ReplayEngine(table, normalize=normalize_change_events)
+                # identical standing table for both modes (built cow),
+                # also serves as the JIT warm-up
+                engine.replay(spark, ev, 1, hist, batch_size=(hist + 3) // 4)
+                base_rows = table.current_snapshot()["total_rows"]
+                table.merge_mode = mode  # writer policy, not table state
+                du0 = _du(os.path.join(lake, "data"))
+                t0 = time.monotonic()
+                stats = engine.replay(
+                    spark, ev, hist + 1, n_events, batch_size=tb
+                )
+                dt = time.monotonic() - t0
+                written = _du(os.path.join(lake, "data")) - du0
+                compact_s = compact_written = None
+                if mode == "mor":
+                    duc = _du(os.path.join(lake, "data"))
+                    t1 = time.monotonic()
+                    table.compact(spark)
+                    compact_s = round(time.monotonic() - t1, 3)
+                    compact_written = _du(os.path.join(lake, "data")) - duc
+                res[mode] = {
+                    "trickle_seconds": round(dt, 3),
+                    "events_per_sec": round((n_events - hist) / dt, 1),
+                    "batches": len(stats),
+                    "mb_written": round(written / 1e6, 1),
+                    "mb_per_batch": round(written / 1e6 / len(stats), 2),
+                    "base_rows": base_rows,
+                    "compact_seconds": compact_s,
+                    "compact_mb": round(compact_written / 1e6, 1)
+                    if compact_written is not None
+                    else None,
+                }
+            spark.stop()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        amp = res["cow"]["mb_written"] / max(res["mor"]["mb_written"], 0.1)
+        speedup = res["cow"]["trickle_seconds"] / res["mor"]["trickle_seconds"]
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "MOR.md"), "w") as fh:
+            fh.write(
+                "# BENCH merge-on-read — trickle-ingest write amplification\n\n"
+                f"A standing table of {res['cow']['base_rows']:,} rows "
+                f"(built from {hist:,} history events) receives "
+                f"{trickle_batches} micro-batches of {tb:,} events each "
+                f"(local[{cores}], {args.buckets} buckets, identical "
+                "segments and standing table for both modes; trickle "
+                "events touch effectively every bucket).\n\n"
+                "| mode | trickle wall s | events/s | MB written | MB/batch | compact |\n"
+                "|---|---|---|---|---|---|\n"
+                + "".join(
+                    f"| {m} | {r['trickle_seconds']} | {r['events_per_sec']:,} "
+                    f"| {r['mb_written']} | {r['mb_per_batch']} | "
+                    + (
+                        f"{r['compact_seconds']} s / {r['compact_mb']} MB |\n"
+                        if r["compact_seconds"] is not None
+                        else "— |\n"
+                    )
+                    for m, r in res.items()
+                )
+                + f"\n- **write amplification (cow/mor bytes): {amp:.1f}×** — "
+                "cow rewrites every touched bucket each batch, so bytes "
+                "written per batch ≈ table size; mor writes ≈ the batch.\n"
+                f"- trickle wall speedup (cow/mor): {speedup:.2f}×\n"
+                "- at the 10^10-event target the standing table is 4-5 "
+                "orders of magnitude larger than a micro-batch, so the "
+                "cow row's MB/batch column scales with the TABLE while "
+                "the mor row's stays constant; compaction cost is "
+                "amortized across many batches and runs out-of-band.\n"
+            )
+        print(json.dumps({"mor_compare": res, "write_amplification": round(amp, 1),
+                          "trickle_speedup": round(speedup, 2)}))
         return
 
     if args.scaling:
@@ -526,7 +677,7 @@ def main() -> None:
                                    for k, v in best.items()}}))
         return
 
-    replay = replay_bench(args.cores or CPUS, n_events, batches, n_repos, paths)
+    replay = replay_bench(args.cores or CPUS, n_events, batches, n_repos, paths)["cow"]
     spark = _bench_spark(args.cores or CPUS, "bench-queries")
     qtimes = query_bench(spark, SF_DIR)
     spark.stop()

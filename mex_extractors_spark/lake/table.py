@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, StructType
+from pyspark.sql.types import DataType, StringType, StructField, StructType
 
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
@@ -80,9 +80,26 @@ def _reader_compatible(file_schema: StructType, read_schema: StructType) -> bool
     return True
 
 
+def _bucket_sig(meta: dict) -> tuple:
+    """Manifest identity of a bucket's stored content: base files +
+    checksum + the delta-group list. Two snapshots whose buckets share
+    this signature hold identical bytes for that bucket."""
+    return (
+        meta.get("files", []),
+        str(meta.get("checksum", "0")),
+        meta.get("deltas", []),
+    )
+
+
 class CommitAborted(RuntimeError):
     """Raised by the crash-injection hook after data-file write, before
     snapshot publish — simulates a kill for exactly-once chaos tests."""
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer published the snapshot version this commit
+    was about to claim (optimistic-concurrency CAS loss). The table is
+    single-writer by contract — treat this as a deployment error."""
 
 
 @dataclass
@@ -96,6 +113,9 @@ class ApplyStats:
     buckets_touched: int = 0
     rows_after: int = 0
     seconds: float = 0.0
+    # merge strategy actually used for this batch: "cow" rewrote the
+    # touched buckets, "mor" appended delta files without reading them
+    mode: str = "cow"
     # phase breakdown (lineage metric + perf triage)
     t_stats: float = 0.0
     t_write: float = 0.0
@@ -111,6 +131,10 @@ class LakeTable:
     # aggregates stop being cheap codegen and observe() is skipped
     OBSERVE_CHECKSUM_MAX_BUCKETS = 256
 
+    # merge_mode="auto": append a delta instead of rewriting when the
+    # touched buckets hold more than this many file rows per batch row
+    AUTO_COW_FACTOR = 4
+
     def __init__(
         self,
         path: str,
@@ -119,6 +143,8 @@ class LakeTable:
         op_col: str = "op",
         num_buckets: int = 16,
         checksum_mode: str = "observe",
+        merge_mode: str = "cow",
+        max_deltas_per_bucket: int | None = 8,
     ) -> None:
         """``checksum_mode``: how the per-bucket manifest checksums are
         produced. "observe" (default) piggybacks per-bucket conditional
@@ -126,15 +152,42 @@ class LakeTable:
         extra jobs per batch (the read-back pass was ~15-20% of batch
         wall). "readback" re-reads the just-written files so the
         manifest certifies bytes on storage; either way
-        ``verify_bucket_checksums`` re-audits storage on demand."""
+        ``verify_bucket_checksums`` re-audits storage on demand.
+
+        ``merge_mode``: the writer's default merge strategy (a writer
+        policy, not a table property — it is NOT persisted, and modes
+        can be mixed batch by batch).
+
+        - "cow" (copy-on-write, default): every batch rewrites the
+          touched buckets wholly. Reads are file scans with zero merge
+          work, but a batch whose keys spread over all buckets rewrites
+          the entire table — at 100 TB that write amplification is the
+          bottleneck when batch << table.
+        - "mor" (merge-on-read, the Hudi-MoR / Paimon-LSM shape): the
+          batch is LWW-reduced and appended as one DELTA file per
+          touched bucket — deletes ride along as tombstones and the
+          table side is NEVER read or rewritten, so write cost is
+          O(batch) regardless of table size. Reads merge base + deltas
+          (per-key LWW by ``seq_col``) until ``compact()`` folds the
+          deltas back into the base.
+        - "auto": per batch, "mor" when the touched buckets' file rows
+          dwarf the batch (> ``AUTO_COW_FACTOR``×), else "cow".
+
+        ``max_deltas_per_bucket`` bounds read amplification: when a
+        touched bucket has piled up this many deltas, the batch
+        escalates to "cow" for a merging rewrite (None disables)."""
         if checksum_mode not in ("observe", "readback"):
             raise ValueError(f"unknown checksum_mode {checksum_mode!r}")
+        if merge_mode not in ("cow", "mor", "auto"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
         self.path = path
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.op_col = op_col
         self.num_buckets = num_buckets
         self.checksum_mode = checksum_mode
+        self.merge_mode = merge_mode
+        self.max_deltas_per_bucket = max_deltas_per_bucket
         self.ledger_dir = os.path.join(path, "_ledger")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.ledger_dir, exist_ok=True)
@@ -210,7 +263,17 @@ class LakeTable:
         return expired
 
     def _publish(self, snapshot: dict) -> None:
-        """Atomic two-step publish: snapshot file, then pointer swap."""
+        """Atomic two-step publish: snapshot file, then pointer swap.
+
+        The snapshot file is linked into place with ``os.link`` — which
+        FAILS if the version already exists — so publishing doubles as
+        an optimistic-concurrency compare-and-swap (Iceberg's atomic
+        snapshot commit): two writers that both computed version N race,
+        exactly one wins, the loser gets ``CommitConflict`` instead of
+        silently clobbering the winner's commit with a stale parent.
+        The table is single-writer by contract; this turns an accidental
+        second writer (double-started job, zombie driver) from silent
+        lost updates into a loud error."""
         version = snapshot["version"]
         snap_path = os.path.join(self.ledger_dir, f"v{version:08d}.json")
         tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
@@ -218,7 +281,15 @@ class LakeTable:
             json.dump(snapshot, fh, sort_keys=True)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, snap_path)
+        try:
+            os.link(tmp, snap_path)  # atomic create-if-absent (CAS)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"snapshot v{version} was published by another writer — "
+                "this table is single-writer; re-read the ledger and retry"
+            ) from None
+        os.remove(tmp)
         cur = os.path.join(self.ledger_dir, "CURRENT")
         tmp = cur + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -363,6 +434,33 @@ class LakeTable:
         if snap is None or schema is None or not snap["buckets"]:
             return spark.createDataFrame([], schema or StructType([]))
         wanted = set(buckets) if buckets is not None else None
+        base = self._read_base(spark, snap, wanted, schema)
+        delta = self._read_deltas(spark, snap, wanted, schema)
+        if delta is None:
+            return base
+        # merge-on-read: base rows lose to any delta row for the same
+        # key — watermark fencing guarantees every delta seq is strictly
+        # above the base row's seq, so plain LWW by seq is the merge
+        base_op = base.withColumn(self.op_col, F.lit("U"))
+        state = apply_deletes(
+            lww_latest(
+                base_op.unionByName(delta),
+                key_cols=self.key_cols,
+                seq_col=self.seq_col,
+            ),
+            op_col=self.op_col,
+        )
+        return state.select(*schema.fieldNames())
+
+    def _read_base(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        wanted: set[int] | None,
+        schema: StructType,
+    ) -> DataFrame:
+        """Base data files of the wanted buckets (no deltas), aligned to
+        ``schema`` with per-schema-version explicit casts."""
         by_schema: dict[int, list[str]] = {}
         for b, meta in snap["buckets"].items():
             if wanted is not None and int(b) not in wanted:
@@ -384,6 +482,50 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _delta_schema(self, snap: dict, sv: int) -> StructType:
+        """On-disk schema of a delta file group: the table schema at its
+        version plus the op column (tombstones ride in deltas)."""
+        return StructType(
+            [
+                *StructType.fromJson(snap["schemas"][str(sv)]).fields,
+                StructField(self.op_col, StringType()),
+            ]
+        )
+
+    def _read_deltas(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        wanted: set[int] | None,
+        schema: StructType,
+    ) -> DataFrame | None:
+        """Union of the wanted buckets' delta files aligned to
+        ``schema`` + op, or None when none of them carry deltas (the
+        common case after compaction — the read stays a pure file scan)."""
+        by_schema: dict[int, list[str]] = {}
+        for b, meta in snap["buckets"].items():
+            if wanted is not None and int(b) not in wanted:
+                continue
+            for d in meta.get("deltas", []):
+                by_schema.setdefault(int(d["schema_version"]), []).extend(
+                    os.path.join(self.path, f) for f in d["files"]
+                )
+        if not any(by_schema.values()):
+            return None
+        target = StructType(
+            [*schema.fields, StructField(self.op_col, StringType())]
+        )
+        parts: list[DataFrame] = []
+        for sv, files in sorted(by_schema.items()):
+            if not files:
+                continue
+            df = spark.read.schema(self._delta_schema(snap, sv)).parquet(*files)
+            parts.append(align_to_schema(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -------------------------------------------------------------- write
 
     def apply_batch(
@@ -392,12 +534,19 @@ class LakeTable:
         batch_df: DataFrame,
         batch_id: str,
         crash_after_data: bool = False,
+        mode: str | None = None,
     ) -> ApplyStats:
         """MERGE a change-event batch into the table, exactly once.
 
         ``batch_df`` must contain ``key_cols + [seq_col, op_col]`` plus
         any payload columns. Payload schema may differ from the table's —
         the schema-merge step runs first (SURVEY.md §7 Phase 4).
+
+        ``mode`` overrides the table's ``merge_mode`` for this batch
+        ("cow" | "mor" | "auto"); fencing, idempotency, watermarks and
+        schema evolution are identical either way — only the physical
+        write strategy differs (rewrite touched buckets vs append delta
+        files).
         """
         t0 = time.monotonic()
         snap = self.current_snapshot()
@@ -482,6 +631,29 @@ class LakeTable:
                 seconds=time.monotonic() - t0,
             )
 
+        # --- merge-strategy resolution (see __init__ docstring)
+        touched_metas = {
+            b: (snap["buckets"].get(str(b)) if snap else None) for b in touched
+        }
+        requested = mode or self.merge_mode
+        if requested == "auto":
+            touched_file_rows = sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in touched_metas.values()
+                if m
+            )
+            use_mor = snap is not None and touched_file_rows > self.AUTO_COW_FACTOR * max(kept, 1)
+        else:
+            use_mor = requested == "mor"
+        if use_mor and self.max_deltas_per_bucket is not None and any(
+            m and len(m.get("deltas", [])) >= self.max_deltas_per_bucket
+            for m in touched_metas.values()
+        ):
+            use_mor = False  # escalate: the rewrite folds the delta pile back in
+        touched_have_deltas = any(
+            m and m.get("deltas") for m in touched_metas.values()
+        )
+
         # --- schema evolution before apply
         payload_schema = StructType(
             [f for f in fenced.schema.fields if f.name not in (_BUCKET, self.op_col)]
@@ -529,7 +701,11 @@ class LakeTable:
                 meta = snap["buckets"].get(str(b))
                 if meta and meta["files"]:
                     touched_versions.add(int(meta["schema_version"]))
-        fast = all(
+        # delta-carrying buckets can't use the raw-file indicator join —
+        # their current state isn't materialized in the base files; the
+        # fallback goes through the delta-aware read() and the rewrite
+        # folds the deltas back into the base
+        fast = not touched_have_deltas and all(
             _reader_compatible(StructType.fromJson(schemas[str(sv)]), table_schema)
             for sv in touched_versions
         )
@@ -543,7 +719,14 @@ class LakeTable:
         try:
             # merge exchange sized to the bucket count (single writer)
             spark.conf.set("spark.sql.shuffle.partitions", str(self.num_buckets))
-            if fast and touched_versions:
+            if use_mor:
+                # merge-on-read append: the LWW-reduced batch IS the
+                # delta — deletes stay as tombstone rows, the table side
+                # is never read, write cost is O(batch) no matter how
+                # big the table is. Same single exchange (the LWW
+                # aggregate), same bucket-aligned write.
+                merged = batch_latest
+            elif fast and touched_versions:
                 view_dir, cur_tbl = self._register_current_view(
                     spark, snap, touched, table_schema
                 )
@@ -572,11 +755,16 @@ class LakeTable:
                         ],
                     )
                 )
-            elif touched_versions:
+            elif touched_versions or touched_have_deltas:
                 # shuffle fallback: files needing a non-native promotion
                 # are read per schema version, cast explicitly, unioned
                 # with the batch and re-reduced — rewriting them to the
-                # current schema so the fast path resumes next batch
+                # current schema so the fast path resumes next batch.
+                # Delta-carrying buckets also land here (whatever their
+                # base files look like — a mor-first bucket's base is
+                # EMPTY, so gate on deltas, not base files): the
+                # delta-aware read() supplies the true current state and
+                # the rewrite folds the deltas into the new base
                 cur_aligned = align_to_schema(
                     self.read(spark, buckets=touched).withColumn(
                         self.op_col, F.lit("I")
@@ -604,9 +792,10 @@ class LakeTable:
                 self.checksum_mode == "observe"
                 and 0 < len(touched) <= self.OBSERVE_CHECKSUM_MAX_BUCKETS
             )
+            written_schema = schema_with_op if use_mor else table_schema
             if use_observe:
                 write_obs = Observation()
-                canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
+                canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
                 row_hash = F.xxhash64(canonical).cast("decimal(38,0)")
                 bexpr = self._bucket_expr()
                 obs_aggs = []
@@ -654,10 +843,10 @@ class LakeTable:
             except Exception:
                 bucket_stats = None  # schemaless-observation edge: read back
         if bucket_stats is None:
-            written = spark.read.schema(table_schema).parquet(out_dir).withColumn(
+            written = spark.read.schema(written_schema).parquet(out_dir).withColumn(
                 _BUCKET, self._bucket_expr()
             )
-            canonical = F.to_json(F.struct(*sorted(table_schema.fieldNames())))
+            canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
             bucket_stats = {
                 int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
                 for r in written.groupBy(_BUCKET)
@@ -683,12 +872,34 @@ class LakeTable:
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
             rows, checksum = bucket_stats.get(b, (0, "0"))
-            buckets_meta[str(b)] = {
-                "files": sorted(files_by_bucket.get(b, [])),
-                "schema_version": schema_version,
-                "rows": rows,
-                "checksum": checksum,
-            }
+            if use_mor:
+                # append a delta group; the base entry stays verbatim
+                # (a bucket first written in mor mode gets an empty base)
+                old_meta = buckets_meta.get(str(b)) or {
+                    "files": [],
+                    "schema_version": schema_version,
+                    "rows": 0,
+                    "checksum": "0",
+                }
+                new_meta = dict(old_meta)
+                new_meta["deltas"] = [
+                    *old_meta.get("deltas", []),
+                    {
+                        "files": sorted(files_by_bucket.get(b, [])),
+                        "schema_version": schema_version,
+                        "rows": rows,
+                        "checksum": checksum,
+                    },
+                ]
+                buckets_meta[str(b)] = new_meta
+            else:
+                # copy-on-write rewrite: fresh entry, deltas folded in
+                buckets_meta[str(b)] = {
+                    "files": sorted(files_by_bucket.get(b, [])),
+                    "schema_version": schema_version,
+                    "rows": rows,
+                    "checksum": checksum,
+                }
         old_wm = {int(k): int(v) for k, v in (snap["watermarks"] if snap else {}).items()}
         for b, wm in new_wm.items():
             old_wm[b] = max(old_wm.get(b, -1), wm)
@@ -703,7 +914,13 @@ class LakeTable:
             "num_buckets": self.num_buckets,
             "key_cols": self.key_cols,
             "seq_col": self.seq_col,
-            "total_rows": sum(m["rows"] for m in buckets_meta.values()),
+            # file-row total: equals the state row count for a
+            # delta-free snapshot; with deltas pending it upper-bounds
+            # the state (updates/tombstones collapse at read/compact)
+            "total_rows": sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in buckets_meta.values()
+            ),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._publish(snapshot)
@@ -717,6 +934,7 @@ class LakeTable:
             buckets_touched=len(touched),
             rows_after=snapshot["total_rows"],
             seconds=time.monotonic() - t0,
+            mode="mor" if use_mor else "cow",
             t_stats=round(t_stats, 3),
             t_write=round(t_write, 3),
             t_checksum=round(t_checksum, 3),
@@ -754,12 +972,16 @@ class LakeTable:
         order-independent checksum from the files on disk and compare to
         the snapshot manifest. Returns the list of mismatching buckets
         (empty = table verified) — the sha256-after-serialize contract
-        (sinks/s3.py:106-133) as an on-demand integrity scan."""
+        (sinks/s3.py:106-133) as an on-demand integrity scan. Base files
+        and delta files are audited separately — each manifest entry
+        certifies the bytes of its own file group."""
         snap = self.current_snapshot()
         if snap is None or not snap["buckets"]:
             return []
         schema = self.current_schema()
-        df = self.read(spark).withColumn(_BUCKET, self._bucket_expr())
+        df = self._read_base(spark, snap, None, schema).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
         canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
         actual = {
             int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
@@ -778,7 +1000,45 @@ class LakeTable:
             got = actual.get(int(b), (0, "0"))
             if meta["rows"] and (got[0] != meta["rows"] or got[1] != str(meta["checksum"])):
                 bad.append(int(b))
-        return sorted(bad)
+        # delta groups: one tagged union, one aggregate job for them all
+        delta_target = StructType(
+            [*schema.fields, StructField(self.op_col, StringType())]
+        )
+        dcanon = F.to_json(F.struct(*sorted(delta_target.fieldNames())))
+        parts = []
+        expected: dict[str, tuple[int, str]] = {}
+        for b, meta in snap["buckets"].items():
+            for i, d in enumerate(meta.get("deltas", [])):
+                if not d["files"]:
+                    continue
+                did = f"{b}:{i}"
+                expected[did] = (int(d["rows"]), str(d["checksum"]))
+                part = spark.read.schema(
+                    self._delta_schema(snap, int(d["schema_version"]))
+                ).parquet(*[os.path.join(self.path, f) for f in d["files"]])
+                parts.append(
+                    align_to_schema(part, delta_target).withColumn("_did", F.lit(did))
+                )
+        if parts:
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            dactual = {
+                str(r["_did"]): (int(r["rows"]), str(r["checksum"]))
+                for r in allp.groupBy("_did")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.coalesce(
+                        F.sum(F.xxhash64(dcanon).cast("decimal(38,0)")),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("checksum"),
+                )
+                .collect()
+            }
+            for did, want in expected.items():
+                if dactual.get(did, (0, "0")) != want:
+                    bad.append(int(did.split(":")[0]))
+        return sorted(set(bad))
 
     def incremental_read(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -796,8 +1056,7 @@ class LakeTable:
         changed = [
             int(b)
             for b, meta in to_snap["buckets"].items()
-            if from_snap["buckets"].get(b, {}).get("files") != meta["files"]
-            or from_snap["buckets"].get(b, {}).get("checksum") != meta["checksum"]
+            if _bucket_sig(from_snap["buckets"].get(b, {})) != _bucket_sig(meta)
         ]
         return self.read(spark, buckets=changed, version=to_snap["version"])
 
@@ -850,10 +1109,8 @@ class LakeTable:
             changed = sorted(
                 int(b)
                 for b in all_b
-                if from_snap["buckets"].get(b, {}).get("files", [])
-                != to_snap["buckets"].get(b, {}).get("files", [])
-                or str(from_snap["buckets"].get(b, {}).get("checksum", "0"))
-                != str(to_snap["buckets"].get(b, {}).get("checksum", "0"))
+                if _bucket_sig(from_snap["buckets"].get(b, {}))
+                != _bucket_sig(to_snap["buckets"].get(b, {}))
             )
 
         def _compatible(snap: dict) -> bool:
@@ -869,9 +1126,18 @@ class LakeTable:
                 for sv in versions
             )
 
+        def _no_deltas(snap: dict) -> bool:
+            return not any(
+                m.get("deltas")
+                for b, m in snap["buckets"].items()
+                if changed is None or int(b) in set(changed)
+            )
+
         fast = (
             same_layout
             and int(to_snap["num_buckets"]) == self.num_buckets
+            and _no_deltas(from_snap)  # raw-file views can't see deltas
+            and _no_deltas(to_snap)
             and _compatible(from_snap)
             and _compatible(to_snap)
         )
@@ -979,7 +1245,11 @@ class LakeTable:
             self._publish(snapshot)
             self.num_buckets = new_num_buckets
             return version
-        current = self.read(spark)  # aligned to the current schema
+        current = self.read(spark)  # aligned to the current schema, deltas merged
+        has_deltas = any(m.get("deltas") for m in snap["buckets"].values())
+        # with deltas pending, total_rows is a file-row bound, not the
+        # state count — establish the true expectation before the rewrite
+        expected_rows = current.count() if has_deltas else int(snap["total_rows"])
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
         shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1011,10 +1281,10 @@ class LakeTable:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
         total = sum(rows for rows, _c in bucket_stats.values())
-        if total != snap["total_rows"]:
+        if total != expected_rows:
             self.num_buckets = old_num
             raise RuntimeError(
-                f"rebucket row-count drift: {total} != {snap['total_rows']}"
+                f"rebucket row-count drift: {total} != {expected_rows}"
             )
         files_by_bucket: dict[int, list[str]] = {}
         for f in os.listdir(out_dir):
@@ -1056,6 +1326,136 @@ class LakeTable:
         self._publish(snapshot)
         return version
 
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        min_files: int = 2,
+    ) -> int:
+        """Table maintenance (Iceberg ``rewrite_data_files`` / Delta
+        OPTIMIZE / Paimon full-compaction analog): fold each candidate
+        bucket's pending merge-on-read deltas into a fresh single-file
+        base, rewrite multi-file or stale-schema bases, and commit the
+        result as a new snapshot. After compaction the bucket reads as
+        a pure file scan again (no per-read LWW merge), which is what
+        keeps "mor" write mode's O(batch) appends sustainable — the
+        LSM contract is append-fast / compact-periodically.
+
+        Candidates: buckets carrying deltas, buckets with >=
+        ``min_files`` base files, and buckets whose base is on an older
+        schema version (compaction doubles as schema-version
+        consolidation). ``buckets`` narrows the candidate set so
+        maintenance can be spread over time.
+
+        Verification: a bucket rewritten WITHOUT pending deltas must be
+        content-identical, so its fresh read-back stats are checked
+        against the manifest and any drift aborts before publish; a
+        delta-folding rewrite produces new state by design, so its
+        read-back stats become the new manifest entries (still
+        certifying the bytes on storage).
+
+        Scale shape: reads ONLY the candidate buckets and shuffles only
+        their rows (one explicit ``repartition(num_buckets, *keys)`` —
+        the same murmur3-pmod as the bucket layout, so reduce partition
+        i holds exactly bucket i and the bucketed write emits one file
+        per bucket with no further exchange). Untouched buckets keep
+        their manifest entries verbatim. Watermarks, applied-batch ids,
+        and the schema log are unchanged; older snapshots keep reading
+        their own files (time travel), which ``expire_snapshots`` +
+        ``vacuum_orphans`` later reclaim. Crash-safe: files land in a
+        fresh version directory before the atomic snapshot publish.
+        Returns the committed version (current version if no candidate).
+        """
+        snap = self.current_snapshot()
+        if snap is None or not snap["buckets"] or not snap.get("schema_version"):
+            return snap["version"] if snap else 0
+        current_sv = int(snap["schema_version"])
+        wanted = set(int(b) for b in buckets) if buckets is not None else None
+        candidates = sorted(
+            int(b)
+            for b, meta in snap["buckets"].items()
+            if (meta["files"] or meta.get("deltas"))
+            and (wanted is None or int(b) in wanted)
+            and (
+                meta.get("deltas")
+                or len(meta["files"]) >= min_files
+                or int(meta["schema_version"]) != current_sv
+            )
+        )
+        if not candidates:
+            return snap["version"]
+        schema = StructType.fromJson(snap["schemas"][str(current_sv)])
+        version = snap["version"] + 1
+        rel_out = os.path.join("data", f"v{version:08d}")
+        out_dir = os.path.join(self.path, rel_out)
+        rows_df = self.read(spark, buckets=candidates).repartition(
+            self.num_buckets, *[F.col(c) for c in self.key_cols]
+        )
+        self._write_bucketed(spark, rows_df, out_dir)
+        # verification read-back: the rewrite must be content-identical,
+        # so the fresh per-bucket stats must EQUAL the manifest's
+        written = spark.read.schema(schema).parquet(out_dir).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
+        canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
+        new_stats = {
+            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+            for r in written.groupBy(_BUCKET)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("checksum"),
+            )
+            .collect()
+        }
+        drift = []
+        for b in candidates:
+            meta = snap["buckets"][str(b)]
+            if meta.get("deltas"):
+                continue  # delta fold: new state by design, stats are fresh
+            got = new_stats.get(b, (0, "0"))
+            want_rows, want_ck = int(meta["rows"]), str(meta["checksum"])
+            # a bucket whose files were all written at an older schema
+            # version changes canonical bytes when new nullable columns
+            # appear — rows must still match; checksum re-certifies only
+            # on an unchanged schema version
+            if got[0] != want_rows or (
+                int(meta["schema_version"]) == current_sv and got[1] != want_ck
+            ):
+                drift.append((b, (want_rows, want_ck), got))
+        if drift:
+            raise RuntimeError(f"compaction content drift: {drift}")
+        files_by_bucket: dict[int, list[str]] = {}
+        for f in os.listdir(out_dir):
+            m = _BUCKET_NAME_RE.search(f)
+            if m:
+                files_by_bucket.setdefault(int(m.group(1)), []).append(
+                    os.path.join(rel_out, f)
+                )
+        buckets_meta = dict(snap["buckets"])
+        for b in candidates:
+            buckets_meta[str(b)] = {
+                "files": sorted(files_by_bucket.get(b, [])),
+                "schema_version": current_sv,
+                "rows": new_stats.get(b, (0, "0"))[0],
+                "checksum": new_stats.get(b, (0, "0"))[1],
+            }
+        snapshot = dict(snap)
+        snapshot.update(
+            version=version,
+            parent=snap["version"],
+            buckets=buckets_meta,
+            total_rows=sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in buckets_meta.values()
+            ),
+            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._publish(snapshot)
+        return version
+
     def vacuum_orphans(self) -> int:
         """Delete data files referenced by NO retained snapshot (crash
         leftovers, or files orphaned by expire_snapshots). Returns count
@@ -1068,6 +1468,8 @@ class LakeTable:
             snap = self.snapshot_at(int(m.group(1)))
             for meta in snap["buckets"].values():
                 live.update(meta["files"])
+                for d in meta.get("deltas", []):
+                    live.update(d["files"])
         removed = 0
         for root, _dirs, files in os.walk(self.data_dir):
             for f in files:

@@ -589,3 +589,285 @@ def test_read_changes_across_rebucket_falls_back(spark, tmp_path):
         for r in table.read_changes(spark, from_version=1).collect()
     }
     assert got == {("a", "update_postimage", "a2"), ("b", "insert", "b1")}
+
+
+# ------------------------------------------------------- merge-on-read
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, events_parquet):
+    """Merge-on-read mode: the same stream replayed as delta appends
+    converges to the same oracle state as copy-on-write; deltas are
+    visible in the manifest and every file group's checksum certifies."""
+    table = LakeTable(
+        str(tmp_path / "lake"), num_buckets=8, merge_mode="mor",
+        max_deltas_per_bucket=None,
+    )
+    ev = spark.read.parquet(events_parquet)
+    stats = ReplayEngine(table).replay(
+        spark, ev, 1, N_EVENTS, batch_size=N_EVENTS // 3 + 1
+    )
+    assert all(s.mode == "mor" for s in stats)
+    snap = table.current_snapshot()
+    assert any(m.get("deltas") for m in snap["buckets"].values())
+    assert _table_rows(spark, table) == sorted(
+        tuple(r) for r in _oracle_rows(events_parquet)
+    )
+    assert table.verify_bucket_checksums(spark) == []
+
+
+def test_mor_append_never_rewrites_base(spark, tmp_path):
+    """The point of mor: a delta apply leaves every base entry verbatim
+    (zero table-side write amplification) and appends one delta group
+    per touched bucket."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4, merge_mode="mor")
+    sch = "repo string, path string, seq long, op string, content string"
+    st1 = table.apply_batch(
+        spark,
+        spark.createDataFrame([("r", "a", 1, "U", "a1"), ("r", "b", 2, "U", "b1")], sch),
+        "b1",
+        mode="cow",
+    )
+    assert st1.mode == "cow"
+    base_before = {
+        b: (m["files"], m["rows"], str(m["checksum"]))
+        for b, m in table.current_snapshot()["buckets"].items()
+    }
+    st2 = table.apply_batch(
+        spark,
+        spark.createDataFrame([("r", "a", 11, "U", "a2"), ("r", "c", 12, "U", "c1")], sch),
+        "b2",
+    )
+    assert st2.mode == "mor"
+    snap = table.current_snapshot()
+    for b, m in snap["buckets"].items():
+        if b in base_before:
+            assert (m["files"], m["rows"], str(m["checksum"])) == base_before[b]
+    deltas = {b: m.get("deltas", []) for b, m in snap["buckets"].items()}
+    assert sum(len(d) for d in deltas.values()) > 0
+    got = {(r.path, r.content) for r in table.read(spark).collect()}
+    assert got == {("a", "a2"), ("b", "b1"), ("c", "c1")}
+
+
+def test_mor_delete_tombstone_applies_at_read(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4, merge_mode="mor")
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1"
+    )
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 2, "D", "")], sch), "b2"
+    )
+    assert table.read(spark).count() == 0
+    # redelivery of the pre-delete update stays fenced
+    st = table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1-redeliver"
+    )
+    assert st.events_fenced == st.events_in
+    assert table.read(spark).count() == 0
+
+
+def test_compact_folds_deltas_and_restores_scan_reads(
+    spark, tmp_path, events_parquet
+):
+    """compact() merges base+deltas into a fresh single-file base: state
+    identical, manifests delta-free, checksums certify, time travel
+    still reads the pre-compaction (delta-carrying) snapshot, and a
+    later batch applies cleanly on the compacted layout."""
+    table = LakeTable(
+        str(tmp_path / "lake"), num_buckets=8, merge_mode="mor",
+        max_deltas_per_bucket=None,
+    )
+    ev = spark.read.parquet(events_parquet)
+    ReplayEngine(table).replay(spark, ev, 1, N_EVENTS // 2, batch_size=N_EVENTS // 4)
+    before = _table_rows(spark, table)
+    v_pre = table.current_snapshot()["version"]
+
+    v = table.compact(spark)
+    assert v == v_pre + 1
+    snap = table.current_snapshot()
+    assert not any(m.get("deltas") for m in snap["buckets"].values())
+    assert all(len(m["files"]) <= 1 for m in snap["buckets"].values())
+    assert _table_rows(spark, table) == before
+    assert table.verify_bucket_checksums(spark) == []
+    # total_rows now exact state rows
+    assert snap["total_rows"] == len(before)
+    # time travel to the delta-carrying snapshot
+    assert sorted(
+        tuple(r)
+        for r in table.read(spark, version=v_pre)
+        .select("repo", "path", "seq", "commit", "lang", "content",
+                F.sha2("content", 256).alias("content_sha256"))
+        .collect()
+    ) == before
+    # compact again: nothing to do, no new snapshot
+    assert table.compact(spark) == v
+
+    # replay continues (mor) and still matches the oracle after a final compact
+    ReplayEngine(table).replay(
+        spark, ev, N_EVENTS // 2 + 1, N_EVENTS, batch_size=N_EVENTS // 2
+    )
+    table.compact(spark)
+    assert _table_rows(spark, table) == sorted(
+        tuple(r) for r in _oracle_rows(events_parquet)
+    )
+
+
+def test_cow_batch_after_mor_folds_touched_deltas(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=2, merge_mode="mor")
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", "a", 1, "U", "a1"), ("r", "b", 2, "U", "b1"),
+             ("r", "keep", 3, "U", "k1")],
+            sch,
+        ),
+        "b1",
+    )
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 11, "U", "a2")], sch), "b2"
+    )
+    # cow rewrite touching every bucket folds the deltas back in —
+    # INCLUDING delta-only keys the cow batch itself never mentions
+    # ("keep" lives solely in a delta of a bucket with an empty base)
+    st = table.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", "a", 21, "U", "a3"), ("r", "b", 22, "U", "b2")], sch
+        ),
+        "b3",
+        mode="cow",
+    )
+    assert st.mode == "cow"
+    snap = table.current_snapshot()
+    touched = {b for b, m in snap["buckets"].items() if m["files"]}
+    assert not any(snap["buckets"][b].get("deltas") for b in touched)
+    got = {(r.path, r.content) for r in table.read(spark).collect()}
+    assert got == {("a", "a3"), ("b", "b2"), ("keep", "k1")}
+    assert table.verify_bucket_checksums(spark) == []
+
+
+def test_mor_delta_pileup_escalates_to_cow(spark, tmp_path):
+    """max_deltas_per_bucket bounds read amplification: once a touched
+    bucket carries that many deltas the batch escalates to a merging
+    copy-on-write rewrite."""
+    table = LakeTable(
+        str(tmp_path / "lake"), num_buckets=1, merge_mode="mor",
+        max_deltas_per_bucket=2,
+    )
+    sch = "repo string, path string, seq long, op string, content string"
+    modes = []
+    for i in range(1, 5):
+        st = table.apply_batch(
+            spark,
+            # one updated key plus one fresh key per batch, so the cow
+            # escalation must carry delta-only keys it doesn't touch
+            spark.createDataFrame(
+                [("r", "a", 10 * i, "U", f"v{i}"), ("r", f"k{i}", 10 * i + 1, "U", "x")],
+                sch,
+            ),
+            f"b{i}",
+        )
+        modes.append(st.mode)
+    # b1, b2 append; b3 sees 2 piled deltas -> cow fold; b4 appends again
+    assert modes == ["mor", "mor", "cow", "mor"]
+    got = {(r.path, r.content) for r in table.read(spark).collect()}
+    assert got == {("a", "v4")} | {(f"k{i}", "x") for i in range(1, 5)}
+
+
+def test_mor_schema_evolution_reads_merged(spark, tmp_path):
+    """A delta written after a column was added reads back merged with
+    old base files (null-filled), same as cow evolution."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=2, merge_mode="mor")
+    sch1 = "repo string, path string, seq long, op string, content string"
+    sch2 = "repo string, path string, seq long, op string, content string, stars long"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch1), "b1",
+        mode="cow",
+    )
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "b", 2, "U", "b1", 7)], sch2), "b2"
+    )
+    rows = {(r.path, r.content, r.stars) for r in table.read(spark).collect()}
+    assert rows == {("a", "a1", None), ("b", "b1", 7)}
+    assert table.verify_bucket_checksums(spark) == []
+    table.compact(spark)
+    snap = table.current_snapshot()
+    assert all(
+        int(m["schema_version"]) == int(snap["schema_version"])
+        for m in snap["buckets"].values()
+        if m["files"]
+    )
+    assert {(r.path, r.content, r.stars) for r in table.read(spark).collect()} == rows
+
+
+def test_mor_crash_before_publish_is_replayable(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=2, merge_mode="mor")
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1"
+    )
+    v = table.current_snapshot()["version"]
+    with pytest.raises(CommitAborted):
+        table.apply_batch(
+            spark,
+            spark.createDataFrame([("r", "a", 2, "U", "a2")], sch),
+            "b2",
+            crash_after_data=True,
+        )
+    assert table.current_snapshot()["version"] == v  # nothing published
+    st = table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 2, "U", "a2")], sch), "b2"
+    )
+    assert st.applied and st.mode == "mor"
+    assert {(r.path, r.content) for r in table.read(spark).collect()} == {("a", "a2")}
+    # the orphaned first attempt's files are reclaimable
+    assert table.vacuum_orphans() >= 0
+    assert table.verify_bucket_checksums(spark) == []
+
+
+def test_auto_mode_picks_by_batch_to_table_ratio(spark, tmp_path):
+    sch = "repo string, path string, seq long, op string, content string"
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=1, merge_mode="auto")
+    big = spark.createDataFrame(
+        [("r", f"p{i}", i, "U", f"v{i}") for i in range(1, 41)], sch
+    )
+    st1 = table.apply_batch(spark, big, "b1")
+    assert st1.mode == "cow"  # first write: nothing to gain from a delta
+    small = spark.createDataFrame([("r", "p1", 100, "U", "new")], sch)
+    st2 = table.apply_batch(spark, small, "b2")
+    assert st2.mode == "mor"  # 40 file rows >> 4 * 1 batch row
+    st3 = table.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", f"p{i}", 200 + i, "U", "x") for i in range(1, 31)], sch
+        ),
+        "b3",
+    )
+    assert st3.mode == "cow"  # 41 file rows < 4 * 30 batch rows
+    got = {(r.path, r.content) for r in table.read(spark).collect()}
+    assert got == {(f"p{i}", "x") for i in range(1, 31)} | {
+        (f"p{i}", f"v{i}") for i in range(31, 41)
+    }
+
+
+def test_publish_cas_detects_concurrent_writer(spark, tmp_path):
+    """Optimistic-concurrency commit: the snapshot file is the CAS
+    token, so a stale writer that computed the same next version fails
+    loudly with CommitConflict instead of silently clobbering the
+    winner's commit (accidental double-started job)."""
+    from mex_extractors_spark.lake.table import CommitConflict
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=2)
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1"
+    )
+    winner = table.current_snapshot()
+    # a second writer replaying the same commit version loses the race
+    stale = dict(winner)
+    stale["applied_batches"] = ["someone-else"]
+    with pytest.raises(CommitConflict):
+        table._publish(stale)
+    # the winner's snapshot and pointer are untouched
+    assert table.current_snapshot()["applied_batches"] == winner["applied_batches"]
