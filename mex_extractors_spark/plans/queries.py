@@ -436,6 +436,59 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_mor_converged_state",
+    "merge-on-read write mode: delta appends + tombstones + read-side "
+    "LWW merge converge to the same state as copy-on-write",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_mor_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same converged-table law as cdc_converged_state, but replayed
+    through a LakeTable in merge_mode="mor": batches append delta files
+    (deletes as tombstones), one batch escalates to a folding rewrite,
+    and the final read merges base+deltas per key. The oracle is the
+    plain LWW SQL — mor is a physical write strategy, the table law is
+    identical."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    hi = ev.agg(F.max("seq")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_mor_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(
+        lake_dir, num_buckets=4, key_cols=["user_id"],
+        merge_mode="mor", max_deltas_per_bucket=2,
+    )
+    table.apply_batch(spark, ev.where(F.col("seq") <= cut1), "m1")
+    table.apply_batch(
+        spark, ev.where((F.col("seq") > cut1) & (F.col("seq") <= cut2)), "m2"
+    )
+    # third batch sees 2 piled deltas per touched bucket -> cow fold
+    table.apply_batch(spark, ev.where(F.col("seq") > cut2), "m3")
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "f4_first_wins_dedup",
     "F4 seen-set dedup (first per key in seq order)",
     """

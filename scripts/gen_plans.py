@@ -74,16 +74,30 @@ def main() -> None:
         captured.append(buf.getvalue().strip())
         return orig_write(self, spark_, df, out_dir)
 
+    cdf_plan = None
     try:
         table = LakeTable(os.path.join(tmp, "lake"), num_buckets=8)
         engine = ReplayEngine(table)
-        ev2 = synth.events(spark, 2000, n_repos=20)
+        ev2 = synth.events(spark, 3000, n_repos=20)
         engine.replay(spark, ev2, 1, 1000, batch_size=1000)
         LakeTable._write_bucketed = _spy
         engine.replay(spark, ev2, 1001, 2000, batch_size=1000)
+        cow_plan = captured[-1]
+        # change-data-feed between the two delta-free cow snapshots
+        # (the shuffle-free fast path; a delta-carrying snapshot falls
+        # back to a shuffled merge by design)
+        cdf_plan = formatted(table.read_changes(spark, from_version=1, to_version=2))
+        # merge-on-read append: same batch shape, no table side at all
+        table.apply_batch(
+            spark,
+            ev2.where((F.col("seq") > 2000) & (F.col("seq") <= 3000)),
+            "mor-demo",
+            mode="mor",
+        )
+        mor_plan = captured[-1]
+        LakeTable._write_bucketed = orig_write
     finally:
         LakeTable._write_bucketed = orig_write
-        shutil.rmtree(tmp, ignore_errors=True)
     sections.append(
         (
             "Storage-partitioned MERGE (micro-batch 2+ upsert)",
@@ -94,7 +108,32 @@ def main() -> None:
             "never shuffled. The only other exchange is the ~num_buckets-row "
             "`BroadcastExchange` of the watermark fence. At 100 TB "
             "(table >> batch) this is the load-bearing plan property.",
-            captured[-1],
+            cow_plan,
+        )
+    )
+    sections.append(
+        (
+            "Merge-on-read delta append (apply_batch mode='mor')",
+            "The written plan is the batch LWW aggregate ALONE — no "
+            "`SortMergeJoin`, no table-side FileScan anywhere: the standing "
+            "table is neither read nor rewritten, so per-batch write cost is "
+            "O(batch) at any table size (trickle-ingest regime; measured "
+            "67× write-amplification reduction in BENCH/MOR.md). Deltas "
+            "carry the op column as tombstones; reads merge base+deltas "
+            "by seq and compact() folds them back.",
+            mor_plan,
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    sections.append(
+        (
+            "Change-data-feed snapshot diff (read_changes)",
+            "Both snapshots enter the FULL OUTER key join as `Bucketed: true` "
+            "FileScans pruned to the manifest-diff buckets — ZERO `Exchange` "
+            "in the whole plan: neither snapshot's rows shuffle "
+            "(storage-partitioned join on the shared bucket layout; asserted "
+            "by tests/test_lake.py::test_read_changes_is_shuffle_free).",
+            cdf_plan,
         )
     )
 
