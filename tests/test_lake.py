@@ -871,3 +871,41 @@ def test_publish_cas_detects_concurrent_writer(spark, tmp_path):
         table._publish(stale)
     # the winner's snapshot and pointer are untouched
     assert table.current_snapshot()["applied_batches"] == winner["applied_batches"]
+
+
+def test_expire_and_vacuum_respect_delta_files(spark, tmp_path):
+    """Retention with pending deltas: expiring old snapshots must keep
+    every delta file the retained snapshots reference, and reclaim the
+    pre-compaction delta files once their snapshots are expired."""
+    table = LakeTable(
+        str(tmp_path / "lake"), num_buckets=2, merge_mode="mor",
+        max_deltas_per_bucket=None,
+    )
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "a1")], sch), "b1"
+    )
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 2, "U", "a2"), ("r", "b", 3, "U", "b1")], sch),
+        "b2",
+    )
+    # expire v1: v2 (current) still references BOTH delta groups
+    assert table.expire_snapshots(keep_last=1) == 1
+    got = {(r.path, r.content) for r in table.read(spark).collect()}
+    assert got == {("a", "a2"), ("b", "b1")}
+    assert table.verify_bucket_checksums(spark) == []
+
+    # compact, then expire the delta-carrying snapshot: its delta files
+    # become orphans and are reclaimed, the compacted base survives
+    table.compact(spark)
+    assert table.expire_snapshots(keep_last=1) == 1
+    assert {(r.path, r.content) for r in table.read(spark).collect()} == got
+    assert table.verify_bucket_checksums(spark) == []
+    # no stray delta parquet outside the retained snapshot's file set
+    snap = table.current_snapshot()
+    live = {os.path.join(str(tmp_path / "lake"), f)
+            for m in snap["buckets"].values() for f in m["files"]}
+    on_disk = set()
+    for root, _d, files in os.walk(str(tmp_path / "lake" / "data")):
+        on_disk.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    assert on_disk == live
