@@ -54,6 +54,18 @@ def main() -> None:
         "segments would be dropped at scan time. Default: infer per "
         "segment so schema evolution flows through.",
     )
+    ap.add_argument(
+        "--merge-mode", default="cow", choices=("cow", "mor", "auto"),
+        help="write strategy: cow rewrites touched buckets per batch; "
+        "mor appends delta files (trickle-ingest regime — pair with "
+        "--compact-every); auto picks per batch",
+    )
+    ap.add_argument(
+        "--compact-every", type=int, default=0, metavar="N",
+        help="run table.compact() after every N applied segments "
+        "(0 = never; mor deltas also fold on the max_deltas_per_bucket "
+        "escalation regardless)",
+    )
     args = ap.parse_args()
 
     # configuration comes from spark-submit; only engine invariants here
@@ -77,7 +89,9 @@ def main() -> None:
     if not segments:
         raise SystemExit(f"no _segment=N dirs under {args.events_dir}")
 
-    table = LakeTable(args.table_dir, num_buckets=args.num_buckets)
+    table = LakeTable(
+        args.table_dir, num_buckets=args.num_buckets, merge_mode=args.merge_mode
+    )
     engine = ReplayEngine(
         table,
         metrics=MetricsLog(args.metrics) if args.metrics else None,
@@ -85,9 +99,18 @@ def main() -> None:
     )
     schema = spark.read.parquet(segments[0][1]).schema if args.fixed_schema else None
     t0 = time.monotonic()
-    stats = engine.replay_files(
-        spark, [(f"segment:{i}", [p]) for i, p in segments], schema=schema
-    )
+    if args.compact_every > 0:
+        stats = []
+        for n, (i, p) in enumerate(segments, start=1):
+            stats.extend(
+                engine.replay_files(spark, [(f"segment:{i}", [p])], schema=schema)
+            )
+            if n % args.compact_every == 0:
+                table.compact(spark)
+    else:
+        stats = engine.replay_files(
+            spark, [(f"segment:{i}", [p]) for i, p in segments], schema=schema
+        )
     wall = time.monotonic() - t0
     applied = [s for s in stats if s.applied]
     print(
