@@ -161,3 +161,39 @@ def test_running_totals_stateful_stream(spark, tmp_path):
         .collect()
     }
     assert {k: (v["total_events"], v["max_seq"]) for k, v in final.items()} == truth
+
+
+def test_stream_from_files_mor_mode_converges(spark, tmp_path):
+    """Structured Streaming foreachBatch over a merge-on-read table:
+    micro-batches append deltas, compaction folds them, the converged
+    state equals a copy-on-write batch replay of the same events."""
+    n = 800
+    events = synth.events(spark, n, n_repos=15, paths_per_repo=10)
+    src = str(tmp_path / "stream_src")
+    events.where("seq <= 400").write.parquet(src)
+    events.where("seq > 400").write.mode("append").parquet(src)
+
+    table = LakeTable(
+        str(tmp_path / "stream_lake"), num_buckets=4, merge_mode="mor",
+        max_deltas_per_bucket=None,
+    )
+    engine = ReplayEngine(table)
+    q = engine.stream_from_files(
+        spark,
+        src,
+        schema=events.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert any(
+        m.get("deltas") for m in table.current_snapshot()["buckets"].values()
+    )
+    table.compact(spark)
+
+    ref_table = LakeTable(str(tmp_path / "batch_lake"), num_buckets=4)
+    ReplayEngine(ref_table).replay(spark, events, 1, n, batch_size=n)
+    got = sorted(map(tuple, table.read(spark).collect()))
+    exp = sorted(map(tuple, ref_table.read(spark).collect()))
+    assert got == exp and len(got) > 0
+    assert table.verify_bucket_checksums(spark) == []
