@@ -456,3 +456,40 @@ def dedup_components(
         if changed == 0:
             break
     return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("component_id"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_matches`` DISTINCT character ``k``-gram shingles with
+    any benchmark/eval document — the training-data decontamination
+    step of large-corpus pipelines (beyond the reference; companion to
+    the dedup family, SURVEY.md §2 extension list).
+
+    Scale shape: the benchmark side reduces to a DISTINCT shingle set
+    and is broadcast (eval suites are tiny next to a 100 TB corpus), so
+    corpus rows never shuffle for the membership test; corpus shingles
+    explode once through codegen (position explode + substring, see
+    ``_exploded_shingles``) and the per-doc distinct-match count is ONE
+    hash aggregate with map-side partial dedup. No doc×doc join
+    anywhere.
+
+    Returns ``(id_col, matched_shingles)`` for contaminated documents.
+    """
+    bench_sh = (
+        _exploded_shingles(benchmark, text_col, id_col, k).select("_s").distinct()
+    )
+    corpus_sh = _exploded_shingles(corpus, text_col, id_col, k)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), on="_s", how="inner")
+        .groupBy("_id")
+        .agg(F.count_distinct("_s").alias("matched_shingles"))
+        .where(F.col("matched_shingles") >= min_matches)
+        .select(F.col("_id").alias(id_col), "matched_shingles")
+    )

@@ -1825,6 +1825,44 @@ def a9_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "t7_decontamination",
+    "benchmark decontamination: corpus docs sharing k-gram shingles "
+    "with an eval set (broadcast distinct bench shingles, position-"
+    "explode corpus, one count-distinct aggregate — no doc x doc join)",
+    """
+    WITH bsets AS (
+      SELECT list_distinct([substr(text, i, 20)
+                            for i in generate_series(1, greatest(length(text) - 19, 1))]) AS sh
+      FROM documents WHERE doc_id % 50 = 0
+    ), bsh AS (
+      SELECT DISTINCT unnest(sh) AS s FROM bsets
+    ), csets AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 20)
+                            for i in generate_series(1, greatest(length(text) - 19, 1))]) AS sh
+      FROM documents WHERE doc_id % 50 <> 0
+    ), csh AS (
+      SELECT doc_id, unnest(sh) AS s FROM csets
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS matched_shingles
+    FROM csh c JOIN bsh b ON c.s = b.s
+    GROUP BY c.doc_id
+    HAVING count(*) >= 1
+    """,
+)
+def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 50th document plays the benchmark/eval set; the rest is
+    the training corpus. A corpus doc sharing any 20-gram with the
+    benchmark is flagged with its distinct-match count (the planted
+    near-duplicate pairs in the synthetic corpus guarantee hits)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(
+        corpus, bench, text_col="text", id_col="doc_id", k=20, min_matches=1
+    )
+
 # ------------------------------------------------- paginated / scrape / sinks
 
 

@@ -377,3 +377,31 @@ def test_repetition_signals(spark):
     assert rep[2].d == 0.0 and rep[2].top_bigram_fraction == round(1 / 2, 6)
     assert rep[3].d == 0.0 and rep[3].top_bigram_fraction == 0.0
     assert rep[4].d == 0.0 and rep[4].top_bigram_fraction == 0.0
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark passage is flagged
+    with the exact distinct-shingle overlap count; clean docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the bench passage verbatim -> contaminated
+            (1, "prefix text the quick brown fox jumps over the lazy dog tonight suffix"),
+            # no 10-gram overlap -> clean
+            (2, "completely unrelated content with zero shared character grams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.matched_shingles)
+        for r in dedup.decontaminate(
+            corpus, bench, text_col="text", id_col="doc_id", k=10, min_matches=3
+        ).collect()
+    }
+    assert {d for d, _m in got} == {1}
+    # overlap = every 10-gram of the 51-char passage = 51-10+1 = 42
+    ((doc, m),) = got
+    assert m == 42
