@@ -211,6 +211,18 @@ def main() -> None:
         )
     )
 
+    # 7b. decontamination: broadcast membership + count-distinct agg
+    sections.append(
+        (
+            "Benchmark decontamination (t7_decontamination)",
+            "`BroadcastHashJoin` with the eval set's DISTINCT shingle set as "
+            "build side — the corpus side never shuffles for the membership "
+            "test; the per-doc overlap is a partial_count(distinct) "
+            "HashAggregate pair. No doc×doc join in the plan.",
+            formatted(REGISTRY["t7_decontamination"].fn(spark, SF)),
+        )
+    )
+
     # 8. near-dup pair generation via inverted index (no self-join)
     sections.append(
         (
