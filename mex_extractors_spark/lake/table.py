@@ -1061,7 +1061,11 @@ class LakeTable:
         return self.read(spark, buckets=changed, version=to_snap["version"])
 
     def read_changes(
-        self, spark: SparkSession, from_version: int, to_version: int | None = None
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two snapshots: one row per key whose
         stored row differs, tagged ``_change_type`` in ``insert`` /
@@ -1070,6 +1074,11 @@ class LakeTable:
         ``to_version`` (post-image), ``delete`` rows the last state the
         key had at ``from_version``. A re-upsert that only advances
         ``seq_col`` counts as an update — the stored row changed.
+        ``include_preimages=True`` additionally emits an
+        ``update_preimage`` row (the old payload) for every update —
+        the full Delta-CDF contract, required by consumers that retract
+        old contributions (incremental aggregate maintenance,
+        ``lake/derived.py``).
 
         Scale shape: the manifest prunes the diff to buckets whose file
         list or content checksum differs between the two snapshots, and
@@ -1178,18 +1187,31 @@ class LakeTable:
             .when(~in_new, F.lit("delete"))
             .when(new_hash != old_hash, F.lit("update_postimage"))
         )
-        return (
+        joined = (
             n.join(o, on=list(self.key_cols), how="full_outer")
             .withColumn("_change_type", change)
             .where(F.col("_change_type").isNotNull())
-            .select(
-                *self.key_cols,
-                *[
-                    F.when(in_new, F.col(c)).otherwise(F.col(f"__old__{c}")).alias(c)
-                    for c in payload
-                ],
+        )
+        if include_preimages:
+            # update rows fan out to preimage+postimage pairs in-place
+            # (a Generate node, no extra exchange or second scan)
+            joined = joined.withColumn(
                 "_change_type",
+                F.explode(
+                    F.when(
+                        F.col("_change_type") == "update_postimage",
+                        F.array(F.lit("update_preimage"), F.lit("update_postimage")),
+                    ).otherwise(F.array(F.col("_change_type")))
+                ),
             )
+        use_new = F.col("_change_type").isin("insert", "update_postimage")
+        return joined.select(
+            *self.key_cols,
+            *[
+                F.when(use_new, F.col(c)).otherwise(F.col(f"__old__{c}")).alias(c)
+                for c in payload
+            ],
+            "_change_type",
         )
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:

@@ -489,6 +489,67 @@ def cdc_mor_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_incremental_agg",
+    "incremental materialized-view maintenance: derived per-group "
+    "aggregates kept in sync by consuming the CDF (preimage retraction),"
+    " never rescanning the source",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(event_id) AS BIGINT) AS id_total
+    FROM state GROUP BY event_type
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into a source lake in two batches; after
+    each batch, refresh a derived per-event_type aggregate table from
+    the change-data-feed (full build, then CDF-only increment with
+    pre-image retraction — group-moving updates and tombstone deletes
+    included). The oracle aggregates the final LWW state directly: the
+    incrementally-maintained view must equal the from-scratch answer."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.derived import refresh_aggregates
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cdc_ivm_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    source = LakeTable(os.path.join(base, "src"), num_buckets=4, key_cols=["user_id"])
+    derived = LakeTable(
+        os.path.join(base, "drv"), num_buckets=2,
+        key_cols=["event_type"], seq_col="_src_version",
+    )
+
+    def refresh():
+        refresh_aggregates(
+            spark, source, derived, ["event_type"],
+            count_alias="cnt", sum_cols={"id_total": "seq"},
+        )
+
+    source.apply_batch(spark, ev.where(F.col("seq") <= mid), "ivm-b1")
+    refresh()  # initial full build at source v1
+    source.apply_batch(spark, ev.where(F.col("seq") > mid), "ivm-b2")
+    refresh()  # CDF-only increment v1 -> v2
+    return derived.read(spark).select("event_type", "cnt", "id_total")
+
+
+@q(
     "f4_first_wins_dedup",
     "F4 seen-set dedup (first per key in seq order)",
     """
