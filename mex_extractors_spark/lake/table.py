@@ -1480,8 +1480,15 @@ class LakeTable:
 
     def vacuum_orphans(self) -> int:
         """Delete data files referenced by NO retained snapshot (crash
-        leftovers, or files orphaned by expire_snapshots). Returns count
-        removed."""
+        leftovers, or files orphaned by expire_snapshots). Also sweeps
+        stale ``.tmp-*`` ledger files a kill between write and link/
+        rename can leave behind. Returns count of data files removed."""
+        for f in os.listdir(self.ledger_dir):
+            if ".tmp-" in f:
+                try:
+                    os.remove(os.path.join(self.ledger_dir, f))
+                except OSError:
+                    pass
         live: set[str] = set()
         for f in os.listdir(self.ledger_dir):
             m = re.fullmatch(r"v(\d{8})\.json", f)
