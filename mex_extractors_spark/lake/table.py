@@ -526,6 +526,34 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def read_key(self, spark: SparkSession, **key_values) -> DataFrame:
+        """Point lookup: the state of one key (or one key prefix that
+        pins every key column used by the bucket function — i.e. all of
+        ``key_cols``). The key hashes to exactly one bucket, so the scan
+        touches 1/num_buckets of the table regardless of table size —
+        at 100 TB with 4096 buckets a lookup reads one bucket's files,
+        with the equality predicate pushed into the parquet scan.
+        Merge-on-read deltas of that bucket are merged as usual.
+        """
+        missing = [c for c in self.key_cols if c not in key_values]
+        if missing:
+            raise ValueError(
+                f"read_key needs every key column (missing {missing}): "
+                "the bucket function hashes all of them"
+            )
+        # same murmur3-pmod the layout uses, evaluated on a literal row
+        # (no table scan — a 1-row local plan)
+        bucket = spark.range(1).select(
+            F.pmod(
+                F.hash(*[F.lit(key_values[c]) for c in self.key_cols]),
+                F.lit(self.num_buckets),
+            ).alias("b")
+        ).first()["b"]
+        out = self.read(spark, buckets=[int(bucket)])
+        for c in self.key_cols:
+            out = out.where(F.col(c) == F.lit(key_values[c]))
+        return out
+
     # -------------------------------------------------------------- write
 
     def apply_batch(

@@ -909,3 +909,40 @@ def test_expire_and_vacuum_respect_delta_files(spark, tmp_path):
     for root, _d, files in os.walk(str(tmp_path / "lake" / "data")):
         on_disk.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
     assert on_disk == live
+
+
+def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path, events_parquet):
+    """Point lookup scans exactly one bucket's files (manifest-pruned)
+    with the equality pushed into the scan, and agrees with a filter
+    over the full table — including through merge-on-read deltas."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    ev = spark.read.parquet(events_parquet)
+    ReplayEngine(table).replay(spark, ev, 1, N_EVENTS // 2, batch_size=N_EVENTS // 2)
+    # one mor batch so the looked-up state may live in a delta
+    table.apply_batch(
+        spark, ev.where(
+            (F.col("seq") > N_EVENTS // 2) & (F.col("seq") <= N_EVENTS)
+        ), "tail", mode="mor",
+    )
+    full = table.read(spark)
+    sample = full.select("repo", "path").orderBy("repo", "path").limit(3).collect()
+    for row in sample:
+        got = sorted(map(tuple, table.read_key(
+            spark, repo=row.repo, path=row.path).collect()))
+        exp = sorted(map(tuple, full.where(
+            (F.col("repo") == row.repo) & (F.col("path") == row.path)).collect()))
+        assert got == exp and len(got) == 1
+    # scan footprint: only one bucket's base files appear in the plan
+    snap = table.current_snapshot()
+    df = table.read_key(spark, repo=sample[0].repo, path=sample[0].path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scanned = sum(
+        1
+        for b, m in snap["buckets"].items()
+        for f in m["files"]
+        if os.path.basename(f).split(".")[0] in plan
+    )
+    total_files = sum(len(m["files"]) for m in snap["buckets"].values())
+    assert total_files >= 8 and n_scanned <= 1, (n_scanned, total_files)
+    with pytest.raises(ValueError):
+        table.read_key(spark, repo="only-half-the-key")
