@@ -118,7 +118,7 @@ def main() -> None:
             "`SortMergeJoin`, no table-side FileScan anywhere: the standing "
             "table is neither read nor rewritten, so per-batch write cost is "
             "O(batch) at any table size (trickle-ingest regime; measured "
-            "67× write-amplification reduction in BENCH/MOR.md). Deltas "
+            "65× write-amplification reduction in BENCH/MOR.md). Deltas "
             "carry the op column as tombstones; reads merge base+deltas "
             "by seq and compact() folds them back.",
             mor_plan,
