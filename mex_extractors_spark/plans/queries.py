@@ -550,6 +550,49 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "k2_ndjson_export",
+    "K2 checksummed versioned NDJSON sink (sinks/s3.py:52-133): "
+    "executor-written ordered parts, driver read-back sha256, "
+    "metadata document — the oracle recomputes the exact byte-stream "
+    "hash from SQL",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS item_count,
+           sha256(string_agg(
+             '{"r_name":"' || r_name || '","r_regionkey":' || r_regionkey || '}',
+             chr(10) ORDER BY r_regionkey) || chr(10)) AS sha256_checksum
+    FROM region
+    """,
+)
+def k2_ndjson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export the region dim through the NDJSON sink and return the
+    metadata document's (item_count, sha256_checksum); the oracle
+    rebuilds the identical canonical byte stream in SQL, so hash
+    equality proves sorted-key serialization, total ordering, AND the
+    bytes-on-storage read-back."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.sinks.ndjson import export_ndjson
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"k2_ndjson_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    meta = export_ndjson(
+        spark,
+        _t(spark, sf_dir, "region").select("r_name", "r_regionkey"),
+        out,
+        version_label="publisher-1.0",
+        order_cols=["r_regionkey"],
+    )
+    return spark.createDataFrame(
+        [(meta["item_count"], meta["sha256_checksum"])],
+        "item_count long, sha256_checksum string",
+    )
+
+
+@q(
     "f4_first_wins_dedup",
     "F4 seen-set dedup (first per key in seq order)",
     """

@@ -1,0 +1,133 @@
+"""Checksummed versioned NDJSON export — the reference's S3 publisher
+sink contract (mex/extractors/sinks/s3.py:52-133): items serialized as
+sorted-key JSON lines under a version-labeled prefix
+(``publisher-{major}.{minor}/items.ndjson``, :100-104), the byte stream
+sha256-checksummed (:106-109), and a ``metadata.json`` document
+recording checksum / item count / package versions / timestamp
+(:111-133).
+
+Cluster shape: line rendering and part writing happen ON THE EXECUTORS
+(``mapInPandas`` after a global ``orderBy`` — Spark's range-partitioned
+sort makes the part files globally ordered by part id), and only a
+one-row-per-part manifest returns to the driver. The driver then
+streams the ordered parts through sha256 — the read-back is the point:
+the checksum certifies the bytes on storage, exactly the reference's
+contract — and writes ``metadata.json``. ``single_file=True`` (the
+reference's layout) concatenates into one ``items.ndjson`` during that
+same streaming pass; ``False`` keeps the parts (the 100 TB shape) with
+their per-part sha256 recorded in the metadata document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from mex_extractors_spark.functions.canonical import canonical_json
+
+_PART_SCHEMA = "part long, file_name string, n_rows long, part_sha256 string"
+
+
+def export_ndjson(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    version_label: str = "publisher-1.0",
+    order_cols: Sequence[str] | None = None,
+    single_file: bool = True,
+) -> dict:
+    """Export ``df`` as canonical sorted-key NDJSON under
+    ``out_dir/version_label/`` and return the metadata document.
+
+    ``order_cols`` must identify rows uniquely (the table key): the
+    output byte stream is deterministic for a given state only under a
+    total order, which is what makes the sha256 reproducible across
+    partitionings and re-runs (reference golden test:
+    tests/sinks/test_s3.py:69-79).
+    """
+    order_cols = list(order_cols or sorted(df.columns))
+    target = os.path.join(out_dir, version_label)
+    os.makedirs(target, exist_ok=True)
+
+    lines = df.select(canonical_json(df).alias("_line"), *[
+        c for c in order_cols
+    ]).orderBy(*order_cols).select("_line")
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        h = hashlib.sha256()
+        n = 0
+        path = os.path.join(target, f"part-{pid:05d}.ndjson")
+        fh = None
+        for pdf in batches:
+            if fh is None:
+                fh = open(path, "wb")
+            for line in pdf["_line"]:
+                payload = (line + "\n").encode("utf-8")
+                fh.write(payload)
+                h.update(payload)
+                n += 1
+        if fh is None:
+            return  # empty partition: no file, no manifest row
+        fh.close()
+        yield pd.DataFrame(
+            {
+                "part": [pid],
+                "file_name": [os.path.basename(path)],
+                "n_rows": [n],
+                "part_sha256": [h.hexdigest()],
+            }
+        )
+
+    manifest = sorted(
+        (r.part, r.file_name, r.n_rows, r.part_sha256)
+        for r in lines.mapInPandas(write_part, _PART_SCHEMA).collect()
+    )
+    # read-back pass: stream the ordered parts through sha256 so the
+    # recorded checksum certifies the bytes actually on storage
+    stream = hashlib.sha256()
+    total = 0
+    out_path = os.path.join(target, "items.ndjson") if single_file else None
+    out_fh = open(out_path, "wb") if out_path else None
+    for _pid, fname, n_rows, part_sha in manifest:
+        ph = hashlib.sha256()
+        with open(os.path.join(target, fname), "rb") as fh:
+            while chunk := fh.read(1 << 20):
+                stream.update(chunk)
+                ph.update(chunk)
+                if out_fh is not None:
+                    out_fh.write(chunk)
+        if ph.hexdigest() != part_sha:
+            raise RuntimeError(f"ndjson part {fname}: bytes on storage drifted")
+        total += n_rows
+    if out_fh is not None:
+        out_fh.close()
+        for _pid, fname, _n, _s in manifest:
+            os.remove(os.path.join(target, fname))
+
+    metadata = {
+        "sha256_checksum": stream.hexdigest(),
+        "item_count": total,
+        "version_label": version_label,
+        "files": (
+            ["items.ndjson"]
+            if single_file
+            else [
+                {"file": f, "n_rows": n, "sha256": s}
+                for _p, f, n, s in manifest
+            ]
+        ),
+        "versions": {"pyspark": spark.version},
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(os.path.join(target, "metadata.json"), "w") as fh:
+        json.dump(metadata, fh, sort_keys=True, indent=1)
+    return metadata

@@ -104,3 +104,54 @@ def test_html_scrape_expressions(spark):
         .collect()
     )
     assert [r.i for r in ids] == [7, 9]
+
+
+def test_export_ndjson_reference_layout_and_checksum(spark, tmp_path):
+    """K2 parity (sinks/s3.py:52-133): sorted-key JSON lines in a
+    version-labeled prefix, metadata.json whose sha256 equals the
+    hash of the bytes on disk; byte stream identical regardless of
+    input partitioning (golden pattern tests/sinks/test_s3.py:69-79)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from mex_extractors_spark.sinks.ndjson import export_ndjson
+
+    df = spark.createDataFrame(
+        [(2, "beta", 20), (1, "alpha", 10), (3, "gamma", 30)],
+        "item_id long, name string, score long",
+    )
+    out = str(tmp_path / "sink")
+    meta = export_ndjson(
+        spark, df, out, version_label="publisher-1.0", order_cols=["item_id"]
+    )
+    path = os.path.join(out, "publisher-1.0", "items.ndjson")
+    raw = open(path, "rb").read()
+    # canonical expected bytes: sorted keys, compact separators, key order
+    expected = b"".join(
+        (_json.dumps(
+            {"item_id": i, "name": n, "score": s},
+            sort_keys=True, separators=(",", ":"),
+        ) + "\n").encode()
+        for i, n, s in [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)]
+    )
+    assert raw == expected
+    assert meta["sha256_checksum"] == hashlib.sha256(raw).hexdigest()
+    assert meta["item_count"] == 3
+    md = _json.load(open(os.path.join(out, "publisher-1.0", "metadata.json")))
+    assert md["sha256_checksum"] == meta["sha256_checksum"]
+
+    # repartitioned input -> byte-identical stream (deterministic order)
+    meta2 = export_ndjson(
+        spark, df.repartition(7), str(tmp_path / "sink2"),
+        version_label="publisher-1.0", order_cols=["item_id"],
+    )
+    assert meta2["sha256_checksum"] == meta["sha256_checksum"]
+
+    # parts mode: per-part manifest, same total count
+    meta3 = export_ndjson(
+        spark, df.repartition(3), str(tmp_path / "sink3"),
+        version_label="publisher-1.0", order_cols=["item_id"], single_file=False,
+    )
+    assert meta3["item_count"] == 3
+    assert sum(f["n_rows"] for f in meta3["files"]) == 3
