@@ -284,3 +284,53 @@ def pairwise_cosine_near_duplicates(
         F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine_sim"),
     )
     return pairs.where(F.col("cosine_sim") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query path: search only the ``nprobe`` inverted lists whose
+    centroids are nearest the query, then exact cosine top-k within
+    those candidates — the standard recall/cost dial of IVF indexes.
+
+    Scale shape: at 100 TB the assignments are PRECOMPUTED (one
+    ``ivf_assignments``/``kmeans_refine`` build job) and the corpus is
+    partitioned by ``centroid_id``, so the probe prunes the scan to
+    nprobe/num_centroids of the data before any vector math; here the
+    assignment join runs inline for self-containedness. The probe set
+    is chosen DRIVER-side over the collected centroid sample (tiny by
+    construction) and embedded as literals, so the candidate filter is
+    a plain ``isin`` the optimizer can push down.
+    """
+    import math
+
+    cent_rows = (
+        df.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_cvec"),
+        )
+        .orderBy(F.md5(F.col("_cid").cast("string")))
+        .limit(num_centroids)
+        .collect()
+    )
+    probes = sorted(
+        (
+            math.sqrt(sum((x - y) ** 2 for x, y in zip(r["_cvec"], query_vec))),
+            r["_cid"],
+        )
+        for r in cent_rows
+    )[:nprobe]
+    probe_ids = [cid for _d, cid in probes]
+    assigned = ivf_assignments(df, num_centroids, vec_col=vec_col, id_col=id_col)
+    candidates = df.join(
+        assigned.where(F.col("centroid_id").isin(probe_ids)).select(id_col),
+        on=id_col,
+        how="inner",
+    )
+    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)

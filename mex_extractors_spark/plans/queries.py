@@ -270,6 +270,43 @@ def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
 _BASE62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
 
+
+def _sim5_oracle(qvec: list[float], k: int, num_centroids: int, nprobe: int) -> str:
+    """IVF nprobe search restated in SQL: same md5-deterministic
+    centroid sample, same rounded-argmin assignment tie-break as
+    _sim3_oracle, probe list by exact L2 to the literal query."""
+    qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in qvec) + "]"
+    d = "e.embedding::DOUBLE[]"
+    l2 = (
+        f"sqrt(list_sum([(({d})[i] - c.cvec[i]) * (({d})[i] - c.cvec[i])"
+        " for i in generate_series(1, len(c.cvec))]))"
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+    ), q AS (SELECT {qlit} AS qv),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY sqrt(list_sum([(cvec[i] - qv[i]) * (cvec[i] - qv[i])
+                              for i in generate_series(1, len(cvec))])), cid
+      LIMIT {nprobe}
+    ), assign AS (
+      SELECT e.vec_id AS vec_id, c.cid AS cid
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY round({l2}, 6), c.cid) = 1
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e
+    JOIN assign a ON e.vec_id = a.vec_id AND a.cid IN (SELECT cid FROM probe), q
+    ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
 def _stable_id_sql(*part_exprs: str, length: int = 22) -> str:
     """functions.ids.stable_id as a DuckDB expression: sha256 over
     chr(31)-joined parts, base62-folded — byte-identical to the Spark
@@ -1757,6 +1794,20 @@ def sim2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
     return similarity.ann_lsh_topk(e, qvec, k=10, num_planes=6)
+
+
+@q(
+    "sim5_ivf_topk",
+    "IVF nprobe search: probe the nearest inverted lists, exact cosine "
+    "top-k within — the recall/cost dial of IVF indexes; probe ids are "
+    "driver-computed literals so the candidate filter pushes down",
+    _sim5_oracle([((i * 37) % 19 - 9) / 10.0 for i in range(64)], k=10,
+                 num_centroids=8, nprobe=3),
+)
+def sim5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    return similarity.ivf_topk(e, qvec, k=10, num_centroids=8, nprobe=3)
 
 
 @q(

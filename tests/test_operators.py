@@ -405,3 +405,25 @@ def test_decontaminate_planted_overlap(spark):
     # overlap = every 10-gram of the 51-char passage = 51-10+1 = 42
     ((doc, m),) = got
     assert m == 42
+
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    """Probing every inverted list degrades IVF to exact search — the
+    recall dial's upper endpoint must equal brute-force cosine top-k."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.0, 0.7]
+    exact = [tuple(r) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    full_probe = [
+        tuple(r)
+        for r in similarity.ivf_topk(
+            df, q, k=5, num_centroids=6, nprobe=6
+        ).collect()
+    ]
+    assert full_probe == exact
+    # narrow probe returns a subset-quality result: valid ids, k rows
+    narrow = similarity.ivf_topk(df, q, k=5, num_centroids=6, nprobe=1).collect()
+    assert len(narrow) == 5 and all(0 <= r.vec_id < 60 for r in narrow)
