@@ -946,3 +946,89 @@ def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path, events_parq
     assert total_files >= 8 and n_scanned <= 1, (n_scanned, total_files)
     with pytest.raises(ValueError):
         table.read_key(spark, repo="only-half-the-key")
+
+
+def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm(
+    spark, tmp_path
+):
+    """Kitchen-sink composition guard: cow + mor batches, a schema
+    evolution, a bucket-layout rewrite, compaction, CDF reads, and an
+    incrementally-maintained derived view — applied in one flow — must
+    all agree with a driver-side replay oracle at every step."""
+    from collections import defaultdict
+
+    from mex_extractors_spark.lake.derived import refresh_aggregates
+
+    source = LakeTable(
+        str(tmp_path / "src"), num_buckets=4, merge_mode="mor",
+        max_deltas_per_bucket=None,
+    )
+    derived = LakeTable(
+        str(tmp_path / "drv"), key_cols=["lang"], seq_col="_src_version",
+        num_buckets=2,
+    )
+    sch1 = "repo string, path string, seq long, op string, lang string, stars long"
+    sch2 = sch1 + ", forks long"
+
+    log = []  # rows as tuples in schema order
+
+    def apply(batch_rows, bid, schema, mode=None):
+        source.apply_batch(spark, spark.createDataFrame(batch_rows, schema), bid, mode=mode)
+        log.extend(batch_rows)
+
+    def oracle():
+        state = {}
+        for row in sorted(log, key=lambda r: r[2]):
+            key = (row[0], row[1])
+            if row[3] == "D":
+                state.pop(key, None)
+            else:
+                forks = row[6] if len(row) > 6 else None
+                state[key] = (row[2], row[4], row[5], forks)
+        return state
+
+    def check():
+        got = {}
+        for r in source.read(spark).collect():
+            d = r.asDict()
+            got[(d["repo"], d["path"])] = (
+                d["seq"], d["lang"], d["stars"], d.get("forks")
+            )
+        assert got == oracle()
+        refresh_aggregates(
+            spark, source, derived, ["lang"], count_alias="cnt",
+            sum_cols={"total_stars": "stars"},
+        )
+        want = defaultdict(lambda: [0, 0])
+        for _seq, lang, stars, _forks in oracle().values():
+            want[lang][0] += 1
+            want[lang][1] += stars or 0
+        drows = {
+            r.lang: (r.cnt, r.total_stars)
+            for r in derived.read(spark).select("lang", "cnt", "total_stars").collect()
+        }
+        assert drows == {k: tuple(v) for k, v in want.items()}
+
+    apply([("r", "a", 1, "U", "py", 10), ("r", "b", 2, "U", "rs", 4),
+           ("r", "c", 3, "U", "py", 1)], "b1", sch1, mode="cow")
+    check()
+    # mor batch WITH a schema evolution (forks column appears)
+    apply([("r", "a", 11, "U", "go", 5, 7), ("r", "d", 12, "U", "py", 2, 1)],
+          "b2", sch2)
+    check()
+    source.rebucket(spark, 8)
+    check()
+    apply([("r", "b", 21, "D", "", 0, 0), ("r", "e", 22, "U", "go", 9, 3)],
+          "b3", sch2)
+    check()
+    source.compact(spark)
+    check()
+    assert source.verify_bucket_checksums(spark) == []
+    # CDF across the whole history still diffs correctly
+    changes = {
+        (r.path, r._change_type)
+        for r in source.read_changes(spark, from_version=1).collect()
+    }
+    assert ("b", "delete") in changes and ("e", "insert") in changes
+    # derived table survived every refresh with exactly-once bookkeeping
+    assert derived.verify_bucket_checksums(spark) == []
