@@ -1,0 +1,156 @@
+"""File-level column statistics and data-skipping predicates.
+
+Iceberg keeps per-data-file lower/upper bounds + null counts in its
+manifests so a planner can drop files *before* scheduling the scan
+(data skipping); the reference's analog is the per-export metadata
+document written next to the data (`sinks/s3.py:111-133`). Here the
+stats ride the snapshot manifest of :class:`~..lake.table.LakeTable`:
+
+- **min/max/null_count** come straight from the parquet footers of the
+  files the engine just wrote — the same place Spark's writers already
+  deposit them, so collection is a driver-side footer read per new
+  file (O(touched buckets), no data job). On a real cluster this is
+  exactly the Iceberg model: writers emit stats, the manifest stores
+  them.
+- **value sets** (capped distinct values per file) are collected for
+  low-cardinality columns. On a key-hash-bucketed layout min/max is
+  wide for categorical columns (every bucket sees most of the
+  alphabet), but *rare* categories live in few buckets — a value set
+  prunes `lang = 'cobol'` style filters that min/max never could.
+  They're computed by the same ``observe()`` aggregates that already
+  produce the manifest checksums, so they cost zero extra jobs.
+
+Pruning is strictly conservative: a file is skipped only when a
+conjunct *provably* excludes every row in it, and the residual
+predicate is still applied to the surviving rows — correctness never
+depends on the stats being present or complete.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+# predicate ops the pruner understands; anything else keeps the file
+PRUNABLE_OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+# value sets above this cardinality are dropped (no pruning power, and
+# the manifest should stay small)
+VALUE_SET_MAX = 32
+
+_JSONABLE = (int, float, str, bool)
+
+
+def footer_column_stats(path: str, cols: Sequence[str]) -> dict[str, dict[str, Any]]:
+    """Per-column {min, max, nulls} for one parquet file, aggregated
+    across its row groups, read from the footer alone. Columns whose
+    footer stats are missing/unreadable are omitted (=> never pruned).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    if md.num_row_groups == 0:
+        return {}
+    wanted = set(cols)
+    idx_by_name: dict[str, int] = {}
+    for i in range(md.num_columns):
+        name = md.row_group(0).column(i).path_in_schema
+        if name in wanted:  # top-level primitives only (nested paths are dotted)
+            idx_by_name[name] = i
+    out: dict[str, dict[str, Any]] = {}
+    for name, i in idx_by_name.items():
+        mn, mx, nulls, ok = None, None, 0, True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = st.min, st.max
+            if not (isinstance(lo, _JSONABLE) and isinstance(hi, _JSONABLE)):
+                ok = False
+                break
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+            nulls += st.null_count or 0
+        if ok and mn is not None:
+            out[name] = {"min": mn, "max": mx, "nulls": nulls}
+    return out
+
+
+def _comparable(a: Any, b: Any) -> bool:
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return type(a) is type(b)
+
+
+def file_may_match(
+    stats: Mapping[str, Mapping[str, Any]] | None,
+    col_present: bool,
+    col: str,
+    op: str,
+    value: Any,
+) -> bool:
+    """Conservative may-match test for one conjunct against one file.
+
+    ``col_present`` is whether the file's schema version contains the
+    column at all: a file written before the column existed reads back
+    as all-null there, and null satisfies none of the prunable ops, so
+    the file is skippable outright (schema-evolution pruning).
+    """
+    if op not in PRUNABLE_OPS:
+        return True
+    if not col_present:
+        return False
+    st = (stats or {}).get(col)
+    if st is None:
+        return True
+    values = st.get("values")
+    if values is not None:
+        if op == "=":
+            return value in values
+        if op == "in":
+            return any(v in values for v in value)
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None:
+        return True
+    try:
+        if op == "in":
+            cand = [v for v in value if _comparable(v, mn)]
+            return any(mn <= v <= mx for v in cand)
+        if not _comparable(value, mn):
+            return True
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+    except TypeError:
+        return True
+    return True
+
+
+def validate_predicates(where: Sequence[tuple]) -> list[tuple[str, str, Any]]:
+    """Normalize/validate a ``where=`` argument: a list of
+    ``(column, op, value)`` conjuncts with op in ``PRUNABLE_OPS``."""
+    out = []
+    for pred in where:
+        if len(pred) != 3:
+            raise ValueError(f"predicate must be (col, op, value): {pred!r}")
+        col, op, value = pred
+        if op not in PRUNABLE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (supported: {sorted(PRUNABLE_OPS)})"
+            )
+        if op == "in" and not isinstance(value, (list, tuple, set)):
+            raise ValueError(f"'in' predicate needs a collection value: {pred!r}")
+        out.append((col, op, list(value) if op == "in" else value))
+    return out

@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StringType, StructField, StructType
 
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
+from mex_extractors_spark.lake.stats import (
+    VALUE_SET_MAX,
+    file_may_match,
+    footer_column_stats,
+    validate_predicates,
+)
 from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
 
 _BUCKET = "_bucket"
@@ -145,6 +151,7 @@ class LakeTable:
         checksum_mode: str = "observe",
         merge_mode: str = "cow",
         max_deltas_per_bucket: int | None = 8,
+        stats_cols: Sequence[str] | None = None,
     ) -> None:
         """``checksum_mode``: how the per-bucket manifest checksums are
         produced. "observe" (default) piggybacks per-bucket conditional
@@ -175,7 +182,15 @@ class LakeTable:
 
         ``max_deltas_per_bucket`` bounds read amplification: when a
         touched bucket has piled up this many deltas, the batch
-        escalates to "cow" for a merging rewrite (None disables)."""
+        escalates to "cow" for a merging rewrite (None disables).
+
+        ``stats_cols``: columns to track file-level statistics for in
+        the manifest (Iceberg lower/upper bounds + null counts, plus
+        capped distinct value sets — see ``lake/stats.py``). Enables
+        data-skipping reads via ``read(where=...)``: files whose stats
+        provably exclude a predicate are dropped before the scan is
+        planned. A writer policy like ``merge_mode`` — stats recorded
+        by past writers stay in the manifest either way."""
         if checksum_mode not in ("observe", "readback"):
             raise ValueError(f"unknown checksum_mode {checksum_mode!r}")
         if merge_mode not in ("cow", "mor", "auto"):
@@ -188,6 +203,7 @@ class LakeTable:
         self.checksum_mode = checksum_mode
         self.merge_mode = merge_mode
         self.max_deltas_per_bucket = max_deltas_per_bucket
+        self.stats_cols = list(stats_cols or [])
         self.ledger_dir = os.path.join(path, "_ledger")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.ledger_dir, exist_ok=True)
@@ -394,6 +410,37 @@ class LakeTable:
         )
         return view_dir, cur_tbl
 
+    def _collect_file_stats(
+        self,
+        files_by_bucket: dict[int, list[str]],
+        value_sets: dict[int, dict[str, list]] | None = None,
+    ) -> dict[int, dict[str, dict]]:
+        """Per-bucket ``{relpath: {col: stats}}`` for freshly written
+        files: min/max/null_count from the parquet footers (driver-side
+        footer read, O(touched buckets), no data job — the Iceberg
+        writers-emit-stats model) merged with the per-bucket distinct
+        value sets the write's observe() collected."""
+        if not self.stats_cols:
+            return {}
+        out: dict[int, dict[str, dict]] = {}
+        for b, rels in files_by_bucket.items():
+            vs = (value_sets or {}).get(b) or {}
+            per_file: dict[str, dict] = {}
+            for rel in rels:
+                st = footer_column_stats(
+                    os.path.join(self.path, rel), self.stats_cols
+                )
+                for c, vals in vs.items():
+                    # a bucket's value set covers ALL its files from this
+                    # write (normally exactly one)
+                    st.setdefault(c, {"min": None, "max": None, "nulls": 0})
+                    st[c]["values"] = vals
+                if st:
+                    per_file[rel] = st
+            if per_file:
+                out[b] = per_file
+        return out
+
     def _write_bucketed(self, spark: SparkSession, df: DataFrame, out_dir: str) -> None:
         """Write the merged state as one sorted parquet file per bucket.
 
@@ -419,10 +466,24 @@ class LakeTable:
         spark: SparkSession,
         buckets: Sequence[int] | None = None,
         version: int | None = None,
+        where: Sequence[tuple] | None = None,
     ) -> DataFrame:
         """Table state — current, or as of ``version`` (time travel).
         ``buckets`` prunes the scan to the named key-space partitions
-        (the copy-on-write read path)."""
+        (the copy-on-write read path).
+
+        ``where``: conjunctive ``(col, op, value)`` predicates (op in
+        ``lake.stats.PRUNABLE_OPS``). Base files whose manifest stats
+        provably exclude a conjunct are dropped BEFORE the scan is
+        planned (Iceberg data skipping); files written before a
+        predicate column existed are skipped outright (their rows read
+        back null there). The full predicate is then still applied to
+        the surviving rows — pruning is a pure scan reduction, never a
+        correctness dependency — and reaches the parquet readers as a
+        pushed filter for row-group pruning within surviving files.
+        Delta files are never pruned: a delta may carry tombstones for
+        matching base rows, and deltas are O(batch)-small by design."""
+        preds = validate_predicates(where) if where else []
         snap = self.snapshot_at(version) if version is not None else self.current_snapshot()
         if version is not None and snap is None:
             raise ValueError(f"snapshot v{version} not found (expired or never published)")
@@ -434,23 +495,73 @@ class LakeTable:
         if snap is None or schema is None or not snap["buckets"]:
             return spark.createDataFrame([], schema or StructType([]))
         wanted = set(buckets) if buckets is not None else None
-        base = self._read_base(spark, snap, wanted, schema)
+        skip = self._prune_base_files(snap, wanted, preds) if preds else None
+        base = self._read_base(spark, snap, wanted, schema, skip=skip)
         delta = self._read_deltas(spark, snap, wanted, schema)
         if delta is None:
-            return base
-        # merge-on-read: base rows lose to any delta row for the same
-        # key — watermark fencing guarantees every delta seq is strictly
-        # above the base row's seq, so plain LWW by seq is the merge
-        base_op = base.withColumn(self.op_col, F.lit("U"))
-        state = apply_deletes(
-            lww_latest(
-                base_op.unionByName(delta),
-                key_cols=self.key_cols,
-                seq_col=self.seq_col,
-            ),
-            op_col=self.op_col,
-        )
-        return state.select(*schema.fieldNames())
+            state = base
+        else:
+            # merge-on-read: base rows lose to any delta row for the same
+            # key — watermark fencing guarantees every delta seq is
+            # strictly above the base row's seq, so plain LWW by seq is
+            # the merge
+            base_op = base.withColumn(self.op_col, F.lit("U"))
+            state = apply_deletes(
+                lww_latest(
+                    base_op.unionByName(delta),
+                    key_cols=self.key_cols,
+                    seq_col=self.seq_col,
+                ),
+                op_col=self.op_col,
+            ).select(*schema.fieldNames())
+        if preds:
+            state = state.where(self._where_expr(preds))
+        return state
+
+    def _prune_base_files(
+        self,
+        snap: dict,
+        wanted: set[int] | None,
+        preds: list[tuple],
+    ) -> set[str]:
+        """Absolute paths of base files provably excluded by ``preds``
+        (manifest-stats data skipping — a driver-side manifest walk,
+        no file I/O)."""
+        skip: set[str] = set()
+        for b, meta in snap["buckets"].items():
+            if wanted is not None and int(b) not in wanted:
+                continue
+            fields = set(
+                StructType.fromJson(
+                    snap["schemas"][str(meta["schema_version"])]
+                ).fieldNames()
+            )
+            fstats = meta.get("file_stats") or {}
+            for rel in meta["files"]:
+                st = fstats.get(rel)
+                if not all(
+                    file_may_match(st, c in fields, c, op, v)
+                    for (c, op, v) in preds
+                ):
+                    skip.add(os.path.join(self.path, rel))
+        return skip
+
+    def _where_expr(self, preds: list[tuple]) -> Column:
+        expr = F.lit(True)
+        for c, op, v in preds:
+            col = F.col(c)
+            if op == "in":
+                cond = col.isin(*v)
+            else:
+                cond = {
+                    "=": col == F.lit(v),
+                    "<": col < F.lit(v),
+                    "<=": col <= F.lit(v),
+                    ">": col > F.lit(v),
+                    ">=": col >= F.lit(v),
+                }[op]
+            expr = expr & cond
+        return expr
 
     def _read_base(
         self,
@@ -458,15 +569,19 @@ class LakeTable:
         snap: dict,
         wanted: set[int] | None,
         schema: StructType,
+        skip: set[str] | None = None,
     ) -> DataFrame:
         """Base data files of the wanted buckets (no deltas), aligned to
-        ``schema`` with per-schema-version explicit casts."""
+        ``schema`` with per-schema-version explicit casts. ``skip``:
+        absolute paths excluded by stats pruning."""
         by_schema: dict[int, list[str]] = {}
         for b, meta in snap["buckets"].items():
             if wanted is not None and int(b) not in wanted:
                 continue
             by_schema.setdefault(int(meta["schema_version"]), []).extend(
-                os.path.join(self.path, f) for f in meta["files"]
+                p
+                for f in meta["files"]
+                if (p := os.path.join(self.path, f)) not in (skip or ())
             )
         parts: list[DataFrame] = []
         for sv, files in sorted(by_schema.items()):
@@ -821,6 +936,7 @@ class LakeTable:
                 and 0 < len(touched) <= self.OBSERVE_CHECKSUM_MAX_BUCKETS
             )
             written_schema = schema_with_op if use_mor else table_schema
+            vs_cols = [c for c in self.stats_cols if c in written_schema.fieldNames()]
             if use_observe:
                 write_obs = Observation()
                 canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
@@ -837,6 +953,21 @@ class LakeTable:
                     obs_aggs.append(
                         F.count(F.when(bexpr == b, F.lit(1))).alias(f"r{b}")
                     )
+                # distinct value sets for the manifest file stats ride the
+                # same observe — zero extra jobs; capped driver-side (an
+                # overflowed set carries no pruning power and is dropped)
+                if vs_cols and len(touched) * len(vs_cols) <= 2 * self.OBSERVE_CHECKSUM_MAX_BUCKETS:
+                    for b in touched:
+                        for ci, c in enumerate(vs_cols):
+                            obs_aggs.append(
+                                F.slice(
+                                    F.array_sort(
+                                        F.collect_set(F.when(bexpr == b, F.col(c)))
+                                    ),
+                                    1,
+                                    VALUE_SET_MAX + 1,
+                                ).alias(f"v{b}_{ci}")
+                            )
                 merged = merged.observe(write_obs, *obs_aggs)
             self._write_bucketed(spark, merged, out_dir)
         finally:
@@ -862,14 +993,25 @@ class LakeTable:
         #     produce the identical checksum for identical rows.
         t_phase = time.monotonic()
         bucket_stats: dict[int, tuple[int, str]] | None = None
+        value_sets: dict[int, dict[str, list]] = {}
         if write_obs is not None:
             try:
                 row = write_obs.get
                 bucket_stats = {
                     b: (int(row[f"r{b}"]), str(row[f"c{b}"])) for b in touched
                 }
+                for b in touched:
+                    for ci, c in enumerate(vs_cols):
+                        vals = row.get(f"v{b}_{ci}")
+                        if (
+                            vals is not None
+                            and len(vals) <= VALUE_SET_MAX
+                            and all(isinstance(v, (int, float, str, bool)) for v in vals)
+                        ):
+                            value_sets.setdefault(b, {})[c] = list(vals)
             except Exception:
                 bucket_stats = None  # schemaless-observation edge: read back
+                value_sets = {}
         if bucket_stats is None:
             written = spark.read.schema(written_schema).parquet(out_dir).withColumn(
                 _BUCKET, self._bucket_expr()
@@ -897,6 +1039,7 @@ class LakeTable:
                 files_by_bucket.setdefault(int(m.group(1)), []).append(
                     os.path.join(rel_out, f)
                 )
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
             rows, checksum = bucket_stats.get(b, (0, "0"))
@@ -910,24 +1053,27 @@ class LakeTable:
                     "checksum": "0",
                 }
                 new_meta = dict(old_meta)
-                new_meta["deltas"] = [
-                    *old_meta.get("deltas", []),
-                    {
-                        "files": sorted(files_by_bucket.get(b, [])),
-                        "schema_version": schema_version,
-                        "rows": rows,
-                        "checksum": checksum,
-                    },
-                ]
-                buckets_meta[str(b)] = new_meta
-            else:
-                # copy-on-write rewrite: fresh entry, deltas folded in
-                buckets_meta[str(b)] = {
+                delta_group = {
                     "files": sorted(files_by_bucket.get(b, [])),
                     "schema_version": schema_version,
                     "rows": rows,
                     "checksum": checksum,
                 }
+                if file_stats.get(b):
+                    delta_group["file_stats"] = file_stats[b]
+                new_meta["deltas"] = [*old_meta.get("deltas", []), delta_group]
+                buckets_meta[str(b)] = new_meta
+            else:
+                # copy-on-write rewrite: fresh entry, deltas folded in
+                entry = {
+                    "files": sorted(files_by_bucket.get(b, [])),
+                    "schema_version": schema_version,
+                    "rows": rows,
+                    "checksum": checksum,
+                }
+                if file_stats.get(b):
+                    entry["file_stats"] = file_stats[b]
+                buckets_meta[str(b)] = entry
         old_wm = {int(k): int(v) for k, v in (snap["watermarks"] if snap else {}).items()}
         for b, wm in new_wm.items():
             old_wm[b] = max(old_wm.get(b, -1), wm)
@@ -1313,18 +1459,40 @@ class LakeTable:
                 _BUCKET, self._bucket_expr()
             )
             canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
-            bucket_stats = {
-                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-                for r in written.groupBy(_BUCKET)
+            vs_cols = [c for c in self.stats_cols if c in schema.fieldNames()]
+            readback_rows = (
+                written.groupBy(_BUCKET)
                 .agg(
                     F.count(F.lit(1)).alias("rows"),
                     F.coalesce(
                         F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
                         F.lit(0).cast("decimal(38,0)"),
                     ).alias("checksum"),
+                    *[
+                        F.slice(
+                            F.array_sort(F.collect_set(F.col(c))),
+                            1,
+                            VALUE_SET_MAX + 1,
+                        ).alias(f"v{ci}")
+                        for ci, c in enumerate(vs_cols)
+                    ],
                 )
                 .collect()
+            )
+            bucket_stats = {
+                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+                for r in readback_rows
             }
+            value_sets: dict[int, dict[str, list]] = {}
+            for r in readback_rows:
+                for ci, c in enumerate(vs_cols):
+                    vals = r[f"v{ci}"]
+                    if (
+                        vals is not None
+                        and len(vals) <= VALUE_SET_MAX
+                        and all(isinstance(v, (int, float, str, bool)) for v in vals)
+                    ):
+                        value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         except BaseException:
             self.num_buckets = old_num
             raise
@@ -1344,15 +1512,18 @@ class LakeTable:
                     os.path.join(rel_out, f)
                 )
         schema_version = snap["schema_version"]
-        buckets_meta = {
-            str(b): {
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
+        buckets_meta = {}
+        for b, (rows, checksum) in bucket_stats.items():
+            entry = {
                 "files": sorted(files_by_bucket.get(b, [])),
                 "schema_version": schema_version,
                 "rows": rows,
                 "checksum": checksum,
             }
-            for b, (rows, checksum) in bucket_stats.items()
-        }
+            if file_stats.get(b):
+                entry["file_stats"] = file_stats[b]
+            buckets_meta[str(b)] = entry
         wm_max = max(
             (int(v) for v in snap["watermarks"].values()), default=-1
         )
@@ -1448,18 +1619,40 @@ class LakeTable:
             _BUCKET, self._bucket_expr()
         )
         canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
-        new_stats = {
-            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in written.groupBy(_BUCKET)
+        vs_cols = [c for c in self.stats_cols if c in schema.fieldNames()]
+        readback_rows = (
+            written.groupBy(_BUCKET)
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(
                     F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
                     F.lit(0).cast("decimal(38,0)"),
                 ).alias("checksum"),
+                *[
+                    F.slice(
+                        F.array_sort(F.collect_set(F.col(c))),
+                        1,
+                        VALUE_SET_MAX + 1,
+                    ).alias(f"v{ci}")
+                    for ci, c in enumerate(vs_cols)
+                ],
             )
             .collect()
+        )
+        new_stats = {
+            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+            for r in readback_rows
         }
+        value_sets: dict[int, dict[str, list]] = {}
+        for r in readback_rows:
+            for ci, c in enumerate(vs_cols):
+                vals = r[f"v{ci}"]
+                if (
+                    vals is not None
+                    and len(vals) <= VALUE_SET_MAX
+                    and all(isinstance(v, (int, float, str, bool)) for v in vals)
+                ):
+                    value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         drift = []
         for b in candidates:
             meta = snap["buckets"][str(b)]
@@ -1484,14 +1677,18 @@ class LakeTable:
                 files_by_bucket.setdefault(int(m.group(1)), []).append(
                     os.path.join(rel_out, f)
                 )
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
         buckets_meta = dict(snap["buckets"])
         for b in candidates:
-            buckets_meta[str(b)] = {
+            entry = {
                 "files": sorted(files_by_bucket.get(b, [])),
                 "schema_version": current_sv,
                 "rows": new_stats.get(b, (0, "0"))[0],
                 "checksum": new_stats.get(b, (0, "0"))[1],
             }
+            if file_stats.get(b):
+                entry["file_stats"] = file_stats[b]
+            buckets_meta[str(b)] = entry
         snapshot = dict(snap)
         snapshot.update(
             version=version,

@@ -587,6 +587,59 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_stats_skipping_read",
+    "data-skipping read: manifest file stats (footer min/max + observe'd "
+    "value sets) prune base files before the scan; predicate still "
+    "applied to survivors (lake/stats.py)",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type = 'purchase'
+      AND event_id > (SELECT max(event_id) // 2 FROM events)
+    """,
+)
+def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into a stats-tracking LakeTable in two
+    batches, then answer "keys whose CURRENT state is a purchase that
+    landed after the midpoint" via ``read(where=...)`` — the pruner
+    walks the manifest stats (no file I/O) and drops provably-excluded
+    base files before the scan is planned; the oracle restates the
+    predicate over the plain LWW state."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_skip_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(
+        lake_dir, num_buckets=4, key_cols=["user_id"],
+        stats_cols=["event_type", "seq"],
+    )
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "skip-b1")
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "skip-b2")
+    state = table.read(
+        spark, where=[("event_type", "=", "purchase"), ("seq", ">", int(mid))]
+    )
+    return state.select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "k2_ndjson_export",
     "K2 checksummed versioned NDJSON sink (sinks/s3.py:52-133): "
     "executor-written ordered parts, driver read-back sha256, "

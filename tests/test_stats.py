@@ -1,0 +1,299 @@
+"""File-level manifest statistics + data-skipping reads.
+
+The stats contract (lake/stats.py): writes record per-file min/max/null
+counts (parquet footers — the Iceberg writers-emit-stats model) and
+capped distinct value sets (via the write's observe() aggregates);
+``read(where=...)`` drops base files whose stats provably exclude a
+conjunct BEFORE planning the scan, then still applies the predicate to
+the surviving rows — pruning must never be a correctness dependency.
+Modeled on the reference's metadata-document-next-to-data pattern
+(mex/extractors/sinks/s3.py:111-133) generalized to per-file bounds.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.stats import (
+    file_may_match,
+    footer_column_stats,
+    validate_predicates,
+)
+from mex_extractors_spark.lake.table import LakeTable
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, seq long, lang string, stars long, op string",
+    )
+
+
+@pytest.fixture()
+def lake_dir(tmp_path):
+    d = str(tmp_path / "stats_lake")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_table(lake_dir, **kw):
+    kw.setdefault("key_cols", ["repo", "path"])
+    kw.setdefault("num_buckets", 8)
+    kw.setdefault("stats_cols", ["lang", "stars", "seq"])
+    return LakeTable(lake_dir, **kw)
+
+
+def _spread_rows(n, lang="python", stars=lambda i: 10 * i, seq0=1):
+    return [
+        (f"repo{i % 37}", f"src/f{i}.py", seq0 + i, lang, stars(i), "U")
+        for i in range(n)
+    ]
+
+
+class TestManifestStats:
+    def test_footer_and_value_set_stats_recorded(self, spark, lake_dir):
+        t = _mk_table(lake_dir)
+        t.apply_batch(spark, _events(spark, _spread_rows(300)), "b1")
+        snap = t.current_snapshot()
+        seen_cols = set()
+        for meta in snap["buckets"].values():
+            fstats = meta.get("file_stats") or {}
+            assert set(fstats) == set(meta["files"])
+            for st in fstats.values():
+                seen_cols.update(st)
+                for cs in st.values():
+                    if cs.get("min") is not None:
+                        assert cs["min"] <= cs["max"]
+        assert {"lang", "stars", "seq"} <= seen_cols
+        # lang has 1 distinct value -> every file carries a value set
+        langs = {
+            v
+            for meta in snap["buckets"].values()
+            for st in (meta.get("file_stats") or {}).values()
+            for v in st["lang"].get("values", [])
+        }
+        assert langs == {"python"}
+
+    def test_stats_off_by_default(self, spark, lake_dir):
+        t = LakeTable(lake_dir, key_cols=["repo", "path"], num_buckets=4)
+        t.apply_batch(spark, _events(spark, _spread_rows(50)), "b1")
+        snap = t.current_snapshot()
+        assert all(
+            "file_stats" not in meta for meta in snap["buckets"].values()
+        )
+
+    def test_readback_checksum_mode_still_records_footer_stats(
+        self, spark, lake_dir
+    ):
+        t = _mk_table(lake_dir, checksum_mode="readback")
+        t.apply_batch(spark, _events(spark, _spread_rows(100)), "b1")
+        snap = t.current_snapshot()
+        # no observe() -> no value sets, but footer min/max still land
+        assert any(
+            st["stars"].get("min") is not None
+            for meta in snap["buckets"].values()
+            for st in (meta.get("file_stats") or {}).values()
+        )
+
+
+class TestDataSkipping:
+    def test_rare_category_prunes_files_and_matches_filter(
+        self, spark, lake_dir
+    ):
+        t = _mk_table(lake_dir)
+        rows = _spread_rows(400)
+        # a rare category in a handful of keys -> a handful of buckets
+        rows += [
+            (f"only{i}", "rare.cob", 10_000 + i, "cobol", 1, "U")
+            for i in range(3)
+        ]
+        t.apply_batch(spark, _events(spark, rows), "b1")
+        full = t.read(spark)
+        pruned = t.read(spark, where=[("lang", "=", "cobol")])
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        exp = sorted(
+            map(tuple, full.where(F.col("lang") == "cobol").collect())
+        )
+        assert sorted(map(tuple, pruned.collect())) == exp
+
+    def test_seq_range_prunes_cold_buckets(self, spark, lake_dir):
+        """Zipf-shaped reality: a trickle batch touches few buckets; a
+        recency predicate then skips every bucket the batch missed."""
+        t = _mk_table(lake_dir)
+        t.apply_batch(spark, _events(spark, _spread_rows(400)), "b1")
+        # second batch touches ONE key -> one bucket rewritten
+        t.apply_batch(
+            spark,
+            _events(spark, [("repo0", "src/f0.py", 99_999, "python", 7, "U")]),
+            "b2",
+        )
+        full = t.read(spark)
+        recent = t.read(spark, where=[("seq", ">=", 99_999)])
+        assert len(recent.inputFiles()) == 1
+        assert [tuple(r) for r in recent.collect()] == [
+            ("repo0", "src/f0.py", 99_999, "python", 7)
+        ]
+        assert len(full.inputFiles()) == 8
+
+    def test_in_predicate_and_conjunction(self, spark, lake_dir):
+        t = _mk_table(lake_dir)
+        rows = _spread_rows(200) + [
+            ("onlyA", "a.go", 5000, "go", 3, "U"),
+            ("onlyB", "b.rs", 5001, "rust", 4, "U"),
+        ]
+        t.apply_batch(spark, _events(spark, rows), "b1")
+        full = t.read(spark)
+        got = t.read(
+            spark, where=[("lang", "in", ["go", "rust"]), ("stars", ">=", 4)]
+        )
+        exp = sorted(
+            map(
+                tuple,
+                full.where(
+                    F.col("lang").isin("go", "rust") & (F.col("stars") >= 4)
+                ).collect(),
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == exp
+        assert len(got.inputFiles()) < len(full.inputFiles())
+
+    def test_schema_evolution_prunes_pre_column_files(self, spark, lake_dir):
+        """Files written before a column existed read back all-null
+        there — provably excluded for any matching predicate."""
+        t = _mk_table(lake_dir, stats_cols=["license"])
+        t.apply_batch(spark, _events(spark, _spread_rows(200)), "b1")
+        evolved = spark.createDataFrame(
+            [("newrepo", "n.py", 10_000, "python", 1, "mit", "U")],
+            "repo string, path string, seq long, lang string, stars long,"
+            " license string, op string",
+        )
+        t.apply_batch(spark, evolved, "b2")
+        got = t.read(spark, where=[("license", "=", "mit")])
+        assert len(got.inputFiles()) == 1
+        assert [
+            (r["repo"], r["license"]) for r in got.collect()
+        ] == [("newrepo", "mit")]
+
+    def test_pruning_never_drops_mor_delta_state(self, spark, lake_dir):
+        """Delta files are exempt from pruning: a tombstone delta for a
+        matching base row must still suppress it, and a delta update
+        that newly matches must surface."""
+        t = _mk_table(lake_dir, merge_mode="mor")
+        rows = _spread_rows(100) + [
+            ("vic", "gone.py", 900, "cobol", 1, "U"),
+            ("new", "hot.py", 901, "python", 1, "U"),
+        ]
+        t.apply_batch(spark, _events(spark, rows), "b1", mode="cow")
+        t.apply_batch(
+            spark,
+            _events(
+                spark,
+                [
+                    ("vic", "gone.py", 1000, None, None, "D"),
+                    ("new", "hot.py", 1001, "cobol", 2, "U"),
+                ],
+            ),
+            "b2",
+        )
+        got = t.read(spark, where=[("lang", "=", "cobol")])
+        assert [(r["repo"], r["lang"], r["stars"]) for r in got.collect()] == [
+            ("new", "cobol", 2)
+        ]
+
+    def test_where_equals_filter_on_full_read(self, spark, lake_dir):
+        t = _mk_table(lake_dir)
+        t.apply_batch(spark, _events(spark, _spread_rows(300)), "b1")
+        for preds, col in [
+            ([("stars", "<", 500)], F.col("stars") < 500),
+            ([("stars", "<=", 0)], F.col("stars") <= 0),
+            ([("lang", "=", "python")], F.col("lang") == "python"),
+            ([("stars", ">", 10_000)], F.col("stars") > 10_000),
+        ]:
+            exp = sorted(map(tuple, t.read(spark).where(col).collect()))
+            got = sorted(map(tuple, t.read(spark, where=preds).collect()))
+            assert got == exp, preds
+
+    def test_compact_regenerates_stats(self, spark, lake_dir):
+        t = _mk_table(lake_dir, merge_mode="mor")
+        t.apply_batch(spark, _events(spark, _spread_rows(100)), "b1", mode="cow")
+        t.apply_batch(
+            spark,
+            _events(spark, [("onlyC", "c.cob", 9000, "cobol", 1, "U")]),
+            "b2",
+        )
+        t.compact(spark)
+        snap = t.current_snapshot()
+        assert not any(m.get("deltas") for m in snap["buckets"].values())
+        got = t.read(spark, where=[("lang", "=", "cobol")])
+        assert len(got.inputFiles()) < len(t.read(spark).inputFiles())
+        assert [(r["repo"], r["lang"]) for r in got.collect()] == [
+            ("onlyC", "cobol")
+        ]
+
+    def test_rebucket_regenerates_stats(self, spark, lake_dir):
+        t = _mk_table(lake_dir)
+        rows = _spread_rows(100) + [("onlyD", "d.cob", 9000, "cobol", 1, "U")]
+        t.apply_batch(spark, _events(spark, rows), "b1")
+        t.rebucket(spark, 16)
+        got = t.read(spark, where=[("lang", "=", "cobol")])
+        assert len(got.inputFiles()) < len(t.read(spark).inputFiles())
+        assert [(r["repo"], r["lang"]) for r in got.collect()] == [
+            ("onlyD", "cobol")
+        ]
+
+    def test_bad_predicates_rejected(self, spark, lake_dir):
+        t = _mk_table(lake_dir)
+        t.apply_batch(spark, _events(spark, _spread_rows(10)), "b1")
+        with pytest.raises(ValueError):
+            t.read(spark, where=[("lang", "like", "py%")])
+        with pytest.raises(ValueError):
+            t.read(spark, where=[("lang", "in", "python")])
+
+
+class TestStatsUnit:
+    def test_file_may_match_bounds(self):
+        st = {"stars": {"min": 10, "max": 20, "nulls": 0}}
+        assert file_may_match(st, True, "stars", "=", 15)
+        assert not file_may_match(st, True, "stars", "=", 9)
+        assert not file_may_match(st, True, "stars", ">", 20)
+        assert file_may_match(st, True, "stars", ">=", 20)
+        assert not file_may_match(st, True, "stars", "<", 10)
+        assert file_may_match(st, True, "stars", "<=", 10)
+        assert file_may_match(st, True, "stars", "in", [1, 12])
+        assert not file_may_match(st, True, "stars", "in", [1, 2])
+
+    def test_file_may_match_value_sets_and_gaps(self):
+        st = {"lang": {"min": "go", "max": "rust", "values": ["go", "rust"]}}
+        # min/max alone could not exclude "python"; the value set can
+        assert not file_may_match(st, True, "lang", "=", "python")
+        assert file_may_match(st, True, "lang", "=", "rust")
+        # absent column (older schema) -> provably null -> skip
+        assert not file_may_match(st, False, "lang", "=", "go")
+        # no stats for the column -> conservative keep
+        assert file_may_match({}, True, "lang", "=", "go")
+        assert file_may_match(None, True, "lang", "=", "go")
+        # incomparable predicate value -> conservative keep
+        assert file_may_match(
+            {"stars": {"min": 1, "max": 2}}, True, "stars", "=", "x"
+        )
+
+    def test_validate_predicates(self):
+        out = validate_predicates([("a", "in", ("x", "y")), ("b", "=", 1)])
+        assert out == [("a", "in", ["x", "y"]), ("b", "=", 1)]
+
+    def test_footer_stats_on_real_file(self, spark, tmp_path):
+        p = str(tmp_path / "f.parquet")
+        spark.createDataFrame(
+            [(1, "a"), (5, "z"), (3, None)], "n long, s string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        import glob
+
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        st = footer_column_stats(f, ["n", "s", "missing"])
+        assert st["n"] == {"min": 1, "max": 5, "nulls": 0}
+        assert st["s"]["min"] == "a" and st["s"]["max"] == "z"
+        assert st["s"]["nulls"] == 1
+        assert "missing" not in st
