@@ -206,8 +206,12 @@ class LakeTable:
         self.stats_cols = list(stats_cols or [])
         self.ledger_dir = os.path.join(path, "_ledger")
         self.data_dir = os.path.join(path, "data")
+        self.refs_dir = os.path.join(self.ledger_dir, "refs")
+        self.tags_dir = os.path.join(self.ledger_dir, "tags")
         os.makedirs(self.ledger_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.refs_dir, exist_ok=True)
+        os.makedirs(self.tags_dir, exist_ok=True)
         # storage wins over the constructor arg: the bucket function is a
         # property of the files on disk (every merge/fence/write keys on
         # it), so a reopened table adopts the committed layout — the arg
@@ -256,11 +260,178 @@ class LakeTable:
             )
         return out
 
+    # ----------------------------------------------- branches / tags (WAP)
+
+    _REF_NAME_RE = re.compile(r"[A-Za-z0-9._-]{1,64}")
+
+    def _ref_file(self, name: str, kind: str) -> str:
+        if not self._REF_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return os.path.join(
+            self.refs_dir if kind == "branch" else self.tags_dir, name
+        )
+
+    def _read_refs(self, d: str) -> dict[str, int]:
+        out = {}
+        for f in os.listdir(d):
+            if ".tmp-" in f:  # crash leftovers of the atomic ref write
+                continue
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out[f] = int(fh.read().strip())
+            except (ValueError, OSError):
+                continue
+        return out
+
+    def refs(self) -> dict[str, int]:
+        """Branch name -> head snapshot version (0 = branched off an
+        empty table). ``main`` is implicit: the CURRENT pointer."""
+        return self._read_refs(self.refs_dir)
+
+    def tags(self) -> dict[str, int]:
+        """Immutable named snapshots (Iceberg tags)."""
+        return self._read_refs(self.tags_dir)
+
+    def resolve_ref(self, name: str) -> int | None:
+        """Version a branch or tag points at (branches win on a clash)."""
+        return self.refs().get(name, self.tags().get(name))
+
+    def _write_ref(self, path: str, version: int) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """Point a new branch at ``at_version`` (default: the current
+        main head; 0 when the table is empty). Branch writes via
+        ``apply_batch(..., branch=name)`` advance only the branch ref —
+        main readers never see them until ``fast_forward``."""
+        path = self._ref_file(name, "branch")
+        if os.path.exists(path):
+            raise ValueError(f"branch {name!r} already exists")
+        if at_version is None:
+            cur = self.current_snapshot()
+            at_version = cur["version"] if cur else 0
+        if at_version and self.snapshot_at(at_version) is None:
+            raise ValueError(f"snapshot v{at_version} not found")
+        self._write_ref(path, at_version)
+        return at_version
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch ref. Snapshots it alone referenced become
+        unreferenced metadata that ``expire_snapshots`` (and its orphan
+        vacuum) reclaims later — the Iceberg cleanup model."""
+        try:
+            os.remove(self._ref_file(name, "branch"))
+        except FileNotFoundError:
+            pass
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """Pin an immutable name to a snapshot (audit/release marker)."""
+        path = self._ref_file(name, "tag")
+        if os.path.exists(path):
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        if at_version is None:
+            cur = self.current_snapshot()
+            if cur is None:
+                raise ValueError("cannot tag an empty table")
+            at_version = cur["version"]
+        if self.snapshot_at(at_version) is None:
+            raise ValueError(f"snapshot v{at_version} not found")
+        self._write_ref(path, at_version)
+        return at_version
+
+    def _head(self, branch: str | None) -> dict | None:
+        """Writer's view of the head snapshot: branch ref or main."""
+        if branch is None:
+            return self.current_snapshot()
+        v = self.refs().get(branch)
+        if v is None:
+            raise ValueError(f"unknown branch {branch!r} (create_branch first)")
+        return self.snapshot_at(v) if v else None
+
+    def _next_version(self) -> int:
+        """Global monotone version counter across ALL branches — version
+        numbers (and their data dirs) never collide, so the os.link CAS
+        in ``_publish`` still serializes accidental concurrent writers
+        even when they target different branches."""
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self.ledger_dir)
+            if (m := re.fullmatch(r"v(\d{8})\.json", f))
+        ]
+        return max(versions, default=0) + 1
+
+    def fast_forward(self, branch: str) -> int:
+        """Atomically advance main to the branch head — the publish half
+        of write-audit-publish. Requires main's current head to be an
+        ancestor of the branch head (a true fast-forward); anything else
+        means a concurrent main commit landed since the branch forked,
+        and silently swapping would drop it, so it raises
+        ``CommitConflict`` instead."""
+        head = self.refs().get(branch)
+        if head is None:
+            raise ValueError(f"unknown branch {branch!r}")
+        if head == 0:
+            return 0  # branch of an empty table with no commits: no-op
+        cur = self.current_snapshot()
+        cur_v = cur["version"] if cur else 0
+        v: int | None = head
+        while v is not None and v != cur_v:
+            snap = self.snapshot_at(v)
+            v = snap["parent"] if snap else None
+        if (v is None and cur_v != 0) or (v is not None and v != cur_v):
+            raise CommitConflict(
+                f"main v{cur_v} is not an ancestor of {branch!r} head "
+                f"v{head} — not a fast-forward"
+            )
+        self._write_ref(os.path.join(self.ledger_dir, "CURRENT"), head)
+        return head
+
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: str,
+        validate,
+        mode: str | None = None,
+    ) -> "ApplyStats":
+        """The WAP pattern (Iceberg/Nessie write-audit-publish): stage
+        the batch on a throwaway audit branch, run ``validate`` against
+        the POST-commit table state (not just the batch — exactly what
+        pre-commit checks cannot see), and only then fast-forward main.
+        ``validate(state_df) -> None | str`` returns an error message to
+        abort. On abort main is untouched, the audit branch is dropped,
+        and the batch id remains unapplied on main — the batch can be
+        fixed and retried. The staged snapshot becomes unreferenced
+        metadata that ``expire_snapshots`` reclaims.
+
+        Reference analog: blocking asset checks gating downstream
+        materialization (mex/extractors/pipeline/base.py:107-127) —
+        but evaluated on the would-be-published table itself."""
+        branch = f"audit-{uuid.uuid4().hex[:8]}"
+        self.create_branch(branch)
+        try:
+            stats = self.apply_batch(spark, batch_df, batch_id, mode=mode, branch=branch)
+            err = validate(self.read(spark, ref=branch))
+            if err:
+                raise CommitAborted(
+                    f"batch {batch_id}: audit failed ({err}) — main untouched"
+                )
+            self.fast_forward(branch)
+            return stats
+        finally:
+            self.drop_branch(branch)
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots' metadata,
         then vacuum data files no retained snapshot references (Iceberg
-        ``expire_snapshots`` + orphan cleanup). The CURRENT snapshot is
-        always retained. Returns the number of snapshots expired."""
+        ``expire_snapshots`` + orphan cleanup). The CURRENT snapshot,
+        branch heads, and tagged snapshots are always retained. Returns
+        the number of snapshots expired."""
         cur = self.current_snapshot()
         if cur is None:
             return 0
@@ -269,7 +440,20 @@ class LakeTable:
             for f in os.listdir(self.ledger_dir)
             if (m := re.fullmatch(r"v(\d{8})\.json", f))
         )
-        keep = set(versions[-max(keep_last, 1):]) | {cur["version"]}
+        # retention follows MAIN's parent chain (not "newest by number":
+        # an abandoned audit-branch snapshot may carry the top version
+        # and must not displace real history), plus every branch head
+        # and tag target
+        keep: set[int] = set()
+        v: int | None = cur["version"]
+        for _ in range(max(keep_last, 1)):
+            if v is None:
+                break
+            keep.add(v)
+            parent_snap = self.snapshot_at(v)
+            v = parent_snap["parent"] if parent_snap else None
+        keep |= {v for v in self.refs().values() if v}
+        keep |= {v for v in self.tags().values() if v}
         expired = 0
         for v in versions:
             if v not in keep:
@@ -278,8 +462,9 @@ class LakeTable:
         self.vacuum_orphans()
         return expired
 
-    def _publish(self, snapshot: dict) -> None:
-        """Atomic two-step publish: snapshot file, then pointer swap.
+    def _publish(self, snapshot: dict, ref: str | None = None) -> None:
+        """Atomic two-step publish: snapshot file, then pointer swap
+        (CURRENT, or the named branch ref for staged/WAP commits).
 
         The snapshot file is linked into place with ``os.link`` — which
         FAILS if the version already exists — so publishing doubles as
@@ -306,13 +491,12 @@ class LakeTable:
                 "this table is single-writer; re-read the ledger and retry"
             ) from None
         os.remove(tmp)
-        cur = os.path.join(self.ledger_dir, "CURRENT")
-        tmp = cur + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, cur)
+        pointer = (
+            os.path.join(self.ledger_dir, "CURRENT")
+            if ref is None
+            else self._ref_file(ref, "branch")
+        )
+        self._write_ref(pointer, version)
 
     def watermarks(self) -> dict[int, int]:
         snap = self.current_snapshot()
@@ -467,10 +651,12 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         version: int | None = None,
         where: Sequence[tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Table state — current, or as of ``version`` (time travel).
-        ``buckets`` prunes the scan to the named key-space partitions
-        (the copy-on-write read path).
+        """Table state — current, as of ``version`` (time travel), or
+        at a named branch/tag head (``ref``). ``buckets`` prunes the
+        scan to the named key-space partitions (the copy-on-write read
+        path).
 
         ``where``: conjunctive ``(col, op, value)`` predicates (op in
         ``lake.stats.PRUNABLE_OPS``). Base files whose manifest stats
@@ -484,6 +670,14 @@ class LakeTable:
         Delta files are never pruned: a delta may carry tombstones for
         matching base rows, and deltas are O(batch)-small by design."""
         preds = validate_predicates(where) if where else []
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version= or ref=, not both")
+            version = self.resolve_ref(ref)
+            if version is None:
+                raise ValueError(f"unknown branch/tag {ref!r}")
+            if version == 0:  # branch of an empty table
+                return spark.createDataFrame([], StructType([]))
         snap = self.snapshot_at(version) if version is not None else self.current_snapshot()
         if version is not None and snap is None:
             raise ValueError(f"snapshot v{version} not found (expired or never published)")
@@ -678,6 +872,7 @@ class LakeTable:
         batch_id: str,
         crash_after_data: bool = False,
         mode: str | None = None,
+        branch: str | None = None,
     ) -> ApplyStats:
         """MERGE a change-event batch into the table, exactly once.
 
@@ -690,9 +885,14 @@ class LakeTable:
         schema evolution are identical either way — only the physical
         write strategy differs (rewrite touched buckets vs append delta
         files).
+
+        ``branch`` stages the commit on a named branch (its ref
+        advances, main's CURRENT does not): fencing/idempotency run
+        against the BRANCH head, so an audit flow sees exactly the
+        state main would have after ``fast_forward``.
         """
         t0 = time.monotonic()
-        snap = self.current_snapshot()
+        snap = self._head(branch)
         if snap is not None and batch_id in snap["applied_batches"]:
             return ApplyStats(batch_id=batch_id, applied=False)
         # scratch view dirs are transient per-apply; clear crash leftovers
@@ -716,7 +916,10 @@ class LakeTable:
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .withColumn(_BUCKET, self._bucket_expr())
         )
-        watermarks = self.watermarks()
+        # fence against the WRITE HEAD's watermarks (branch-aware)
+        watermarks = {
+            int(k): int(v) for k, v in (snap or {}).get("watermarks", {}).items()
+        }
         if watermarks:
             # watermarks flow in as DATA (broadcast join), not as literal
             # expressions: literals are inlined into generated code, which
@@ -765,7 +968,7 @@ class LakeTable:
 
         if not touched:
             # still record the batch id so replay bookkeeping stays exact
-            self._commit_noop(snap, batch_id)
+            self._commit_noop(snap, batch_id, ref=branch)
             return ApplyStats(
                 batch_id=batch_id,
                 applied=True,
@@ -853,7 +1056,7 @@ class LakeTable:
             for sv in touched_versions
         )
 
-        version = (snap["version"] + 1) if snap else 1
+        version = self._next_version()
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
         t_phase = time.monotonic()
@@ -1097,7 +1300,7 @@ class LakeTable:
             ),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        self._publish(snapshot)
+        self._publish(snapshot, ref=branch)
         return ApplyStats(
             batch_id=batch_id,
             applied=True,
@@ -1114,11 +1317,13 @@ class LakeTable:
             t_checksum=round(t_checksum, 3),
         )
 
-    def _commit_noop(self, snap: dict | None, batch_id: str) -> None:
+    def _commit_noop(
+        self, snap: dict | None, batch_id: str, ref: str | None = None
+    ) -> None:
         """Record a batch id whose events were all fenced (pure redelivery)."""
         if snap is None:
             snapshot = {
-                "version": 1,
+                "version": self._next_version(),
                 "parent": None,
                 "schema_version": 0,
                 "schemas": {},
@@ -1133,11 +1338,11 @@ class LakeTable:
             }
         else:
             snapshot = dict(snap)
-            snapshot["version"] = snap["version"] + 1
+            snapshot["version"] = self._next_version()
             snapshot["parent"] = snap["version"]
             snapshot["applied_batches"] = sorted({*snap["applied_batches"], batch_id})
             snapshot["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self._publish(snapshot)
+        self._publish(snapshot, ref=ref)
 
     # ------------------------------------------------------------ utility
 
@@ -1429,7 +1634,7 @@ class LakeTable:
             return snap["version"]
         schema = self.current_schema()
         old_num = self.num_buckets
-        version = snap["version"] + 1
+        version = self._next_version()
         if schema is None or not snap["buckets"]:
             # only bookkeeping no-op snapshots so far: commit the layout
             snapshot = dict(snap)
@@ -1606,7 +1811,7 @@ class LakeTable:
         if not candidates:
             return snap["version"]
         schema = StructType.fromJson(snap["schemas"][str(current_sv)])
-        version = snap["version"] + 1
+        version = self._next_version()
         rel_out = os.path.join("data", f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_out)
         rows_df = self.read(spark, buckets=candidates).repartition(

@@ -640,6 +640,65 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_wap_guarded_publish",
+    "write-audit-publish: stage the second batch on an audit branch, "
+    "validate the POST-commit state (unique keys, non-empty), then "
+    "atomically fast-forward main (Iceberg/Nessie WAP; reference "
+    "blocking checks pipeline/base.py:107-127)",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_wap_guarded_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream in two batches, the second through
+    ``write_audit_publish``: it lands on a throwaway audit branch, the
+    validator checks invariants of the WOULD-BE-published state (key
+    uniqueness, non-emptiness — checks a batch-level gate cannot
+    express), and only then does main fast-forward. The oracle is the
+    plain LWW law: WAP changes when readers see a commit, never what
+    the table converges to."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_wap_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "wap-b1")
+
+    def audit(state):
+        n, n_keys = state.agg(
+            F.count(F.lit(1)), F.countDistinct("user_id")
+        ).first()
+        if n == 0:
+            return "published state would be empty"
+        if n != n_keys:
+            return f"duplicate keys in state ({n} rows, {n_keys} keys)"
+        return None
+
+    table.write_audit_publish(spark, ev.where(F.col("seq") > mid), "wap-b2", audit)
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "k2_ndjson_export",
     "K2 checksummed versioned NDJSON sink (sinks/s3.py:52-133): "
     "executor-written ordered parts, driver read-back sha256, "

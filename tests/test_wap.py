@@ -1,0 +1,192 @@
+"""Snapshot branches, tags, and write-audit-publish.
+
+The WAP contract (Iceberg/Nessie write-audit-publish): stage a commit
+on an audit branch, validate the POST-commit table state, and only
+then atomically fast-forward main. Reference analog: blocking asset
+checks gating downstream materialization
+(mex/extractors/pipeline/base.py:107-127), evaluated here on the
+would-be-published table itself instead of the incoming batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.table import (
+    CommitAborted,
+    CommitConflict,
+    LakeTable,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, seq long, lang string, op string"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable(
+        str(tmp_path / "wap_lake"), key_cols=["repo", "path"], num_buckets=4
+    )
+
+
+class TestBranches:
+    def test_branch_write_invisible_until_fast_forward(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("audit")
+        table.apply_batch(
+            spark, _mk(spark, [("r2", "b", 2, "go", "U")]), "b2", branch="audit"
+        )
+        assert table.read(spark).count() == 1
+        assert table.read(spark, ref="audit").count() == 2
+        assert table.current_snapshot()["version"] == 1
+        assert "b2" not in table.applied_batches()
+        head = table.fast_forward("audit")
+        assert head == 2
+        assert table.read(spark).count() == 2
+        assert {"b1", "b2"} <= table.applied_batches()
+
+    def test_branch_fencing_uses_branch_head(self, spark, table):
+        """Redelivery to a branch is fenced by the BRANCH watermarks —
+        the audit flow behaves exactly like main would post-publish."""
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("audit")
+        table.apply_batch(
+            spark, _mk(spark, [("r1", "a", 5, "go", "U")]), "b2", branch="audit"
+        )
+        # redelivered seq<=5 for the same key: fenced on the branch even
+        # though MAIN's watermark is still 1
+        st = table.apply_batch(
+            spark, _mk(spark, [("r1", "a", 5, "STALE", "U")]), "b3", branch="audit"
+        )
+        assert st.applied and st.events_fenced == 1
+        rows = {
+            (r["repo"], r["lang"]) for r in table.read(spark, ref="audit").collect()
+        }
+        assert rows == {("r1", "go")}
+
+    def test_non_fast_forward_rejected(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("stale")
+        table.apply_batch(spark, _mk(spark, [("r2", "b", 2, "py", "U")]), "b2")
+        table.apply_batch(
+            spark, _mk(spark, [("r3", "c", 3, "py", "U")]), "b3", branch="stale"
+        )
+        with pytest.raises(CommitConflict, match="not a fast-forward"):
+            table.fast_forward("stale")
+        assert table.read(spark).count() == 2  # main untouched
+
+    def test_branch_of_empty_table(self, spark, table):
+        table.create_branch("boot")
+        table.apply_batch(
+            spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1", branch="boot"
+        )
+        assert table.current_snapshot() is None
+        assert table.read(spark, ref="boot").count() == 1
+        table.fast_forward("boot")
+        assert table.read(spark).count() == 1
+
+    def test_create_branch_twice_and_unknown_branch(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("x")
+        with pytest.raises(ValueError, match="already exists"):
+            table.create_branch("x")
+        with pytest.raises(ValueError, match="unknown branch"):
+            table.apply_batch(
+                spark, _mk(spark, [("r2", "b", 2, "py", "U")]), "b2", branch="nope"
+            )
+        with pytest.raises(ValueError, match="invalid ref name"):
+            table.create_branch("bad/name")
+
+
+class TestWriteAuditPublish:
+    def test_wap_publishes_only_after_audit_passes(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        st = table.write_audit_publish(
+            spark,
+            _mk(spark, [("r2", "b", 2, "go", "U")]),
+            "b2",
+            validate=lambda df: None if df.count() == 2 else "bad count",
+        )
+        assert st.applied
+        assert table.read(spark).count() == 2
+        assert table.refs() == {}  # audit branch cleaned up
+
+    def test_wap_abort_leaves_main_untouched_and_retryable(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        v0 = table.current_snapshot()["version"]
+
+        def too_small(df):
+            return "rows vanished" if df.count() < 10 else None
+
+        with pytest.raises(CommitAborted, match="audit failed"):
+            table.write_audit_publish(
+                spark, _mk(spark, [("r2", "b", 2, "go", "U")]), "b2", too_small
+            )
+        assert table.current_snapshot()["version"] == v0
+        assert table.read(spark).count() == 1
+        assert "b2" not in table.applied_batches()
+        assert table.refs() == {}
+        # fixed audit retries cleanly with the same batch id
+        table.write_audit_publish(
+            spark, _mk(spark, [("r2", "b", 2, "go", "U")]), "b2", lambda df: None
+        )
+        assert table.read(spark).count() == 2
+
+    def test_wap_audit_sees_post_commit_state(self, spark, table):
+        """The validator receives the state main WOULD have — including
+        LWW against existing rows, which a batch-only check cannot see."""
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        seen = {}
+
+        def capture(df):
+            seen["langs"] = {r["lang"] for r in df.collect()}
+            return None
+
+        table.write_audit_publish(
+            spark, _mk(spark, [("r1", "a", 9, "go", "U")]), "b2", capture
+        )
+        assert seen["langs"] == {"go"}  # update already merged in the audit view
+
+    def test_wap_abandoned_snapshots_reclaimed_by_expiry(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        with pytest.raises(CommitAborted):
+            table.write_audit_publish(
+                spark,
+                _mk(spark, [("r2", "b", 2, "go", "U")]),
+                "b2",
+                validate=lambda df: "nope",
+            )
+        staged = [h["version"] for h in table.history()]
+        assert len(staged) == 2  # main v1 + the abandoned audit snapshot
+        table.expire_snapshots(keep_last=1)
+        assert [h["version"] for h in table.history()] == [1]
+        assert table.read(spark).count() == 1
+
+
+class TestTags:
+    def test_tag_pins_a_version_and_survives_expiry(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_tag("rel-1")
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 2, "go", "U")]), "b2")
+        table.apply_batch(spark, _mk(spark, [("r2", "b", 3, "py", "U")]), "b3")
+        assert {
+            (r["repo"], r["lang"])
+            for r in table.read(spark, ref="rel-1").collect()
+        } == {("r1", "py")}
+        table.expire_snapshots(keep_last=1)
+        # the tagged snapshot is retained and readable
+        assert table.read(spark, ref="rel-1").count() == 1
+        with pytest.raises(ValueError, match="immutable"):
+            table.create_tag("rel-1")
+
+    def test_read_rejects_version_and_ref_together(self, spark, table):
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_tag("t1")
+        with pytest.raises(ValueError, match="not both"):
+            table.read(spark, version=1, ref="t1")
+        with pytest.raises(ValueError, match="unknown branch/tag"):
+            table.read(spark, ref="ghost")
