@@ -166,6 +166,7 @@ def run_replay(
     num_buckets: int = 32,
     merge_mode: str = "cow",
     compact_after: bool = False,
+    checksum_mode: str | None = None,
 ) -> dict:
     """Replay pre-generated segments into a fresh lake table; timed.
 
@@ -207,6 +208,8 @@ def run_replay(
             # pure-mode bench: no mid-replay escalation, compaction is
             # timed explicitly below
             max_deltas_per_bucket=None,
+            checksum_mode=checksum_mode
+            or os.environ.get("BENCH_CHECKSUM_MODE", "readback"),
         )
         # full extract→transform→load: every event runs the normalize
         # stage (lang vocab map, per-row content sha256, size) before the
@@ -632,7 +635,7 @@ def main() -> None:
                 "# BENCH baseline — CDC replay scaling evidence\n\n"
                 "Same job (deterministic synthetic change stream → converged\n"
                 "copy-on-write lake table, exactly-once idempotent commits,\n"
-                "per-bucket sha manifest observed during the write) at several parallelism levels on the\n"
+                "per-bucket sha manifest certified by a post-write read-back) at several parallelism levels on the\n"
                 "SAME pre-generated input segments — the sandbox stand-in for\n"
                 "N vs 4N executors (north rule: scaling efficiency ≥ 0.8).\n\n"
                 "Methodology (single 32-vCPU shared microVM):\n"

@@ -148,18 +148,25 @@ class LakeTable:
         seq_col: str = "seq",
         op_col: str = "op",
         num_buckets: int = 16,
-        checksum_mode: str = "observe",
+        checksum_mode: str = "readback",
         merge_mode: str = "cow",
         max_deltas_per_bucket: int | None = 8,
         stats_cols: Sequence[str] | None = None,
     ) -> None:
         """``checksum_mode``: how the per-bucket manifest checksums are
-        produced. "observe" (default) piggybacks per-bucket conditional
-        aggregates on the merge output via ``Dataset.observe`` — ZERO
-        extra jobs per batch (the read-back pass was ~15-20% of batch
-        wall). "readback" re-reads the just-written files so the
-        manifest certifies bytes on storage; either way
-        ``verify_bucket_checksums`` re-audits storage on demand.
+        produced. "readback" (default) re-reads the just-written files
+        with a codegen'd groupBy aggregate, so the manifest certifies
+        bytes actually on storage (sha-after-serialize contract,
+        sinks/s3.py:106-109); the files were just written, so the read
+        hits the page cache (~10% of write wall measured). "observe"
+        piggybacks per-bucket conditional aggregates on the merge
+        output via ``Dataset.observe`` — zero extra jobs, BUT
+        CollectMetrics evaluates its aggregates through interpreted
+        per-row projections (no whole-stage codegen), which measured
+        ~80% EXTRA write wall at 32 buckets — use it only when the
+        write stage must stay the only action (e.g. sinks where a
+        read-back is impossible). ``verify_bucket_checksums`` re-audits
+        storage on demand either way.
 
         ``merge_mode``: the writer's default merge strategy (a writer
         policy, not a table property — it is NOT persisted, and modes
@@ -1143,18 +1150,29 @@ class LakeTable:
             if use_observe:
                 write_obs = Observation()
                 canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
-                row_hash = F.xxhash64(canonical).cast("decimal(38,0)")
-                bexpr = self._bucket_expr()
+                # materialize the bucket id and row hash ONCE as columns:
+                # the per-bucket conditional aggregates below reference
+                # them as plain attributes, so each row pays one murmur3 +
+                # one canonical-json xxhash total — NOT one per bucket
+                # (with N buckets the un-materialized form re-evaluates
+                # both inside every `when`, which at 32 buckets made the
+                # observe cost MORE than the readback job it replaced)
+                merged = merged.withColumn(
+                    "_ck_bucket", self._bucket_expr()
+                ).withColumn(
+                    "_ck_hash", F.xxhash64(canonical).cast("decimal(38,0)")
+                )
+                bcol, hcol = F.col("_ck_bucket"), F.col("_ck_hash")
                 obs_aggs = []
                 for b in touched:
                     obs_aggs.append(
                         F.coalesce(
-                            F.sum(F.when(bexpr == b, row_hash)),
+                            F.sum(F.when(bcol == b, hcol)),
                             F.lit(0).cast("decimal(38,0)"),
                         ).alias(f"c{b}")
                     )
                     obs_aggs.append(
-                        F.count(F.when(bexpr == b, F.lit(1))).alias(f"r{b}")
+                        F.count(F.when(bcol == b, F.lit(1))).alias(f"r{b}")
                     )
                 # distinct value sets for the manifest file stats ride the
                 # same observe — zero extra jobs; capped driver-side (an
@@ -1165,13 +1183,15 @@ class LakeTable:
                             obs_aggs.append(
                                 F.slice(
                                     F.array_sort(
-                                        F.collect_set(F.when(bexpr == b, F.col(c)))
+                                        F.collect_set(F.when(bcol == b, F.col(c)))
                                     ),
                                     1,
                                     VALUE_SET_MAX + 1,
                                 ).alias(f"v{b}_{ci}")
                             )
-                merged = merged.observe(write_obs, *obs_aggs)
+                merged = merged.observe(write_obs, *obs_aggs).drop(
+                    "_ck_bucket", "_ck_hash"
+                )
             self._write_bucketed(spark, merged, out_dir)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -1220,18 +1240,38 @@ class LakeTable:
                 _BUCKET, self._bucket_expr()
             )
             canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
-            bucket_stats = {
-                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-                for r in written.groupBy(_BUCKET)
+            readback_rows = (
+                written.groupBy(_BUCKET)
                 .agg(
                     F.count(F.lit(1)).alias("rows"),
                     F.coalesce(
                         F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
                         F.lit(0).cast("decimal(38,0)"),
                     ).alias("checksum"),
+                    *[
+                        F.slice(
+                            F.array_sort(F.collect_set(F.col(c))),
+                            1,
+                            VALUE_SET_MAX + 1,
+                        ).alias(f"v{ci}")
+                        for ci, c in enumerate(vs_cols)
+                    ],
                 )
                 .collect()
+            )
+            bucket_stats = {
+                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
+                for r in readback_rows
             }
+            for r in readback_rows:
+                for ci, c in enumerate(vs_cols):
+                    vals = r[f"v{ci}"]
+                    if (
+                        vals is not None
+                        and len(vals) <= VALUE_SET_MAX
+                        and all(isinstance(v, (int, float, str, bool)) for v in vals)
+                    ):
+                        value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         t_checksum = time.monotonic() - t_phase
 
         # --- assemble + publish snapshot

@@ -48,16 +48,25 @@ class ReplayEngine:
         metrics: MetricsLog | None = None,
         normalize: Callable[[DataFrame], DataFrame] | None = None,
         pre_commit_checks: list[Callable[[DataFrame], str | None]] | None = None,
+        state_audits: list[Callable[[DataFrame], str | None]] | None = None,
     ) -> None:
         """``normalize`` maps raw heterogeneous batches to the common
         schema (SURVEY.md §7 Phase 2); ``pre_commit_checks`` run on each
         normalized batch and abort the commit by returning an error
         string (blocking checks, SURVEY.md §2.5 A6 / §2.9 T4).
+
+        ``state_audits`` check the POST-commit table state — invariants
+        a batch-level check cannot express (key uniqueness after the
+        merge, total row-count bounds vs history). When set, every
+        batch goes through the write-audit-publish path: staged on a
+        throwaway branch, audited, and only then fast-forwarded to
+        main, so readers never observe a state that failed its audit.
         """
         self.table = table
         self.metrics = metrics
         self.normalize = normalize
         self.pre_commit_checks = pre_commit_checks or []
+        self.state_audits = state_audits or []
 
     def _apply_one(
         self,
@@ -72,9 +81,22 @@ class ReplayEngine:
             err = check(batch)
             if err:
                 raise CheckFailed(f"batch {batch_id}: {err}")
-        stats = self.table.apply_batch(
-            spark, batch, batch_id, crash_after_data=crash_after_data
-        )
+        if self.state_audits and not crash_after_data:
+
+            def _audit(state: DataFrame) -> str | None:
+                for audit in self.state_audits:
+                    err = audit(state)
+                    if err:
+                        return err
+                return None
+
+            stats = self.table.write_audit_publish(
+                spark, batch, batch_id, _audit
+            )
+        else:
+            stats = self.table.apply_batch(
+                spark, batch, batch_id, crash_after_data=crash_after_data
+            )
         if self.metrics is not None:
             self.metrics.append(stats)
         return stats

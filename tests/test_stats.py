@@ -85,18 +85,26 @@ class TestManifestStats:
             "file_stats" not in meta for meta in snap["buckets"].values()
         )
 
-    def test_readback_checksum_mode_still_records_footer_stats(
-        self, spark, lake_dir
-    ):
-        t = _mk_table(lake_dir, checksum_mode="readback")
+    @pytest.mark.parametrize("mode", ["readback", "observe"])
+    def test_both_checksum_modes_record_full_stats(self, spark, lake_dir, mode):
+        """Footer min/max AND value sets land in the manifest whichever
+        checksum pipeline produced the bucket stats (readback rides the
+        codegen'd groupBy; observe rides CollectMetrics)."""
+        t = _mk_table(lake_dir, checksum_mode=mode)
         t.apply_batch(spark, _events(spark, _spread_rows(100)), "b1")
         snap = t.current_snapshot()
-        # no observe() -> no value sets, but footer min/max still land
         assert any(
             st["stars"].get("min") is not None
             for meta in snap["buckets"].values()
             for st in (meta.get("file_stats") or {}).values()
         )
+        langs = {
+            v
+            for meta in snap["buckets"].values()
+            for st in (meta.get("file_stats") or {}).values()
+            for v in st["lang"].get("values", [])
+        }
+        assert langs == {"python"}, mode
 
 
 class TestDataSkipping:

@@ -197,3 +197,41 @@ def test_stream_from_files_mor_mode_converges(spark, tmp_path):
     exp = sorted(map(tuple, ref_table.read(spark).collect()))
     assert got == exp and len(got) > 0
     assert table.verify_bucket_checksums(spark) == []
+
+
+def test_state_audits_route_through_write_audit_publish(spark, tmp_path):
+    """With state_audits set, every replay batch is staged on an audit
+    branch and main only advances after the POST-commit state passes —
+    a failing audit aborts with main untouched and the batch retryable."""
+    from mex_extractors_spark.lake.table import CommitAborted
+
+    events = synth.events(spark, 300, n_repos=5)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+
+    audits = [
+        lambda df: "empty state" if df.count() == 0 else None,
+        lambda df: (
+            "duplicate keys"
+            if df.groupBy("repo", "path").count().where(F.col("count") > 1).count()
+            else None
+        ),
+    ]
+    engine = ReplayEngine(table, state_audits=audits)
+    engine.replay(spark, events, 1, 300, batch_size=150)
+    assert table.refs() == {}  # audit branches cleaned up
+    ref_table = LakeTable(str(tmp_path / "ref"), num_buckets=4)
+    ReplayEngine(ref_table).replay(spark, events, 1, 300, batch_size=150)
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, ref_table.read(spark).collect())
+    )
+
+    # a batch that fails its audit leaves main untouched
+    strict = ReplayEngine(
+        table, state_audits=[lambda df: "always rejected"]
+    )
+    v0 = table.current_snapshot()["version"]
+    more = synth.events(spark, 400, n_repos=5)
+    with pytest.raises(CommitAborted, match="audit failed"):
+        strict.replay(spark, more, 301, 400, batch_size=100)
+    assert table.current_snapshot()["version"] == v0
+    assert table.refs() == {}
