@@ -137,6 +137,55 @@ def main() -> None:
         )
     )
 
+    # 1c. manifest-stats data skipping: the evidence is the FILE LIST,
+    #     not a plan node — pruning happens before the scan is planned
+    tmp2 = tempfile.mkdtemp(prefix="gen_plans_skip_")
+    try:
+        st_table = LakeTable(
+            os.path.join(tmp2, "lake"), num_buckets=8,
+            stats_cols=["lang", "seq"],
+        )
+        ev3 = synth.events(spark, 2000, n_repos=40)
+        st_table.apply_batch(spark, ev3.where(F.col("seq") <= 1900), "s1")
+        # trickle batch: ONE key -> one bucket rewritten (the zipf-
+        # shaped reality a recency predicate exploits)
+        one = (
+            ev3.where((F.col("seq") > 1900) & (F.col("op") != "D"))
+            .select("repo", "path")
+            .first()
+        )
+        st_table.apply_batch(
+            spark,
+            ev3.where(
+                (F.col("seq") > 1900)
+                & (F.col("repo") == one["repo"])
+                & (F.col("path") == one["path"])
+            ),
+            "s2",
+        )
+        full_files = len(st_table.read(spark).inputFiles())
+        recent = st_table.read(spark, where=[("seq", ">", 1900)])
+        recent_files = len(recent.inputFiles())
+        sections.append(
+            (
+                "Manifest-stats data skipping (read(where=...))",
+                "Iceberg-style lower/upper-bound + value-set pruning from "
+                "the snapshot manifest (lake/stats.py): the full read scans "
+                f"{full_files} base files; `read(where=[('seq','>',1900)])` "
+                f"scans {recent_files} — only buckets batch s2 rewrote have "
+                "files whose footer max(seq) clears the bound; every cold "
+                "bucket is dropped from the file list BEFORE planning (a "
+                "driver-side manifest walk, zero file I/O). Correctness "
+                "never depends on the stats — pruning only shrinks the file "
+                "list and the full predicate is re-applied to survivors, "
+                "reaching the surviving scans as `PushedFilters: "
+                "[GreaterThan(seq,1900)]` for row-group pruning.",
+                formatted(recent),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     # 2. scan pushdown + pruning
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     pruned = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
