@@ -1708,6 +1708,76 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "t8_pii_redaction",
+    "PII scrub: emails / IPv4 / long digit runs replaced with typed "
+    "placeholders, one codegen'd regexp_replace chain (reference regex "
+    "scrubbing loops, SURVEY.md C2/C6, at corpus scale)",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '[0-9]{9,}', '<NUM>', 'g') AS clean
+    FROM documents
+    """,
+)
+def t8_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.sampling import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", redact_pii("text").alias("clean"))
+
+
+@q(
+    "t9_hash_sample",
+    "deterministic corpus sampling: keep rows whose md5(id) hex prefix "
+    "sorts below a cutoff — reproducible across re-runs, partitionings "
+    "and engines, unlike rand(seed) (artificial/main.py:22-33 seed "
+    "discipline, scaled)",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+    """,
+)
+def t9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return hash_sample(d, "doc_id", "28")
+
+
+@q(
+    "t10_shard_packing",
+    "token-budget shard packing: shard = floor(exclusive cumulative "
+    "cost / budget) in deterministic id order — computed as a "
+    "DISTRIBUTED prefix sum (per-range-bucket windows + an offsets "
+    "window over ~n_buckets rows), never a single-partition global "
+    "sort; the oracle states the equivalent global window",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS cost,
+           CAST(floor((cum - n_chars) / 50000.0) AS BIGINT) AS shard
+    FROM (SELECT doc_id, n_chars,
+                 SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+          FROM documents)
+    """,
+)
+def t10_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.sampling import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("cost")
+    )
+    return pack_shards(d, "doc_id", "cost", budget=50_000, range_width=500).select(
+        "doc_id", "cost", "shard"
+    )
+
+
+@q(
     "t6_repetition_signals",
     "Gopher-style repetition quality signals: duplicate-token fraction "
     "(pure expression) + top-bigram occupancy (explode → two partial-"
