@@ -49,7 +49,11 @@ from mex_extractors_spark.lake.stats import (
     footer_column_stats,
     validate_predicates,
 )
-from mex_extractors_spark.operators.lww import apply_deletes, lww_latest
+from mex_extractors_spark.operators.lww import (
+    apply_deletes,
+    lww_latest,
+    lww_latest_window,
+)
 
 _BUCKET = "_bucket"
 
@@ -705,10 +709,18 @@ class LakeTable:
             # merge-on-read: base rows lose to any delta row for the same
             # key — watermark fencing guarantees every delta seq is
             # strictly above the base row's seq, so plain LWW by seq is
-            # the merge
+            # the merge. The WINDOW strategy (not max_by) on purpose:
+            # max_by(struct(*)) references every column structurally,
+            # which blocks Catalyst's column pruning — with row_number
+            # a narrow downstream select prunes untouched payload
+            # columns all the way into the parquet scans
+            # (tests/test_lake.py::test_column_pruning_reaches_scan_
+            # through_mor_merge). Rows per key here are 1 base + ≤k
+            # delta rows, so the write path's map-side-combine skew
+            # argument for max_by does not apply.
             base_op = base.withColumn(self.op_col, F.lit("U"))
             state = apply_deletes(
-                lww_latest(
+                lww_latest_window(
                     base_op.unionByName(delta),
                     key_cols=self.key_cols,
                     seq_col=self.seq_col,
@@ -1947,6 +1959,32 @@ class LakeTable:
         )
         self._publish(snapshot)
         return version
+
+    def maintenance(
+        self,
+        spark: SparkSession,
+        keep_snapshots: int = 3,
+        min_files: int = 2,
+    ) -> dict:
+        """One-call table upkeep for a scheduled job (the Iceberg
+        maintenance-procedure trio): fold pending merge-on-read deltas
+        and multi-file/stale-schema bases (``compact``), expire old
+        snapshot metadata keeping the last ``keep_snapshots`` of main's
+        lineage plus every branch head and tag (``expire_snapshots``),
+        and delete data files no retained snapshot references
+        (``vacuum_orphans``, which expire already triggers — the
+        explicit call also sweeps crash leftovers when nothing
+        expired). Returns what happened, for the metrics log."""
+        before = self.current_snapshot()
+        compacted_version = self.compact(spark, min_files=min_files)
+        expired = self.expire_snapshots(keep_last=keep_snapshots)
+        orphans = self.vacuum_orphans()
+        return {
+            "compacted": bool(before) and compacted_version != before["version"],
+            "version": compacted_version,
+            "snapshots_expired": expired,
+            "orphan_files_deleted": orphans,
+        }
 
     def vacuum_orphans(self) -> int:
         """Delete data files referenced by NO retained snapshot (crash

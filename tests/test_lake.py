@@ -1032,3 +1032,46 @@ def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm(
     assert ("b", "delete") in changes and ("e", "insert") in changes
     # derived table survived every refresh with exactly-once bookkeeping
     assert derived.verify_bucket_checksums(spark) == []
+
+
+def test_maintenance_one_call_policy(spark, tmp_path):
+    """compact + expire + vacuum in one scheduled-job call; branch heads
+    and tags survive, deltas fold, orphans vanish."""
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=4, merge_mode="mor")
+    ev = synth.events(spark, 400, n_repos=10)
+    t.apply_batch(spark, ev.where(F.col("seq") <= 200), "m1", mode="cow")
+    t.apply_batch(spark, ev.where(F.col("seq") > 200), "m2")  # delta append
+    t.create_tag("keepme")
+    before_state = sorted(map(tuple, t.read(spark).collect()))
+    report = t.maintenance(spark, keep_snapshots=1)
+    assert report["compacted"] is True
+    snap = t.current_snapshot()
+    assert not any(m.get("deltas") for m in snap["buckets"].values())
+    assert sorted(map(tuple, t.read(spark).collect())) == before_state
+    # the tagged snapshot survived expiry and still reads
+    assert t.read(spark, ref="keepme").count() > 0
+    # a second call is a no-op
+    report2 = t.maintenance(spark, keep_snapshots=1)
+    assert report2["compacted"] is False and report2["orphan_files_deleted"] == 0
+
+
+def test_column_pruning_reaches_scan_through_mor_merge(spark, tmp_path):
+    """Catalyst pushes a narrow projection through the read-side LWW
+    merge (union + window + filter): selecting one payload column off a
+    delta-carrying read scans ONLY key/seq/op + that column — at 100 TB
+    a wide table must not be read wholesale to answer a 2-column query."""
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=4, merge_mode="mor")
+    ev = synth.events(spark, 300, n_repos=10)
+    t.apply_batch(spark, ev.where(F.col("seq") <= 150), "p1", mode="cow")
+    t.apply_batch(spark, ev.where(F.col("seq") > 150), "p2")  # delta pending
+    narrow = t.read(spark).select("repo", "lang")
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        cols = {f.split(":")[0] for f in rs.split(",") if f}
+        # content (the wide payload column) must be pruned everywhere
+        assert "content" not in cols, plan
+        assert cols <= {"repo", "path", "seq", "lang", "op"}, plan
