@@ -66,6 +66,24 @@ def main() -> None:
         "(0 = never; mor deltas also fold on the max_deltas_per_bucket "
         "escalation regardless)",
     )
+    ap.add_argument(
+        "--stats-cols", default=None, metavar="COL,COL",
+        help="comma-separated columns to track file-level manifest "
+        "stats for (min/max/null counts + capped value sets) — enables "
+        "data-skipping reads via table.read(where=...)",
+    )
+    ap.add_argument(
+        "--audit-state", action="store_true",
+        help="route every batch through write-audit-publish: staged on "
+        "an audit branch, post-commit state checked (non-empty, unique "
+        "keys), fast-forwarded to main only on pass — readers never "
+        "observe a state that failed its audit",
+    )
+    ap.add_argument(
+        "--maintain-every", type=int, default=0, metavar="N",
+        help="run table.maintenance() (compact + snapshot expiry + "
+        "orphan vacuum) after every N applied segments (0 = never)",
+    )
     args = ap.parse_args()
 
     # configuration comes from spark-submit; only engine invariants here
@@ -89,24 +107,45 @@ def main() -> None:
     if not segments:
         raise SystemExit(f"no _segment=N dirs under {args.events_dir}")
 
+    from pyspark.sql import functions as F
+
     table = LakeTable(
-        args.table_dir, num_buckets=args.num_buckets, merge_mode=args.merge_mode
+        args.table_dir,
+        num_buckets=args.num_buckets,
+        merge_mode=args.merge_mode,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
+    audits = None
+    if args.audit_state:
+        def _unique_keys(state):
+            n, k = state.agg(
+                F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in table.key_cols])
+            ).first()
+            if n == 0:
+                return "published state would be empty"
+            if n != k:
+                return f"duplicate keys in state ({n} rows, {k} keys)"
+            return None
+
+        audits = [_unique_keys]
     engine = ReplayEngine(
         table,
         metrics=MetricsLog(args.metrics) if args.metrics else None,
         normalize=None if args.no_normalize else normalize_change_events,
+        state_audits=audits,
     )
     schema = spark.read.parquet(segments[0][1]).schema if args.fixed_schema else None
     t0 = time.monotonic()
-    if args.compact_every > 0:
+    if args.compact_every > 0 or args.maintain_every > 0:
         stats = []
         for n, (i, p) in enumerate(segments, start=1):
             stats.extend(
                 engine.replay_files(spark, [(f"segment:{i}", [p])], schema=schema)
             )
-            if n % args.compact_every == 0:
+            if args.compact_every and n % args.compact_every == 0:
                 table.compact(spark)
+            if args.maintain_every and n % args.maintain_every == 0:
+                table.maintenance(spark)
     else:
         stats = engine.replay_files(
             spark, [(f"segment:{i}", [p]) for i, p in segments], schema=schema
