@@ -361,6 +361,11 @@ def main() -> None:
         help="replay a uniform vs an extreme hot-repo corpus; write BENCH/SKEW.md",
     )
     ap.add_argument(
+        "--skipping", action="store_true",
+        help="data-skipping bench: full-scan-filter vs stats-pruned "
+        "read vs read_key point lookup; writes BENCH/SKIPPING.md",
+    )
+    ap.add_argument(
         "--mor-compare", action="store_true",
         help="trickle-ingest cow-vs-mor write-amplification bench; "
         "write BENCH/MOR.md",
@@ -443,6 +448,129 @@ def main() -> None:
         print(json.dumps({"hot_over_uniform": round(ratio, 3),
                           "uniform": res["uniform"]["events_per_sec"],
                           "hot": res["hot"]["events_per_sec"]}))
+        return
+
+    if args.skipping:
+        # Data-skipping regime: a standing table where only a few
+        # buckets changed recently; "what changed since the last run"
+        # and point lookups should not pay a full table scan.
+        from pyspark.sql import functions as F
+
+        from mex_extractors_spark.lake.table import LakeTable
+        from mex_extractors_spark.sources.normalize import normalize_change_events
+        from mex_extractors_spark.streaming.replay import ReplayEngine
+
+        cores = args.cores or CPUS
+        buckets = args.buckets
+        base = _mktemp("bench_skip_")
+        spark = _bench_spark(cores, "bench-skipping")
+        try:
+            gen_events(spark, os.path.join(base, "ev"), n_events, 2, n_repos, paths)
+            ev = normalize_change_events(
+                spark.read.parquet(*sorted(
+                    os.path.join(base, "ev", d)
+                    for d in os.listdir(os.path.join(base, "ev"))
+                    if d.startswith("_segment=")
+                ))
+            )
+            table = LakeTable(
+                os.path.join(base, "lake"), num_buckets=buckets,
+                stats_cols=["lang", "seq"],
+            )
+            eng = ReplayEngine(table)
+            eng.replay(spark, ev, 1, n_events, batch_size=n_events // 2)
+            wm = max(table.watermarks().values())
+            # trickle: one key updated after the bulk load
+            one = ev.where(F.col("op") != "D").select("repo", "path").first()
+            table.apply_batch(
+                spark,
+                ev.where(
+                    (F.col("repo") == one["repo"]) & (F.col("path") == one["path"])
+                ).limit(1).withColumn("seq", F.lit(wm + 1)),
+                "trickle",
+            )
+
+            def best3(fn):
+                times = []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    fn()
+                    times.append(time.monotonic() - t0)
+                return round(min(times), 3)
+
+            def mb(df):
+                return round(
+                    sum(
+                        os.path.getsize(f.replace("file:", ""))
+                        for f in df.inputFiles()
+                    )
+                    / 1e6,
+                    1,
+                )
+
+            full = table.read(spark)
+            recent_pred = [("seq", ">", int(wm))]
+            pruned = table.read(spark, where=recent_pred)
+            # fresh plan per call on BOTH paths: at toy scale driver-side
+            # plan building is a fixed cost either way; at 100 TB only
+            # the scanned bytes matter
+            res = {
+                "table_rows": int(table.current_snapshot()["total_rows"]),
+                "base_files": len(full.inputFiles()),
+                "pruned_files": len(pruned.inputFiles()),
+                "base_mb": mb(full),
+                "pruned_mb": mb(pruned),
+                "full_scan_filter_s": best3(
+                    lambda: table.read(spark).where(F.col("seq") > wm).count()
+                ),
+                "stats_pruned_read_s": best3(
+                    lambda: table.read(spark, where=recent_pred).count()
+                ),
+                "point_lookup_read_key_s": best3(
+                    lambda: table.read_key(
+                        spark, repo=one["repo"], path=one["path"]
+                    ).count()
+                ),
+            }
+            res["speedup"] = round(
+                res["full_scan_filter_s"] / max(res["stats_pruned_read_s"], 1e-9), 2
+            )
+            res["scan_reduction"] = round(
+                res["base_mb"] / max(res["pruned_mb"], 1e-9), 1
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+            spark.stop()
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "SKIPPING.md"), "w") as fh:
+            fh.write(
+                "# BENCH data skipping — manifest-stats pruned reads\n\n"
+                f"Standing table ({res['table_rows']:,} rows, {buckets} buckets, "
+                f"local[{cores}], sf={sf}) bulk-loaded in 2 batches, then ONE key "
+                "updated (the trickle/zipf reality). Query: \"rows whose current "
+                "state changed after the bulk load\" — plus a single-key point "
+                "lookup.\n\n"
+                "| access path | files scanned | MB scanned | best-of-3 wall s |\n"
+                "|---|---|---|---|\n"
+                f"| full read + filter | {res['base_files']} | {res['base_mb']} | {res['full_scan_filter_s']} |\n"
+                f"| `read(where=[('seq','>',wm)])` (stats-pruned) | {res['pruned_files']} | {res['pruned_mb']} | {res['stats_pruned_read_s']} |\n"
+                f"| `read_key(repo, path)` (bucket-pruned + pushed equality) | 1-bucket | — | {res['point_lookup_read_key_s']} |\n\n"
+                f"Scan reduction: **{res['scan_reduction']}× fewer bytes** "
+                f"({res['base_mb']} → {res['pruned_mb']} MB), wall speedup "
+                f"{res['speedup']}× at this scale. The pruner walks the "
+                "snapshot manifest driver-side (no file I/O) and drops every "
+                "base file whose footer max(seq) can't clear the predicate, so "
+                "the scan touches only the buckets the trickle batch rewrote. "
+                "Bytes are the scale-relevant column: at this dev size every "
+                "query is dominated by fixed per-query driver cost (plan "
+                "building, job scheduling — the same ~0.2 s either way), while "
+                "at 100 TB / 4096 buckets the scanned-bytes ratio IS the wall "
+                "ratio and the same manifest walk turns an incremental-consumer "
+                "query into a read of just the changed fraction of the table. "
+                "Correctness never depends on the stats (the predicate is "
+                "re-applied to survivors).\n"
+            )
+        print(json.dumps({"skipping": res}))
         return
 
     if args.mor_compare:
