@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the engine's core laws.
+
+The reference tests with fixtures and goldens only (SURVEY.md §5 — no
+property tests); these state the CDC engine's algebraic contracts over
+randomized inputs, which is where replay engines actually break:
+
+- **Batching invariance**: ANY partition of the stream into seq-range
+  batches converges to the same table (micro-batch boundaries are an
+  execution detail, never semantics).
+- **Strategy agreement**: the three LWW kernels (max_by aggregate,
+  row_number window, salted two-phase) agree row-for-row.
+- **Redelivery idempotence**: replaying any prefix again — same batch
+  ids or new overlapping ones — changes nothing (fencing + applied-set).
+
+Small example counts (Spark jobs are seconds each); deadline disabled —
+shared-host stalls would fail healthy examples.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.table import LakeTable
+from mex_extractors_spark.operators.lww import (
+    apply_deletes,
+    lww_latest,
+    lww_latest_salted,
+    lww_latest_window,
+)
+from mex_extractors_spark.streaming.replay import ReplayEngine
+
+# a raw change stream: (key_id, op, payload) per event; seq = position+1.
+# Few distinct keys on purpose — collisions are where LWW laws bite.
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.sampled_from(["I", "U", "U", "D"]),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic corpus — CI must not flake
+)
+
+
+def _df(spark, events):
+    rows = [
+        (i + 1, f"repo{k % 3}", f"f{k}.py", op, f"payload-{v}")
+        for i, (k, op, v) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, op string, content string"
+    )
+
+
+def _python_oracle(events):
+    """Single-threaded reference: apply in seq order, last writer wins,
+    delete removes the key."""
+    state: dict[tuple[str, str], tuple[int, str]] = {}
+    for i, (k, op, v) in enumerate(events):
+        key = (f"repo{k % 3}", f"f{k}.py")
+        if op == "D":
+            state.pop(key, None)
+        else:
+            state[key] = (i + 1, f"payload-{v}")
+    return sorted(
+        (repo, path, seq, content) for (repo, path), (seq, content) in state.items()
+    )
+
+
+def _table_state(spark, table):
+    return sorted(
+        tuple(r)
+        for r in table.read(spark).select("repo", "path", "seq", "content").collect()
+    )
+
+
+@given(events=EVENTS, batch_size=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_batching_invariance(spark, tmp_path_factory, events, batch_size):
+    base = tmp_path_factory.mktemp("prop") / uuid.uuid4().hex
+    df = _df(spark, events)
+    table = LakeTable(str(base), num_buckets=4)
+    ReplayEngine(table).replay(spark, df, 1, len(events), batch_size=batch_size)
+    assert _table_state(spark, table) == _python_oracle(events)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@given(events=EVENTS)
+@settings(**SETTINGS)
+def test_lww_strategies_agree(spark, events):
+    df = _df(spark, events)
+    outs = [
+        sorted(
+            tuple(r)
+            for r in apply_deletes(fn(df, key_cols=["repo", "path"], seq_col="seq"))
+            .select("repo", "path", "seq", "content")
+            .collect()
+        )
+        for fn in (lww_latest, lww_latest_window, lww_latest_salted)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == _python_oracle(events)
+
+
+@given(
+    events=EVENTS,
+    cut=st.integers(min_value=1, max_value=40),
+)
+@settings(**SETTINGS)
+def test_redelivery_changes_nothing(spark, tmp_path_factory, events, cut):
+    """After full replay, re-applying any prefix — with its original
+    batch id (applied-set no-op) AND with a fresh id (watermark fence)
+    — leaves the table and version bookkeeping converged."""
+    cut = min(cut, len(events))
+    base = tmp_path_factory.mktemp("prop") / uuid.uuid4().hex
+    df = _df(spark, events)
+    table = LakeTable(str(base), num_buckets=4)
+    eng = ReplayEngine(table)
+    eng.replay(spark, df, 1, len(events), batch_size=max(1, cut))
+    before = _table_state(spark, table)
+    # same batch ids: skipped outright
+    again = eng.replay(spark, df, 1, len(events), batch_size=max(1, cut))
+    assert all(not s.applied for s in again)
+    # fresh overlapping id: all events fenced, state unchanged
+    st_ = table.apply_batch(
+        spark, df.where(F.col("seq") <= cut), f"redeliver-{cut}"
+    )
+    assert st_.applied and st_.events_fenced == cut
+    assert _table_state(spark, table) == before == _python_oracle(events)
+    shutil.rmtree(base, ignore_errors=True)
