@@ -1,0 +1,156 @@
+"""Incrementally-maintained inverted index over the change-data-feed.
+
+A secondary index (term → key) for a lake table, kept in sync by
+consuming ``LakeTable.read_changes`` — the flatMap analog of the
+aggregate view maintenance in :mod:`~mex_extractors_spark.lake.derived`:
+
+    inserted row            ->  I(term, key)  for every term in it
+    deleted row             ->  D(term, key)  for every term it had
+    updated row             ->  I for terms ADDED by the update,
+                                D for terms REMOVED (array_except of
+                                the pre/post-image term sets; unchanged
+                                terms produce NOTHING — an update that
+                                doesn't touch indexed content costs
+                                zero index writes)
+
+The index is itself a :class:`~mex_extractors_spark.lake.table.
+LakeTable` keyed on ``(term, *key_cols)`` with ``seq = source
+version``, so refreshes inherit every engine guarantee: exactly-once
+(idempotent batch id ``idx:v{from}->{to}``), crash-safe atomic publish,
+fenced against replayed older refreshes, time-travelable, and
+CAS-protected. Because ``term`` leads the key, the index bucket layout
+hashes on it — a term lookup via ``index.read(where=[("term","=",x)])``
+or the storage-partitioned join back to the source prunes like any
+other keyed access.
+
+Scale shape: a refresh reads ONLY the CDF rows (manifest-pruned,
+shuffle-free on a shared layout), explodes the per-row term DIFFS (not
+the full term sets), and upserts through the standard bucket-aligned
+merge — O(changed terms), never O(corpus terms).
+
+Reference lineage: the reference re-derives its searchable fields on
+every publisher run (mex/extractors/pipeline/base.py:46-104 full
+re-materialization); this is the incremental replacement.
+
+Retention contract: same as derived views — the source version a
+refresh starts from must still be retained, else ``full_build`` again.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.table import LakeTable
+
+_BATCH_RE = re.compile(r"^idx:v(\d+)->(\d+)$")
+
+
+@dataclass
+class IndexRefreshStats:
+    from_version: int
+    to_version: int
+    full_build: bool
+    applied: bool
+
+
+def last_indexed_version(index: LakeTable) -> int:
+    """Highest source version the index has absorbed (0 = never)."""
+    versions = [
+        int(m.group(2))
+        for b in index.applied_batches()
+        if (m := _BATCH_RE.match(b))
+    ]
+    return max(versions, default=0)
+
+
+def default_terms(col: str | Column) -> Column:
+    """Distinct non-empty whitespace tokens — the default term extractor."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.filter(F.split(F.coalesce(c, F.lit("")), "\\s+"), lambda t: t != "")
+    )
+
+
+def _pairs(df: DataFrame, key_cols: Sequence[str], terms: Column, op: str, version: int) -> DataFrame:
+    return df.select(
+        F.explode(terms).alias("term"),
+        *[F.col(c) for c in key_cols],
+        F.lit(version).cast("long").alias("_src_version"),
+        F.lit(op).alias("op"),
+    )
+
+
+def refresh_inverted_index(
+    spark: SparkSession,
+    source: LakeTable,
+    index: LakeTable,
+    terms_fn: Callable[[DataFrame], Column],
+    to_version: int | None = None,
+) -> IndexRefreshStats:
+    """Bring ``index`` up to the source's ``to_version`` (default:
+    current). ``terms_fn(df) -> array<string> Column`` extracts the
+    indexed terms of a row (must be deterministic). ``index`` must be
+    keyed ``("term", *source.key_cols)`` with ``seq_col="_src_version"``.
+    """
+    expected = ["term", *source.key_cols]
+    if list(index.key_cols) != expected or index.seq_col != "_src_version":
+        raise ValueError(
+            f"index table must have key_cols={expected} and "
+            f"seq_col='_src_version' (got {index.key_cols}, {index.seq_col!r})"
+        )
+    cur = source.current_snapshot()
+    if cur is None:
+        return IndexRefreshStats(0, 0, full_build=False, applied=False)
+    to_version = cur["version"] if to_version is None else to_version
+    last = last_indexed_version(index)
+    if to_version <= last:
+        return IndexRefreshStats(last, to_version, full_build=False, applied=False)
+    batch_id = f"idx:v{last}->{to_version}"
+    if last == 0:
+        state = source.read(spark, version=to_version)
+        batch = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
+        index.apply_batch(spark, batch, batch_id)
+        return IndexRefreshStats(0, to_version, full_build=True, applied=True)
+
+    changes = source.read_changes(
+        spark, from_version=last, to_version=to_version, include_preimages=True
+    )
+    ct = F.col("_change_type")
+    post = changes.where(ct.isin("insert", "update_postimage"))
+    pre = changes.where(ct.isin("delete", "update_preimage"))
+    post_terms = post.select(
+        *source.key_cols, terms_fn(post).alias("_post")
+    )
+    pre_terms = pre.select(*source.key_cols, terms_fn(pre).alias("_pre"))
+    # per-key term diff: unchanged terms emit nothing
+    diff = post_terms.join(pre_terms, on=list(source.key_cols), how="full_outer").select(
+        *source.key_cols,
+        F.coalesce(F.col("_post"), F.array().cast("array<string>")).alias("_post"),
+        F.coalesce(F.col("_pre"), F.array().cast("array<string>")).alias("_pre"),
+    )
+    added = _pairs(
+        diff, source.key_cols, F.array_except("_post", "_pre"), "I", to_version
+    )
+    removed = _pairs(
+        diff, source.key_cols, F.array_except("_pre", "_post"), "D", to_version
+    )
+    index.apply_batch(spark, added.unionByName(removed), batch_id)
+    return IndexRefreshStats(last, to_version, full_build=False, applied=True)
+
+
+def full_index(
+    spark: SparkSession,
+    source: LakeTable,
+    terms_fn: Callable[[DataFrame], Column],
+) -> DataFrame:
+    """From-scratch (term, key) pairs of the CURRENT source state — the
+    oracle a maintained index must equal."""
+    state = source.read(spark)
+    return state.select(
+        F.explode(terms_fn(state)).alias("term"), *source.key_cols
+    ).distinct()

@@ -640,6 +640,71 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_inverted_index",
+    "incrementally-maintained inverted index over the CDF: per-key "
+    "pre/post-image term diffs -> I/D index rows, O(changed terms) per "
+    "refresh (lake/index.py); the oracle recomputes the index from the "
+    "final LWW state from scratch",
+    """
+    WITH state AS (
+      SELECT user_id, props FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT DISTINCT u.term, s.user_id
+    FROM state s, unnest(string_split(coalesce(s.props, ''), ' ')) AS u(term)
+    WHERE u.term <> ''
+    """,
+)
+def cdc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into a source lake in two batches,
+    maintaining a (term, user_id) inverted index over the props text
+    after each batch (full build at v1, CDF-diff increment at v2). The
+    maintained index must equal the from-scratch recompute of the final
+    state — updates retract removed terms and add new ones."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.index import refresh_inverted_index
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        "props",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cdc_idx_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    source = LakeTable(os.path.join(base, "src"), num_buckets=4, key_cols=["user_id"])
+    index = LakeTable(
+        os.path.join(base, "idx"), num_buckets=4,
+        key_cols=["term", "user_id"], seq_col="_src_version",
+    )
+
+    def terms(df):
+        # mirror the oracle exactly: split on single spaces, drop empties
+        return F.array_distinct(
+            F.filter(
+                F.split(F.coalesce(F.col("props"), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        )
+
+    source.apply_batch(spark, ev.where(F.col("seq") <= mid), "idx-b1")
+    refresh_inverted_index(spark, source, index, terms)  # full build
+    source.apply_batch(spark, ev.where(F.col("seq") > mid), "idx-b2")
+    refresh_inverted_index(spark, source, index, terms)  # CDF diff
+    return index.read(spark).select("term", "user_id")
+
+
+@q(
     "cdc_wap_guarded_publish",
     "write-audit-publish: stage the second batch on an audit branch, "
     "validate the POST-commit state (unique keys, non-empty), then "
