@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "t4_fingerprint",
     "t6_repetition_signals",
     "t5_tumbling_window_counts",
+    "t8_pii_redaction",
+    "t9_hash_sample",
+    "t10_shard_packing",
     # NOT benched: cdc_changes_feed / cdc_incremental_agg / cdc_mor_* /
     # t7_decontamination rebuild a full lake (or broadcast a 10%-of-
     # corpus "eval set") per call — end-to-end correctness demos gated
