@@ -948,32 +948,49 @@ def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path, events_parq
         table.read_key(spark, repo="only-half-the-key")
 
 
-def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm(
+def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm_wap_stats_index(
     spark, tmp_path
 ):
     """Kitchen-sink composition guard: cow + mor batches, a schema
-    evolution, a bucket-layout rewrite, compaction, CDF reads, and an
-    incrementally-maintained derived view — applied in one flow — must
-    all agree with a driver-side replay oracle at every step."""
+    evolution, a bucket-layout rewrite, compaction, CDF reads, an
+    incrementally-maintained derived view, a WAP-staged batch, manifest
+    stats with where-pruned reads, and a maintained inverted index —
+    applied in one flow — must all agree with a driver-side replay
+    oracle at every step."""
     from collections import defaultdict
 
     from mex_extractors_spark.lake.derived import refresh_aggregates
+    from mex_extractors_spark.lake.index import default_terms, refresh_inverted_index
 
     source = LakeTable(
         str(tmp_path / "src"), num_buckets=4, merge_mode="mor",
-        max_deltas_per_bucket=None,
+        max_deltas_per_bucket=None, stats_cols=["lang", "seq"],
     )
     derived = LakeTable(
         str(tmp_path / "drv"), key_cols=["lang"], seq_col="_src_version",
         num_buckets=2,
+    )
+    index = LakeTable(
+        str(tmp_path / "idx"), key_cols=["term", "repo", "path"],
+        seq_col="_src_version", num_buckets=2,
     )
     sch1 = "repo string, path string, seq long, op string, lang string, stars long"
     sch2 = sch1 + ", forks long"
 
     log = []  # rows as tuples in schema order
 
-    def apply(batch_rows, bid, schema, mode=None):
-        source.apply_batch(spark, spark.createDataFrame(batch_rows, schema), bid, mode=mode)
+    def apply(batch_rows, bid, schema, mode=None, wap=False):
+        df = spark.createDataFrame(batch_rows, schema)
+        if wap:
+            # stage on an audit branch, validate the post-commit state,
+            # fast-forward — WAP composed with mor deltas + evolution
+            source.write_audit_publish(
+                spark, df, bid,
+                validate=lambda s: None if s.count() > 0 else "empty",
+                mode=mode,
+            )
+        else:
+            source.apply_batch(spark, df, bid, mode=mode)
         log.extend(batch_rows)
 
     def oracle():
@@ -1008,6 +1025,25 @@ def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm(
             for r in derived.read(spark).select("lang", "cnt", "total_stars").collect()
         }
         assert drows == {k: tuple(v) for k, v in want.items()}
+        # stats-pruned read agrees with plain filter at every step
+        pruned = {
+            (r["repo"], r["path"])
+            for r in source.read(spark, where=[("lang", "=", "py")]).collect()
+        }
+        assert pruned == {
+            k for k, v in oracle().items() if v[1] == "py"
+        }
+        # maintained inverted index (terms = the lang token) == oracle
+        refresh_inverted_index(
+            spark, source, index, lambda df: default_terms("lang")
+        )
+        idx_rows = {
+            (r["term"], r["repo"], r["path"])
+            for r in index.read(spark).collect()
+        }
+        assert idx_rows == {
+            (v[1], k[0], k[1]) for k, v in oracle().items() if v[1]
+        }
 
     apply([("r", "a", 1, "U", "py", 10), ("r", "b", 2, "U", "rs", 4),
            ("r", "c", 3, "U", "py", 1)], "b1", sch1, mode="cow")
@@ -1019,7 +1055,7 @@ def test_everything_composes_mor_evolution_rebucket_compact_cdf_ivm(
     source.rebucket(spark, 8)
     check()
     apply([("r", "b", 21, "D", "", 0, 0), ("r", "e", 22, "U", "go", 9, 3)],
-          "b3", sch2)
+          "b3", sch2, wap=True)
     check()
     source.compact(spark)
     check()
