@@ -11,6 +11,9 @@ randomized inputs, which is where replay engines actually break:
   row_number window, salted two-phase) agree row-for-row.
 - **Redelivery idempotence**: replaying any prefix again — same batch
   ids or new overlapping ones — changes nothing (fencing + applied-set).
+- **Schema-evolution convergence**: batches may introduce arbitrary
+  subsets of new columns in any order; row-level LWW through the
+  merged schema still matches the single-threaded oracle.
 
 Small example counts (Spark jobs are seconds each); deadline disabled —
 shared-host stalls would fail healthy examples.
@@ -139,4 +142,76 @@ def test_redelivery_changes_nothing(spark, tmp_path_factory, events, cut):
     )
     assert st_.applied and st_.events_fenced == cut
     assert _table_state(spark, table) == before == _python_oracle(events)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+SMALL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["I", "U", "U", "D"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=10,
+)
+EXTRA_POOL = ["extra_a", "extra_b", "extra_c"]
+BATCHES = st.lists(
+    st.tuples(SMALL_EVENTS, st.sets(st.sampled_from(EXTRA_POOL))),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=BATCHES)
+@settings(**SETTINGS)
+def test_schema_evolution_any_column_order_converges(
+    spark, tmp_path_factory, batches
+):
+    """Batches may introduce arbitrary subsets of new nullable columns
+    in any order; the table converges to row-level LWW where each key
+    carries exactly its winning batch's columns (absent ones null) —
+    and every earlier-schema file still reads through the merged
+    schema."""
+    base = tmp_path_factory.mktemp("prop") / uuid.uuid4().hex
+    table = LakeTable(str(base), num_buckets=4)
+    seq = 0
+    state: dict[tuple[str, str], dict] = {}
+    seen_cols: list[str] = []
+    for bi, (events, extras) in enumerate(batches):
+        extras = sorted(extras)
+        for c in extras:
+            if c not in seen_cols:
+                seen_cols.append(c)
+        rows = []
+        for k, op, v in events:
+            seq += 1
+            rows.append(
+                (seq, f"repo{k % 3}", f"f{k}.py", op, f"p{v}")
+                + tuple(v + j for j in range(len(extras)))
+            )
+            key = (f"repo{k % 3}", f"f{k}.py")
+            if op == "D":
+                state.pop(key, None)
+            else:
+                state[key] = {
+                    "seq": seq,
+                    "content": f"p{v}",
+                    **{c: v + j for j, c in enumerate(extras)},
+                }
+        schema = (
+            "seq long, repo string, path string, op string, content string"
+            + "".join(f", {c} long" for c in extras)
+        )
+        table.apply_batch(
+            spark, spark.createDataFrame(rows, schema), f"evo-{bi}"
+        )
+    got = {}
+    for r in table.read(spark).collect():
+        d = r.asDict()
+        got[(d["repo"], d["path"])] = {
+            "seq": d["seq"],
+            "content": d["content"],
+            **{c: d.get(c) for c in seen_cols if d.get(c) is not None},
+        }
+    assert got == state
     shutil.rmtree(base, ignore_errors=True)
