@@ -5,7 +5,22 @@ cleanly swappable for real Iceberg (`spark-submit --packages`) on a
 cluster; the engine only talks to the small `LakeTable` API.
 """
 
+from mex_extractors_spark.lake.derived import full_refresh, refresh_aggregates
+from mex_extractors_spark.lake.index import full_index, refresh_inverted_index
 from mex_extractors_spark.lake.schema_evolution import merge_schemas
-from mex_extractors_spark.lake.table import LakeTable
+from mex_extractors_spark.lake.table import (
+    CommitAborted,
+    CommitConflict,
+    LakeTable,
+)
 
-__all__ = ["LakeTable", "merge_schemas"]
+__all__ = [
+    "CommitAborted",
+    "CommitConflict",
+    "LakeTable",
+    "full_index",
+    "full_refresh",
+    "merge_schemas",
+    "refresh_aggregates",
+    "refresh_inverted_index",
+]
