@@ -190,3 +190,65 @@ class TestTags:
             table.read(spark, version=1, ref="t1")
         with pytest.raises(ValueError, match="unknown branch/tag"):
             table.read(spark, ref="ghost")
+
+
+class TestCrashAndCollisionHardening:
+    def test_crash_during_compact_publish_leaves_table_intact(
+        self, spark, table, monkeypatch
+    ):
+        """A kill between compaction's data write and its snapshot
+        publish must leave the current snapshot untouched; the orphaned
+        rewrite is vacuumable and a re-run compacts cleanly."""
+        table_mor = LakeTable(
+            table.path, key_cols=["repo", "path"], num_buckets=4,
+            merge_mode="mor", max_deltas_per_bucket=None,
+        )
+        table_mor.apply_batch(
+            spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1", mode="cow"
+        )
+        table_mor.apply_batch(
+            spark, _mk(spark, [("r1", "a", 2, "go", "U")]), "b2"
+        )
+        before = table_mor.current_snapshot()
+        orig_publish = LakeTable._publish
+
+        def boom(self, snapshot, ref=None):
+            raise RuntimeError("injected crash before publish")
+
+        monkeypatch.setattr(LakeTable, "_publish", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            table_mor.compact(spark)
+        monkeypatch.setattr(LakeTable, "_publish", orig_publish)
+        assert table_mor.current_snapshot() == before
+        assert [(r["repo"], r["lang"]) for r in table_mor.read(spark).collect()] == [
+            ("r1", "go")
+        ]
+        # orphaned rewrite files reclaimed, then the retry succeeds
+        assert table_mor.vacuum_orphans() > 0
+        v = table_mor.compact(spark)
+        assert v == before["version"] + 1
+        snap = table_mor.current_snapshot()
+        assert not any(m.get("deltas") for m in snap["buckets"].values())
+        assert [(r["repo"], r["lang"]) for r in table_mor.read(spark).collect()] == [
+            ("r1", "go")
+        ]
+
+    def test_interleaved_branch_and_main_commits_never_collide(
+        self, spark, table
+    ):
+        """The global version counter gives every commit — main or any
+        branch — a unique version/data-dir, so interleaved writers on
+        different refs never race the publish CAS."""
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("x")
+        table.create_branch("y")
+        table.apply_batch(spark, _mk(spark, [("r2", "b", 2, "py", "U")]), "bx", branch="x")
+        table.apply_batch(spark, _mk(spark, [("r3", "c", 3, "py", "U")]), "by", branch="y")
+        table.apply_batch(spark, _mk(spark, [("r4", "d", 4, "py", "U")]), "b2")
+        versions = [h["version"] for h in table.history()]
+        assert len(versions) == len(set(versions)) == 4
+        # each ref sees exactly its own lineage
+        assert table.read(spark).count() == 2          # main: b1 + b2
+        assert table.read(spark, ref="x").count() == 2  # b1 + bx
+        assert table.read(spark, ref="y").count() == 2  # b1 + by
+        table.drop_branch("x"); table.drop_branch("y")
