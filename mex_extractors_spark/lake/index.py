@@ -114,8 +114,8 @@ def refresh_inverted_index(
     if last == 0:
         state = source.read(spark, version=to_version)
         batch = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
-        index.apply_batch(spark, batch, batch_id)
-        return IndexRefreshStats(0, to_version, full_build=True, applied=True)
+        st = index.apply_batch(spark, batch, batch_id)
+        return IndexRefreshStats(0, to_version, full_build=True, applied=st.applied)
 
     changes = source.read_changes(
         spark, from_version=last, to_version=to_version, include_preimages=True
@@ -139,8 +139,8 @@ def refresh_inverted_index(
     removed = _pairs(
         diff, source.key_cols, F.array_except("_pre", "_post"), "D", to_version
     )
-    index.apply_batch(spark, added.unionByName(removed), batch_id)
-    return IndexRefreshStats(last, to_version, full_build=False, applied=True)
+    st = index.apply_batch(spark, added.unionByName(removed), batch_id)
+    return IndexRefreshStats(last, to_version, full_build=False, applied=st.applied)
 
 
 def full_index(

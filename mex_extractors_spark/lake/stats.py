@@ -110,9 +110,18 @@ def file_may_match(
         return True
     values = st.get("values")
     if values is not None:
+        # type-mismatched predicate values: Spark's residual filter
+        # applies implicit casts ('2024' = 2024 can match), so pruning
+        # on raw Python membership would drop matching files — keep.
+        # An EMPTY value set means the column is all-null in this file,
+        # which no prunable op matches — prune is safe.
         if op == "=":
+            if values and not _comparable(value, values[0]):
+                return True
             return value in values
         if op == "in":
+            if values and value and not any(_comparable(v, values[0]) for v in value):
+                return True
             return any(v in values for v in value)
     mn, mx = st.get("min"), st.get("max")
     if mn is None:
@@ -120,6 +129,8 @@ def file_may_match(
     try:
         if op == "in":
             cand = [v for v in value if _comparable(v, mn)]
+            if value and not cand:
+                return True  # nothing comparable: conservative keep
             return any(mn <= v <= mx for v in cand)
         if not _comparable(value, mn):
             return True

@@ -453,8 +453,11 @@ class LakeTable:
         )
         # retention follows MAIN's parent chain (not "newest by number":
         # an abandoned audit-branch snapshot may carry the top version
-        # and must not displace real history), plus every branch head
-        # and tag target
+        # and must not displace real history), plus every tag target and
+        # every live branch's FULL ancestry down to a retained version —
+        # fast_forward proves ancestry by walking parents, so expiring
+        # an intermediate branch snapshot would make a legitimate
+        # fast-forward unprovable
         keep: set[int] = set()
         v: int | None = cur["version"]
         for _ in range(max(keep_last, 1)):
@@ -463,7 +466,12 @@ class LakeTable:
             keep.add(v)
             parent_snap = self.snapshot_at(v)
             v = parent_snap["parent"] if parent_snap else None
-        keep |= {v for v in self.refs().values() if v}
+        for head in self.refs().values():
+            b: int | None = head
+            while b and b not in keep:
+                keep.add(b)
+                bs = self.snapshot_at(b)
+                b = bs["parent"] if bs else None
         keep |= {v for v in self.tags().values() if v}
         expired = 0
         for v in versions:
@@ -604,6 +612,66 @@ class LakeTable:
             f"INTO {self.num_buckets} BUCKETS LOCATION '{loc}'"
         )
         return view_dir, cur_tbl
+
+    def _new_data_dir(self, version: int) -> tuple[str, str]:
+        """Unique data directory per write ATTEMPT (version + random
+        suffix). The snapshot CAS serializes the LEDGER, but two racing
+        writers that both computed version N must not share a data dir:
+        with a deterministic ``data/v{N}`` path the loser's
+        ``mode('overwrite')`` write would destroy the winner's
+        already-committed files BEFORE its publish raises
+        ``CommitConflict``. Attempt dirs the CAS loser abandons are
+        unreferenced by any snapshot and reclaimed by
+        ``vacuum_orphans`` (which walks paths, not names)."""
+        rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+        return rel, os.path.join(self.path, rel)
+
+    def _readback_bucket_stats(
+        self, spark: SparkSession, out_dir: str, schema: StructType
+    ) -> tuple[dict[int, tuple[int, str]], dict[int, dict[str, list]]]:
+        """Read back just-written files: per-bucket (rows, checksum) +
+        capped distinct value sets for the manifest file stats — the one
+        codegen'd groupBy shared by apply_batch's readback mode,
+        rebucket, and compact (the manifest must certify identical
+        canonical bytes whichever path wrote the files)."""
+        written = spark.read.schema(schema).parquet(out_dir).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
+        canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
+        vs_cols = [c for c in self.stats_cols if c in schema.fieldNames()]
+        rows = (
+            written.groupBy(_BUCKET)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("checksum"),
+                *[
+                    F.slice(
+                        F.array_sort(F.collect_set(F.col(c))),
+                        1,
+                        VALUE_SET_MAX + 1,
+                    ).alias(f"v{ci}")
+                    for ci, c in enumerate(vs_cols)
+                ],
+            )
+            .collect()
+        )
+        bucket_stats = {
+            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"])) for r in rows
+        }
+        value_sets: dict[int, dict[str, list]] = {}
+        for r in rows:
+            for ci, c in enumerate(vs_cols):
+                vals = r[f"v{ci}"]
+                if (
+                    vals is not None
+                    and len(vals) <= VALUE_SET_MAX
+                    and all(isinstance(v, (int, float, str, bool)) for v in vals)
+                ):
+                    value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
+        return bucket_stats, value_sets
 
     def _collect_file_stats(
         self,
@@ -870,12 +938,18 @@ class LakeTable:
                 "the bucket function hashes all of them"
             )
         # same murmur3-pmod the layout uses, evaluated on a literal row
-        # (no table scan — a 1-row local plan)
+        # (no table scan — a 1-row local plan). Literals are CAST to the
+        # stored column types first: murmur3 hashes ints and longs
+        # differently, so an uncast Python int probing a LongType key
+        # would hash to the wrong bucket and silently return empty.
+        schema = self.current_schema()
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        lits = [
+            F.lit(key_values[c]).cast(types[c]) if c in types else F.lit(key_values[c])
+            for c in self.key_cols
+        ]
         bucket = spark.range(1).select(
-            F.pmod(
-                F.hash(*[F.lit(key_values[c]) for c in self.key_cols]),
-                F.lit(self.num_buckets),
-            ).alias("b")
+            F.pmod(F.hash(*lits), F.lit(self.num_buckets)).alias("b")
         ).first()["b"]
         out = self.read(spark, buckets=[int(bucket)])
         for c in self.key_cols:
@@ -1076,8 +1150,7 @@ class LakeTable:
         )
 
         version = self._next_version()
-        rel_out = os.path.join("data", f"v{version:08d}")
-        out_dir = os.path.join(self.path, rel_out)
+        rel_out, out_dir = self._new_data_dir(version)
         t_phase = time.monotonic()
         shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
         view_dir, cur_tbl = None, None
@@ -1248,42 +1321,9 @@ class LakeTable:
                 bucket_stats = None  # schemaless-observation edge: read back
                 value_sets = {}
         if bucket_stats is None:
-            written = spark.read.schema(written_schema).parquet(out_dir).withColumn(
-                _BUCKET, self._bucket_expr()
+            bucket_stats, value_sets = self._readback_bucket_stats(
+                spark, out_dir, written_schema
             )
-            canonical = F.to_json(F.struct(*sorted(written_schema.fieldNames())))
-            readback_rows = (
-                written.groupBy(_BUCKET)
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.coalesce(
-                        F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
-                        F.lit(0).cast("decimal(38,0)"),
-                    ).alias("checksum"),
-                    *[
-                        F.slice(
-                            F.array_sort(F.collect_set(F.col(c))),
-                            1,
-                            VALUE_SET_MAX + 1,
-                        ).alias(f"v{ci}")
-                        for ci, c in enumerate(vs_cols)
-                    ],
-                )
-                .collect()
-            )
-            bucket_stats = {
-                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-                for r in readback_rows
-            }
-            for r in readback_rows:
-                for ci, c in enumerate(vs_cols):
-                    vals = r[f"v{ci}"]
-                    if (
-                        vals is not None
-                        and len(vals) <= VALUE_SET_MAX
-                        and all(isinstance(v, (int, float, str, bool)) for v in vals)
-                    ):
-                        value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         t_checksum = time.monotonic() - t_phase
 
         # --- assemble + publish snapshot
@@ -1703,8 +1743,7 @@ class LakeTable:
         # with deltas pending, total_rows is a file-row bound, not the
         # state count — establish the true expectation before the rewrite
         expected_rows = current.count() if has_deltas else int(snap["total_rows"])
-        rel_out = os.path.join("data", f"v{version:08d}")
-        out_dir = os.path.join(self.path, rel_out)
+        rel_out, out_dir = self._new_data_dir(version)
         shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
         self.num_buckets = new_num_buckets
         try:
@@ -1712,44 +1751,9 @@ class LakeTable:
             self._write_bucketed(spark, current, out_dir)
             # read-back stats: a layout rewrite is rare enough that the
             # manifest should certify the bytes actually on storage
-            written = spark.read.schema(schema).parquet(out_dir).withColumn(
-                _BUCKET, self._bucket_expr()
+            bucket_stats, value_sets = self._readback_bucket_stats(
+                spark, out_dir, schema
             )
-            canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
-            vs_cols = [c for c in self.stats_cols if c in schema.fieldNames()]
-            readback_rows = (
-                written.groupBy(_BUCKET)
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.coalesce(
-                        F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
-                        F.lit(0).cast("decimal(38,0)"),
-                    ).alias("checksum"),
-                    *[
-                        F.slice(
-                            F.array_sort(F.collect_set(F.col(c))),
-                            1,
-                            VALUE_SET_MAX + 1,
-                        ).alias(f"v{ci}")
-                        for ci, c in enumerate(vs_cols)
-                    ],
-                )
-                .collect()
-            )
-            bucket_stats = {
-                int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-                for r in readback_rows
-            }
-            value_sets: dict[int, dict[str, list]] = {}
-            for r in readback_rows:
-                for ci, c in enumerate(vs_cols):
-                    vals = r[f"v{ci}"]
-                    if (
-                        vals is not None
-                        and len(vals) <= VALUE_SET_MAX
-                        and all(isinstance(v, (int, float, str, bool)) for v in vals)
-                    ):
-                        value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         except BaseException:
             self.num_buckets = old_num
             raise
@@ -1864,52 +1868,14 @@ class LakeTable:
             return snap["version"]
         schema = StructType.fromJson(snap["schemas"][str(current_sv)])
         version = self._next_version()
-        rel_out = os.path.join("data", f"v{version:08d}")
-        out_dir = os.path.join(self.path, rel_out)
+        rel_out, out_dir = self._new_data_dir(version)
         rows_df = self.read(spark, buckets=candidates).repartition(
             self.num_buckets, *[F.col(c) for c in self.key_cols]
         )
         self._write_bucketed(spark, rows_df, out_dir)
         # verification read-back: the rewrite must be content-identical,
         # so the fresh per-bucket stats must EQUAL the manifest's
-        written = spark.read.schema(schema).parquet(out_dir).withColumn(
-            _BUCKET, self._bucket_expr()
-        )
-        canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
-        vs_cols = [c for c in self.stats_cols if c in schema.fieldNames()]
-        readback_rows = (
-            written.groupBy(_BUCKET)
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.coalesce(
-                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("checksum"),
-                *[
-                    F.slice(
-                        F.array_sort(F.collect_set(F.col(c))),
-                        1,
-                        VALUE_SET_MAX + 1,
-                    ).alias(f"v{ci}")
-                    for ci, c in enumerate(vs_cols)
-                ],
-            )
-            .collect()
-        )
-        new_stats = {
-            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in readback_rows
-        }
-        value_sets: dict[int, dict[str, list]] = {}
-        for r in readback_rows:
-            for ci, c in enumerate(vs_cols):
-                vals = r[f"v{ci}"]
-                if (
-                    vals is not None
-                    and len(vals) <= VALUE_SET_MAX
-                    and all(isinstance(v, (int, float, str, bool)) for v in vals)
-                ):
-                    value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
+        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
         drift = []
         for b in candidates:
             meta = snap["buckets"][str(b)]

@@ -455,6 +455,15 @@ def dedup_components(
         labels = new_labels  # prior checkpoint blocks are GC-reclaimed
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return WRONG components (a chain
+        # longer than max_iterations keeps stale labels at its far end,
+        # so one duplicate cluster yields several "canonical" survivors)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} "
+            "iterations — the duplicate graph has a longer chain; raise "
+            "max_iterations (rounds needed ~ graph diameter)"
+        )
     return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("component_id"))
 
 

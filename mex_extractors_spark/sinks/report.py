@@ -30,7 +30,10 @@ MANIFEST_SCHEMA = "file_name string, n_rows long, content_sha256 string"
 
 
 def _safe(name: object) -> str:
-    return re.sub(r"\s+", "", str(name))
+    """Group value → filename fragment: path separators and every other
+    non-filename character become '_' (a group like 'a/b' or '..' must
+    not escape the output directory or poison the writing task)."""
+    return re.sub(r"[^A-Za-z0-9._-]", "_", str(name)).strip(".") or "group"
 
 
 def render_csv_bytes(pdf: pd.DataFrame, row_cols: Sequence[str], order_col: str) -> bytes:

@@ -305,3 +305,20 @@ class TestStatsUnit:
         assert st["s"]["min"] == "a" and st["s"]["max"] == "z"
         assert st["s"]["nulls"] == 1
         assert "missing" not in st
+
+
+class TestTypeMismatchConservatism:
+    def test_type_mismatched_predicates_never_prune(self):
+        """Spark's residual filter applies implicit casts ('2024'=2024
+        can match), so a type-mismatched predicate must keep the file."""
+        st = {"year": {"min": "2020", "max": "2024", "values": ["2020", "2024"]}}
+        assert file_may_match(st, True, "year", "=", 2024)
+        assert file_may_match(st, True, "year", "in", [2024, 2025])
+        st2 = {"year": {"min": "2020", "max": "2024"}}
+        assert file_may_match(st2, True, "year", "=", 2024)
+        assert file_may_match(st2, True, "year", "in", [2024])
+        # comparable values still prune
+        assert not file_may_match(st, True, "year", "=", "1999")
+        # all-null column (empty value set) is provably unmatched
+        st3 = {"year": {"min": None, "max": None, "values": []}}
+        assert not file_may_match(st3, True, "year", "=", "2020")

@@ -252,3 +252,57 @@ class TestCrashAndCollisionHardening:
         assert table.read(spark, ref="x").count() == 2  # b1 + bx
         assert table.read(spark, ref="y").count() == 2  # b1 + by
         table.drop_branch("x"); table.drop_branch("y")
+
+
+class TestReviewRegressions:
+    def test_cas_loser_cannot_destroy_winner_data_files(
+        self, spark, table, monkeypatch
+    ):
+        """Two writers that computed the SAME version must not share a
+        data dir: the loser writes its own attempt dir, gets
+        CommitConflict at publish, and the winner's committed files
+        survive (vacuum then reclaims the abandoned attempt)."""
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        winner = LakeTable(table.path, key_cols=["repo", "path"], num_buckets=4)
+        loser = LakeTable(table.path, key_cols=["repo", "path"], num_buckets=4)
+        clash = winner._next_version()
+        winner.apply_batch(spark, _mk(spark, [("r2", "b", 2, "py", "U")]), "b2")
+        monkeypatch.setattr(loser, "_next_version", lambda: clash)
+        with pytest.raises(CommitConflict):
+            loser.apply_batch(spark, _mk(spark, [("r3", "c", 3, "py", "U")]), "b3")
+        # the winner's commit is fully intact — every referenced file readable
+        assert sorted(
+            (r["repo"], r["path"]) for r in table.read(spark).collect()
+        ) == [("r1", "a"), ("r2", "b")]
+        assert table.verify_bucket_checksums(spark) == []
+        assert table.vacuum_orphans() > 0  # the loser's abandoned attempt dir
+
+    def test_read_key_casts_literals_to_stored_key_types(self, spark, tmp_path):
+        """murmur3 hashes int and long differently — an uncast Python
+        int probing a LongType key would scan the wrong bucket and
+        silently return empty."""
+        t = LakeTable(str(tmp_path / "lk"), key_cols=["user_id"], num_buckets=16)
+        df = spark.createDataFrame(
+            [(i, i * 10, "U") for i in range(50)], "user_id long, v long, op string"
+        ).withColumn("seq", F.col("user_id") + 1)
+        t.apply_batch(spark, df, "b1")
+        for probe in range(0, 50, 7):
+            got = t.read_key(spark, user_id=probe).collect()
+            assert [(r["user_id"], r["v"]) for r in got] == [(probe, probe * 10)], probe
+
+    def test_fast_forward_survives_expiry_of_branch_intermediates(
+        self, spark, table
+    ):
+        """expire_snapshots keeps each branch's ancestry, so a
+        multi-commit branch still fast-forwards after maintenance."""
+        table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
+        table.create_branch("work")
+        for i in range(2, 5):
+            table.apply_batch(
+                spark, _mk(spark, [(f"r{i}", "x", i, "py", "U")]), f"w{i}", branch="work"
+            )
+        table.expire_snapshots(keep_last=1)
+        head = table.fast_forward("work")
+        assert head == table.current_snapshot()["version"]
+        assert table.read(spark).count() == 4
+        table.drop_branch("work")
