@@ -58,10 +58,14 @@ def first_of_group(
 ) -> DataFrame:
     """Deterministic first-of-group representative
     (synopse/transform.py:154-156) via min_by (partial-agg friendly,
-    unlike row_number)."""
+    unlike row_number). Ties on ``order_col`` are broken by the full
+    row (struct comparison over the remaining columns in schema order)
+    — min_by alone returns an arbitrary tied row, which would change
+    across partitionings and re-runs."""
     others = [c for c in df.columns if c not in key_cols]
+    payload = F.struct(*others)
     packed = df.groupBy(*key_cols).agg(
-        F.min_by(F.struct(*others), F.col(order_col)).alias("_w")
+        F.min_by(payload, F.struct(F.col(order_col), payload)).alias("_w")
     )
     return packed.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in others])
 

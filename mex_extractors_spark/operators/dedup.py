@@ -30,9 +30,13 @@ def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Groups of byte-identical documents: (text_sha256, dup_count,
-    keep_id, dup_ids). ``keep_id`` = min id (deterministic survivor)."""
+    keep_id, dup_ids). ``keep_id`` = min id (deterministic survivor).
+    Null texts are excluded — two missing documents are not
+    byte-identical, and sha2(null) would group them into one bogus
+    duplicate set."""
     return (
-        df.select(F.sha2(F.col(text_col), 256).alias("text_sha256"), F.col(id_col))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.sha2(F.col(text_col), 256).alias("text_sha256"), F.col(id_col))
         .groupBy("text_sha256")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
@@ -44,11 +48,13 @@ def exact_duplicates(
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one deterministic survivor (min id) per identical text."""
+    """Keep one deterministic survivor (min id) per identical text.
+    Null-text rows all pass through (they are not duplicates of each
+    other — groupBy/Window would bucket the nulls together)."""
     return (
         df.withColumn("_sha", F.sha2(F.col(text_col), 256))
         .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_sha")))
-        .where(F.col(id_col) == F.col("_keep"))
+        .where(F.col(text_col).isNull() | (F.col(id_col) == F.col("_keep")))
         .drop("_sha", "_keep")
     )
 
@@ -138,6 +144,14 @@ def minhash_lsh_candidates(
     is the shuffle key — never a cross join. Returns (id_a, id_b,
     n_shared_bands) with id_a < id_b.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # a non-dividing split silently discards signature hashes, and
+        # bands > num_hashes degenerates every band to a CONSTANT bucket
+        # (rows=0 -> xxhash64(lit(b)) alone) — the all-pairs join this
+        # function exists to avoid
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     banded = sigs.select(
@@ -365,14 +379,26 @@ def ngram_jaccard_pairs(
         .groupBy("_id")
         .agg(F.collect_set("_s").alias("_sh"))
     )
-    exploded = sets_df.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    exploded = sets_df.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_df is not None:
+        # stop-shingles leave the UNIVERSE, not just the intersection:
+        # per-doc sizes below are counted over the same filtered shingle
+        # space the intersections use, so jaccard stays a true
+        # |A∩B| / |A∪B| of that space (counting stop-shingles in the
+        # sizes but not the intersections would systematically
+        # underestimate similarity of genuinely near-duplicate pairs)
+        grp = exploded.groupBy("_s").agg(F.collect_list("_id").alias("_ids"))
+        exploded = (
+            grp.where(F.size("_ids") <= max_shingle_df)
+            .select(F.explode("_ids").alias("_id"), "_s")
+        )
+    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     postings = (
-        exploded.groupBy("_s")
+        exploded.join(sizes, "_id")
+        .groupBy("_s")
         .agg(F.collect_list(F.struct("_id", "_n")).alias("_docs"))
         .where(F.size("_docs") >= 2)
     )
-    if max_shingle_df is not None:
-        postings = postings.where(F.size("_docs") <= max_shingle_df)
     # pair fan-out: double explode + a<b filter stays in whole-stage
     # codegen (no HOF lambdas — those are interpreted row-at-a-time)
     shared = (

@@ -63,14 +63,24 @@ def deny_list_filter(
     array_col: str,
     deny_patterns: Sequence[str],
 ) -> DataFrame:
-    """Drop rows where ANY element of an array column matches ANY deny
-    pattern — the reference's ``any_contains_any`` global filter
-    (mex/extractors/filters.py:37-59). ``exists`` lambda over the array;
-    the deny list folds into one regex alternation (broadcast literal).
+    """Drop rows where ANY element of an array column CONTAINS any deny
+    entry — the reference's ``any_contains_any`` global filter
+    (mex/extractors/filters.py:37-59): substring containment, not regex
+    (an entry like ``C++`` must not be a pattern-syntax error, and
+    ``a.b`` must not match ``aXb``). An empty deny list drops nothing;
+    a null array is "no partner matched" and the row is kept.
     """
-    pattern = "|".join(deny_patterns)
+    if not deny_patterns:
+        return df
+
+    def _hits(x):
+        cond = F.lit(False)
+        for p in deny_patterns:
+            cond = cond | x.contains(F.lit(p))
+        return cond
+
     return df.where(
-        ~F.exists(F.col(array_col), lambda x: x.rlike(pattern))
+        ~F.coalesce(F.exists(F.col(array_col), _hits), F.lit(False))
     )
 
 

@@ -185,9 +185,11 @@ def rewrite_actor_references(
         ).alias("_orig"),
     )
 
-    rewritten = F.concat(
-        F.transform(F.col("_kept"), lambda s: s["_ref"]), F.col("_repl")
-    )
+    # substitutions already present among the kept refs must not
+    # duplicate (a unit that is BOTH directly referenced and the
+    # substitute of a blocked person appears once)
+    kept_refs = F.transform(F.col("_kept"), lambda s: s["_ref"])
+    rewritten = F.concat(kept_refs, F.array_except(F.col("_repl"), kept_refs))
     fallback = F.array(*[F.lit(c) for c in fallback_contacts])
     # the fallback only rescues a field if there IS a fallback contact
     # (transform.py:99-101 sets then re-checks emptiness before :102)

@@ -78,9 +78,11 @@ def _jaccard_pairs_parts(
     k: int, threshold: float, max_shingle_df: int | None
 ) -> tuple[str, str]:
     """(cte_block, pair_select) for exact k-gram jaccard pairs,
-    mirroring ngram_jaccard_pairs semantics exactly: set size n = FULL
-    distinct-shingle count, the intersection counted only over non-stop
-    shingles. Split so _d6_oracle can reuse the block under WITH
+    mirroring ngram_jaccard_pairs semantics exactly: stop-shingles
+    (document frequency > max_shingle_df) leave the UNIVERSE — per-doc
+    set sizes AND intersections are both counted over the surviving
+    shingle space, so jaccard stays a true |A∩B| / |A∪B| of that
+    space. Split so _d6_oracle can reuse the block under WITH
     RECURSIVE."""
     guard = (
         f"""
@@ -96,12 +98,14 @@ def _jaccard_pairs_parts(
                             for i in generate_series(1, greatest(length(text) - {k - 1}, 1))]) AS sh
       FROM documents
     ), ex AS (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
-    ){guard}"""
+      SELECT doc_id, unnest(sh) AS s FROM sets
+    ){guard}
+    , szs AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id)
+    , exn AS (SELECT exf.doc_id, szs.n, exf.s FROM exf JOIN szs USING (doc_id))"""
     select = f"""
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) AS jaccard
-    FROM exf l JOIN exf r ON l.s = r.s AND l.doc_id < r.doc_id
+    FROM exn l JOIN exn r ON l.s = r.s AND l.doc_id < r.doc_id
     GROUP BY l.doc_id, r.doc_id
     HAVING round(count(*) * 1.0 / (any_value(l.n) + any_value(r.n) - count(*)), 6) >= {threshold}
     """
@@ -1889,7 +1893,8 @@ def t6_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sha256(props) AS text_sha256, count(*) AS dup_count,
            min(event_id) AS keep_id
-    FROM events GROUP BY sha256(props) HAVING count(*) > 1
+    FROM events WHERE props IS NOT NULL
+    GROUP BY sha256(props) HAVING count(*) > 1
     """,
 )
 def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:

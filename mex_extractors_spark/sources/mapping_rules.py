@@ -69,6 +69,15 @@ def compile_field(rules: list[dict], source_col: str | None) -> Column:
                 mapping[str(v)] = set_values
         else:
             default = set_values
+    if mapping and source_col is None:
+        # conditional (forValues) rules are keyed on the source column —
+        # a missing/typo'd fieldInPrimarySource would silently drop them
+        # all and hand every row the default (the reference's Pydantic
+        # models fail loudly on the same misconfiguration)
+        raise ValueError(
+            "mapping rules use forValues but the field declares no "
+            "fieldInPrimarySource to match against"
+        )
     expr = None
     if mapping and source_col is not None:
         lookup = F.create_map(

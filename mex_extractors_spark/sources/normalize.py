@@ -144,7 +144,9 @@ def normalize_change_events(df: DataFrame) -> DataFrame:
             "content_sha": F.when(
                 F.col("content").isNotNull(), F.sha2(F.col("content"), 256)
             ),
-            "size_bytes": F.length(F.col("content")).cast("long"),
+            # octet_length, NOT length: char count undercounts any
+            # multi-byte UTF-8 content vs the bytes actually stored
+            "size_bytes": F.octet_length(F.col("content")).cast("long"),
         }
     )
 

@@ -130,12 +130,9 @@ class ReplayEngine:
                 out.append(ApplyStats(batch_id=bid, applied=False))
                 continue
             batch = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) <= hi))
-            try:
-                stats = self._apply_one(
-                    spark, batch, bid, crash_after_data=(bid == crash_on_batch)
-                )
-            except CommitAborted:
-                raise
+            stats = self._apply_one(
+                spark, batch, bid, crash_after_data=(bid == crash_on_batch)
+            )
             out.append(stats)
         return out
 
