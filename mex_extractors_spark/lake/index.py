@@ -32,8 +32,10 @@ Reference lineage: the reference re-derives its searchable fields on
 every publisher run (mex/extractors/pipeline/base.py:46-104 full
 re-materialization); this is the incremental replacement.
 
-Retention contract: same as derived views — the source version a
-refresh starts from must still be retained, else ``full_build`` again.
+Retention contract: same as derived views — if the source version a
+refresh starts from has been expired by retention, the refresh
+automatically falls back to a full rebuild (current-state upserts plus
+deletes for stale index entries) and then resumes incrementally.
 """
 
 from __future__ import annotations
@@ -117,6 +119,15 @@ def refresh_inverted_index(
         st = index.apply_batch(spark, batch, batch_id)
         return IndexRefreshStats(0, to_version, full_build=True, applied=st.applied)
 
+    if source.snapshot_at(last) is None:
+        # the last-indexed source snapshot was expired by retention —
+        # the CDF can't be computed from it, and last_indexed_version
+        # stays high so the last==0 bootstrap branch is unreachable.
+        # Recovery (the derived.full_refresh analog): rebuild from the
+        # CURRENT state — upsert every live (term, key) pair and delete
+        # index entries whose pair no longer exists.
+        return _full_rebuild(spark, source, index, terms_fn, last, to_version)
+
     changes = source.read_changes(
         spark, from_version=last, to_version=to_version, include_preimages=True
     )
@@ -141,6 +152,38 @@ def refresh_inverted_index(
     )
     st = index.apply_batch(spark, added.unionByName(removed), batch_id)
     return IndexRefreshStats(last, to_version, full_build=False, applied=st.applied)
+
+
+def _full_rebuild(
+    spark: SparkSession,
+    source: LakeTable,
+    index: LakeTable,
+    terms_fn: Callable[[DataFrame], Column],
+    last: int,
+    to_version: int,
+) -> IndexRefreshStats:
+    """Recovery path when the CDF base snapshot has been expired:
+    re-emit the current state's (term, key) pairs as upserts plus
+    deletes for stale index entries (mirrors ``derived.full_refresh``).
+    Committed under the standard ``idx:`` batch id, so the watermark
+    advances and subsequent refreshes go back to incremental."""
+    state = source.read(spark, version=to_version)
+    live = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
+    pair_cols = ["term", *source.key_cols]
+    stale = (
+        index.read(spark)
+        .select(*pair_cols)
+        .join(live.select(*pair_cols), on=pair_cols, how="left_anti")
+        .select(
+            *pair_cols,
+            F.lit(to_version).cast("long").alias("_src_version"),
+            F.lit("D").alias("op"),
+        )
+    )
+    st = index.apply_batch(
+        spark, live.unionByName(stale), f"idx:v{last}->{to_version}"
+    )
+    return IndexRefreshStats(last, to_version, full_build=True, applied=st.applied)
 
 
 def full_index(

@@ -120,7 +120,10 @@ def file_may_match(
                 return True
             return value in values
         if op == "in":
-            if values and value and not any(_comparable(v, values[0]) for v in value):
+            # ANY non-comparable element forces a keep: Spark's residual
+            # isin() can match it via implicit cast even when the
+            # comparable elements all miss (e.g. [100, "5"] vs int col).
+            if values and any(not _comparable(v, values[0]) for v in value):
                 return True
             return any(v in values for v in value)
     mn, mx = st.get("min"), st.get("max")
@@ -129,8 +132,8 @@ def file_may_match(
     try:
         if op == "in":
             cand = [v for v in value if _comparable(v, mn)]
-            if value and not cand:
-                return True  # nothing comparable: conservative keep
+            if len(cand) != len(value):
+                return True  # any non-comparable element: conservative keep
             return any(mn <= v <= mx for v in cand)
         if not _comparable(value, mn):
             return True

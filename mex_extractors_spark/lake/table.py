@@ -116,8 +116,11 @@ class CommitConflict(RuntimeError):
 class ApplyStats:
     batch_id: str
     applied: bool
-    events_in: int = 0
-    events_fenced: int = 0
+    events_in: int = 0  # raw batch rows, before the ingest contract
+    # rows dropped by the null-key/op ingest contract — distinct from
+    # fenced so replay metrics/audits don't overstate redelivery
+    events_invalid: int = 0
+    events_fenced: int = 0  # valid rows at/below a bucket watermark
     upserts: int = 0  # non-fenced I/U events in the batch
     deletes: int = 0  # non-fenced D events in the batch
     buckets_touched: int = 0
@@ -565,6 +568,23 @@ class LakeTable:
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
 
+    def _release_cdf_scratch(self, spark: SparkSession) -> None:
+        """Drop the catalog tables + view dirs registered by a previous
+        ``read_changes`` fast path. Those can't be dropped inside
+        ``read_changes`` itself (the returned DataFrame reads them
+        lazily), so they're released on the NEXT read_changes/apply_batch
+        call on this instance — by which point apply_batch would have
+        rmtree'd the view dirs anyway, invalidating the old DataFrame.
+        Without this, a long session doing per-version CDF reads
+        accumulates mex_lake_cur_* catalog entries unboundedly."""
+        for view_dir, tbl in getattr(self, "_cdf_scratch", []):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
+            shutil.rmtree(view_dir, ignore_errors=True)
+        self._cdf_scratch = []
+
     def _register_current_view(
         self,
         spark: SparkSession,
@@ -991,6 +1011,7 @@ class LakeTable:
         # scratch view dirs are transient per-apply; clear crash leftovers
         shutil.rmtree(os.path.join(self.path, "_views"), ignore_errors=True)
         self._drop_stale_scratch_tables(spark)
+        self._release_cdf_scratch(spark)
 
         # --- ingest contract: op and every key column must be non-null.
         #     Malformed rows are dropped HERE, once, so the fast
@@ -1002,11 +1023,18 @@ class LakeTable:
         for k in self.key_cols:
             valid = valid & F.col(k).isNotNull()
 
-        # --- fence redelivered events at/below each bucket's watermark
+        # --- fence redelivered events at/below each bucket's watermark.
+        #     The observe sits ABOVE the validity filter so events_in is
+        #     the raw batch size and invalid rows are counted explicitly
+        #     (not folded into events_fenced).
         obs = Observation()
         events = (
-            batch_df.where(valid)
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            batch_df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(valid, 0).otherwise(1)).alias("bad"),
+            )
+            .where(valid)
             .withColumn(_BUCKET, self._bucket_expr())
         )
         # fence against the WRITE HEAD's watermarks (branch-aware)
@@ -1048,10 +1076,12 @@ class LakeTable:
         )
         try:
             events_in = int(obs.get["n"])
+            events_invalid = int(obs.get["bad"] or 0)
         except Exception:
             # Observation row can be schemaless when the observed job ends
-            # empty (Spark edge case) — fall back to a direct count
-            events_in = batch_df.where(valid).count()
+            # empty (Spark edge case) — fall back to direct counts
+            events_in = batch_df.count()
+            events_invalid = events_in - batch_df.where(valid).count()
         touched = [int(r[_BUCKET]) for r in stats_rows]
         kept = sum(int(r["kept"]) for r in stats_rows)
         upserts = sum(int(r["ups"]) for r in stats_rows)
@@ -1066,7 +1096,8 @@ class LakeTable:
                 batch_id=batch_id,
                 applied=True,
                 events_in=events_in,
-                events_fenced=events_in,
+                events_invalid=events_invalid,
+                events_fenced=events_in - events_invalid,
                 seconds=time.monotonic() - t0,
             )
 
@@ -1397,7 +1428,8 @@ class LakeTable:
             batch_id=batch_id,
             applied=True,
             events_in=events_in,
-            events_fenced=events_in - kept,
+            events_invalid=events_invalid,
+            events_fenced=events_in - events_invalid - kept,
             upserts=upserts,
             deletes=deletes,
             buckets_touched=len(touched),
@@ -1622,13 +1654,15 @@ class LakeTable:
             and _compatible(to_snap)
         )
         if fast:
+            self._release_cdf_scratch(spark)  # previous CDF call's tables
             wanted = changed if changed is not None else None
-            _vd_old, tbl_old = self._register_current_view(
+            vd_old, tbl_old = self._register_current_view(
                 spark, from_snap, wanted or [], out_schema
             )
-            _vd_new, tbl_new = self._register_current_view(
+            vd_new, tbl_new = self._register_current_view(
                 spark, to_snap, wanted or [], out_schema
             )
+            self._cdf_scratch = [(vd_old, tbl_old), (vd_new, tbl_new)]
             old_side, new_side = spark.table(tbl_old), spark.table(tbl_new)
         else:
             old_side = align_to_schema(

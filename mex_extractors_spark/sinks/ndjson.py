@@ -6,16 +6,27 @@ sha256-checksummed (:106-109), and a ``metadata.json`` document
 recording checksum / item count / package versions / timestamp
 (:111-133).
 
-Cluster shape: line rendering and part writing happen ON THE EXECUTORS
-(``mapInPandas`` after a global ``orderBy`` — Spark's range-partitioned
-sort makes the part files globally ordered by part id), and only a
-one-row-per-part manifest returns to the driver. The driver then
-streams the ordered parts through sha256 — the read-back is the point:
-the checksum certifies the bytes on storage, exactly the reference's
-contract — and writes ``metadata.json``. ``single_file=True`` (the
-reference's layout) concatenates into one ``items.ndjson`` during that
-same streaming pass; ``False`` keeps the parts (the 100 TB shape) with
-their per-part sha256 recorded in the metadata document.
+Cluster shape: line rendering, part writing, AND byte verification
+happen ON THE EXECUTORS (``mapInPandas`` after a global ``orderBy`` —
+Spark's range-partitioned sort makes the part files globally ordered by
+part id; each task re-reads its just-written file and certifies the
+bytes on storage before reporting). Only a one-row-per-part manifest
+returns to the driver.
+
+Checksum scheme by layout:
+
+- ``single_file=True`` (the reference's layout): the driver streams the
+  ordered parts through sha256 while concatenating them into one
+  ``items.ndjson`` — the read-back IS the concatenation pass, so it
+  costs nothing extra and the recorded checksum covers the final file's
+  bytes, exactly the reference's contract.
+- ``single_file=False`` (the 100 TB shape): the parts stay where the
+  executors wrote them and the recorded stream checksum is
+  ``sha256(concat(ordered part sha256 hex digests))`` — the driver
+  never opens a part file, so a large export never serializes through
+  one machine's NIC/disk. Verifiability is unchanged: each part's bytes
+  are certified by its own (executor-verified) sha256, and the part-sha
+  list is pinned by the hash-of-hashes.
 """
 
 from __future__ import annotations
@@ -32,6 +43,26 @@ from pyspark.sql import DataFrame, SparkSession
 from mex_extractors_spark.functions.canonical import canonical_json
 
 _PART_SCHEMA = "part long, file_name string, n_rows long, part_sha256 string"
+
+
+def _concat_and_hash_parts(
+    target: str, manifest: list[tuple], out_path: str
+) -> "hashlib._Hash":
+    """Driver-side read-back used ONLY for ``single_file=True``: stream
+    the ordered parts through sha256 while concatenating them into the
+    single output file, re-verifying each part's bytes along the way."""
+    stream = hashlib.sha256()
+    with open(out_path, "wb") as out_fh:
+        for _pid, fname, _n_rows, part_sha in manifest:
+            ph = hashlib.sha256()
+            with open(os.path.join(target, fname), "rb") as fh:
+                while chunk := fh.read(1 << 20):
+                    stream.update(chunk)
+                    ph.update(chunk)
+                    out_fh.write(chunk)
+            if ph.hexdigest() != part_sha:
+                raise RuntimeError(f"ndjson part {fname}: bytes on storage drifted")
+    return stream
 
 
 def export_ndjson(
@@ -78,6 +109,14 @@ def export_ndjson(
         if fh is None:
             return  # empty partition: no file, no manifest row
         fh.close()
+        # executor-side read-back: certify the bytes ON STORAGE (page-
+        # cached, so ~free) before the part is reported to the driver
+        rb = hashlib.sha256()
+        with open(path, "rb") as check:
+            while chunk := check.read(1 << 20):
+                rb.update(chunk)
+        if rb.hexdigest() != h.hexdigest():
+            raise RuntimeError(f"ndjson part {path}: bytes on storage drifted")
         yield pd.DataFrame(
             {
                 "part": [pid],
@@ -91,30 +130,25 @@ def export_ndjson(
         (r.part, r.file_name, r.n_rows, r.part_sha256)
         for r in lines.mapInPandas(write_part, _PART_SCHEMA).collect()
     )
-    # read-back pass: stream the ordered parts through sha256 so the
-    # recorded checksum certifies the bytes actually on storage
-    stream = hashlib.sha256()
-    total = 0
-    out_path = os.path.join(target, "items.ndjson") if single_file else None
-    out_fh = open(out_path, "wb") if out_path else None
-    for _pid, fname, n_rows, part_sha in manifest:
-        ph = hashlib.sha256()
-        with open(os.path.join(target, fname), "rb") as fh:
-            while chunk := fh.read(1 << 20):
-                stream.update(chunk)
-                ph.update(chunk)
-                if out_fh is not None:
-                    out_fh.write(chunk)
-        if ph.hexdigest() != part_sha:
-            raise RuntimeError(f"ndjson part {fname}: bytes on storage drifted")
-        total += n_rows
-    if out_fh is not None:
-        out_fh.close()
+    total = sum(n_rows for _pid, _f, n_rows, _s in manifest)
+    if single_file:
+        out_path = os.path.join(target, "items.ndjson")
+        stream = _concat_and_hash_parts(target, manifest, out_path)
         for _pid, fname, _n, _s in manifest:
             os.remove(os.path.join(target, fname))
+        checksum = stream.hexdigest()
+        scheme = "stream-bytes"
+    else:
+        # hash-of-hashes: the driver never opens a part file
+        stream = hashlib.sha256()
+        for _pid, _fname, _n, part_sha in manifest:
+            stream.update(part_sha.encode("ascii"))
+        checksum = stream.hexdigest()
+        scheme = "sha256-of-part-sha256s"
 
     metadata = {
-        "sha256_checksum": stream.hexdigest(),
+        "sha256_checksum": checksum,
+        "checksum_scheme": scheme,
         "item_count": total,
         "version_label": version_label,
         "files": (

@@ -32,8 +32,27 @@ MANIFEST_SCHEMA = "file_name string, n_rows long, content_sha256 string"
 def _safe(name: object) -> str:
     """Group value → filename fragment: path separators and every other
     non-filename character become '_' (a group like 'a/b' or '..' must
-    not escape the output directory or poison the writing task)."""
-    return re.sub(r"[^A-Za-z0-9._-]", "_", str(name)).strip(".") or "group"
+    not escape the output directory or poison the writing task).
+    Sanitization is lossy, so whenever it ALTERS the name an 8-hex
+    sha256 suffix of the raw value disambiguates it — otherwise
+    distinct groups 'a/b' and 'a_b' would collide on one file and one
+    group's report would silently overwrite the other's."""
+    raw = str(name)
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", raw).strip(".") or "group"
+    if safe != raw:
+        safe = f"{safe}-{hashlib.sha256(raw.encode('utf-8')).hexdigest()[:8]}"
+    return safe
+
+
+def _csv_field(v: object) -> str:
+    """RFC-4180 field escaping: values containing the delimiter, a
+    quote, or a line break are quoted with doubled inner quotes; clean
+    values pass through byte-identical (keeps the SQL-expressible
+    sha256 oracle valid for clean data)."""
+    s = "" if v is None else str(v)
+    if any(ch in s for ch in (",", '"', "\n", "\r")):
+        s = '"' + s.replace('"', '""') + '"'
+    return s
 
 
 def render_csv_bytes(pdf: pd.DataFrame, row_cols: Sequence[str], order_col: str) -> bytes:
@@ -41,8 +60,10 @@ def render_csv_bytes(pdf: pd.DataFrame, row_cols: Sequence[str], order_col: str)
     ``order_col`` — byte-stable across partitionings, so the manifest
     sha256 is deterministic (and expressible as a SQL oracle)."""
     body = pdf.sort_values(order_col)[list(row_cols)]
-    lines = [",".join(row_cols)]
-    lines += [",".join(str(v) for v in row) for row in body.itertuples(index=False)]
+    lines = [",".join(_csv_field(c) for c in row_cols)]
+    lines += [
+        ",".join(_csv_field(v) for v in row) for row in body.itertuples(index=False)
+    ]
     return "\n".join(lines).encode("utf-8")
 
 

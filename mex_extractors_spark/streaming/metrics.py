@@ -28,6 +28,7 @@ class MetricsLog:
             "batch_id": stats.batch_id,
             "applied": stats.applied,
             "events_in": stats.events_in,
+            "events_invalid": stats.events_invalid,
             "events_fenced": stats.events_fenced,
             "upserts": stats.upserts,
             "deletes": stats.deletes,

@@ -118,6 +118,47 @@ def test_unchanged_update_writes_no_index_rows(spark, tables):
     assert _idx_state(spark, index) == _oracle(spark, source)
 
 
+def test_expired_base_snapshot_falls_back_to_full_rebuild(spark, tables):
+    """When retention expires the last-indexed source snapshot, the
+    refresh must NOT wedge (last_indexed_version stays high, so the
+    bootstrap branch is unreachable) — it rebuilds from the current
+    state, retracting stale entries, then resumes incrementally."""
+    source, index = tables
+    source.apply_batch(
+        spark,
+        _mk(spark, [("r1", "a.py", 1, "alpha beta", "U"),
+                    ("r2", "b.py", 2, "gamma", "U")]),
+        "b1",
+    )
+    refresh_inverted_index(spark, source, index, _terms)
+    # advance the source twice, then expire everything but the head
+    source.apply_batch(
+        spark,
+        _mk(spark, [("r1", "a.py", 10, "alpha delta", "U"),  # -beta +delta
+                    ("r2", "b.py", 11, None, "D")]),          # retract gamma
+        "b2",
+    )
+    source.apply_batch(
+        spark, _mk(spark, [("r3", "c.py", 20, "epsilon", "U")]), "b3"
+    )
+    source.expire_snapshots(keep_last=1)
+    assert source.snapshot_at(last_indexed_version(index)) is None
+
+    st = refresh_inverted_index(spark, source, index, _terms)
+    assert st.applied and st.full_build
+    assert _idx_state(spark, index) == _oracle(spark, source)
+    # stale entries (beta, gamma) were retracted, not just shadowed
+    assert "beta" not in {t for t, _, _ in _idx_state(spark, index)}
+
+    # next refresh is incremental again
+    source.apply_batch(
+        spark, _mk(spark, [("r3", "c.py", 30, "epsilon zeta", "U")]), "b4"
+    )
+    st2 = refresh_inverted_index(spark, source, index, _terms)
+    assert st2.applied and not st2.full_build
+    assert _idx_state(spark, index) == _oracle(spark, source)
+
+
 def test_index_schema_validated(spark, tables, tmp_path):
     source, _ = tables
     bad = LakeTable(str(tmp_path / "bad"), key_cols=["term"], seq_col="_src_version")

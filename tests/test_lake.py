@@ -413,9 +413,21 @@ def test_malformed_rows_dropped_consistently_on_both_merge_paths(spark, tmp_path
         "repo string, path string, seq long, op string, content string",
     )
     # fast path (no schema change)
-    table.apply_batch(spark, bad, "b2")
+    st = table.apply_batch(spark, bad, "b2")
     rows = {(r.repo, r.path, r.content) for r in table.read(spark).collect()}
     assert rows == {("r1", "a", "x2"), ("r1", "b", "y")}
+    # invalid rows are reported distinctly, never as fenced redeliveries
+    assert st.events_in == 3
+    assert st.events_invalid == 2
+    assert st.events_fenced == 0
+
+    # all-fenced no-op path: redelivering the same rows under a new id
+    # must still split invalid from fenced (1 stale update, 2 invalid)
+    st_redeliver = table.apply_batch(spark, bad, "b2-redelivered")
+    assert st_redeliver.applied
+    assert st_redeliver.events_in == 3
+    assert st_redeliver.events_invalid == 2
+    assert st_redeliver.events_fenced == 1
 
     # fallback path: force the union merge with an exotic promotion is
     # environment-specific; instead check first-write path consistency

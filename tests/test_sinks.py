@@ -48,6 +48,53 @@ def test_render_csv_bytes_partition_order_invariant():
     )
 
 
+def test_render_csv_bytes_escapes_delimiters_and_quotes():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"name": ['he said "hi"', "a,b", "line\nbreak", "clean"], "v": [1, 2, 3, 4]}
+    )
+    payload = render_csv_bytes(pdf, ["name", "v"], "v").decode()
+    lines = payload.split("\n")
+    assert lines[0] == "name,v"
+    assert lines[1] == '"he said ""hi""",1'
+    assert lines[2] == '"a,b",2'
+    # embedded newline stays inside ONE quoted field
+    assert '"line\nbreak",3' in payload
+    assert lines[-1] == "clean,4"
+    # round-trips through a strict CSV parser
+    import csv
+    import io
+
+    rows = list(csv.reader(io.StringIO(payload)))
+    assert rows[1] == ['he said "hi"', "1"]
+    assert rows[3] == ["line\nbreak", "3"]
+
+
+def test_group_reports_sanitized_name_collision(spark, tmp_path):
+    """Distinct groups 'a/b' and 'a_b' must yield distinct files — the
+    sanitizer appends a raw-value hash whenever it alters the name."""
+    df = spark.createDataFrame(
+        [("a/b", "x", 1), ("a_b", "y", 2)], "grp string, name string, v long"
+    )
+    out = str(tmp_path / "reports")
+    manifest = {
+        r.file_name: r
+        for r in write_group_reports(
+            df, out, group_col="grp", entity_name="item",
+            row_cols=["name", "v"], order_col="name",
+        ).collect()
+    }
+    assert len(manifest) == 2
+    # the clean name is untouched; the sanitized one carries a suffix
+    assert "item_a_b.csv" in manifest
+    dirty = next(n for n in manifest if n != "item_a_b.csv")
+    assert dirty.startswith("item_a_b-") and dirty.endswith(".csv")
+    for name, row in manifest.items():
+        payload = open(os.path.join(out, name), "rb").read()
+        assert hashlib.sha256(payload).hexdigest() == row.content_sha256
+
+
 def test_consent_emails_filters_and_fills(spark):
     persons = spark.createDataFrame(
         [
@@ -148,10 +195,34 @@ def test_export_ndjson_reference_layout_and_checksum(spark, tmp_path):
     )
     assert meta2["sha256_checksum"] == meta["sha256_checksum"]
 
-    # parts mode: per-part manifest, same total count
-    meta3 = export_ndjson(
-        spark, df.repartition(3), str(tmp_path / "sink3"),
-        version_label="publisher-1.0", order_cols=["item_id"], single_file=False,
-    )
+    # parts mode: per-part manifest, same total count; the driver must
+    # NEVER open a part file (no single-machine byte bottleneck at
+    # 100 TB) — the read-back helper is poisoned to prove it — and the
+    # stream checksum is sha256 over the ordered per-part hex digests
+    import mex_extractors_spark.sinks.ndjson as ndjson_mod
+
+    real_readback = ndjson_mod._concat_and_hash_parts
+
+    def _boom(*a, **k):
+        raise AssertionError("driver opened part files in parts mode")
+
+    ndjson_mod._concat_and_hash_parts = _boom
+    try:
+        meta3 = export_ndjson(
+            spark, df.repartition(3), str(tmp_path / "sink3"),
+            version_label="publisher-1.0", order_cols=["item_id"],
+            single_file=False,
+        )
+    finally:
+        ndjson_mod._concat_and_hash_parts = real_readback
     assert meta3["item_count"] == 3
     assert sum(f["n_rows"] for f in meta3["files"]) == 3
+    assert meta3["checksum_scheme"] == "sha256-of-part-sha256s"
+    hoh = hashlib.sha256()
+    for f in meta3["files"]:  # manifest is part-ordered
+        hoh.update(f["sha256"].encode("ascii"))
+    assert meta3["sha256_checksum"] == hoh.hexdigest()
+    # per-part shas still certify the bytes on storage (executor-side)
+    for f in meta3["files"]:
+        payload = open(os.path.join(tmp_path / "sink3", "publisher-1.0", f["file"]), "rb").read()
+        assert hashlib.sha256(payload).hexdigest() == f["sha256"]

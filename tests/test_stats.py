@@ -322,3 +322,22 @@ class TestTypeMismatchConservatism:
         # all-null column (empty value set) is provably unmatched
         st3 = {"year": {"min": None, "max": None, "values": []}}
         assert not file_may_match(st3, True, "year", "=", "2020")
+
+    def test_mixed_type_in_list_never_prunes(self):
+        """A MIXED in-list must keep the file when any element is
+        non-comparable, even if the comparable elements all miss:
+        isin(100, "5") matches c=5 via implicit cast on live Spark."""
+        st = {"c": {"min": 5, "max": 9, "values": [5, 7, 9]}}
+        # comparable 100 misses, but "5" could cast-match 5 -> keep
+        assert file_may_match(st, True, "c", "in", [100, "5"])
+        # value-set branch alone (no min/max)
+        st2 = {"c": {"values": [5, 7, 9]}}
+        assert file_may_match(st2, True, "c", "in", [100, "5"])
+        # min/max branch alone (no value set)
+        st3 = {"c": {"min": 5, "max": 9}}
+        assert file_may_match(st3, True, "c", "in", [100, "5"])
+        # fully-comparable miss still prunes
+        assert not file_may_match(st, True, "c", "in", [100, 200])
+        assert not file_may_match(st3, True, "c", "in", [100, 200])
+        # empty in-list matches nothing -> prune
+        assert not file_may_match(st, True, "c", "in", [])
