@@ -50,15 +50,99 @@ class RefFieldSpec:
     required: bool = False
 
 
+# Full reference-field registry — the Spark-side encoding of
+# publisher/fields.py REFERENCED_ENTITY_TYPES_BY_FIELD_BY_CLASS_NAME,
+# which the reference computes from the public mex-model schema
+# (mex.common REFERENCE_FIELDS_BY_CLASS_NAME × MERGED_IDENTIFIER_CLASSES).
+# One row per reference field of every merged class; flags mark which
+# merged-identifier families the field admits. The rewrite only acts on
+# Person-admitting fields (transform.py:78-80 ``continue``) — the
+# non-person rows are still listed so the registry is the single source
+# of truth for "is this column a reference field at all".
+REF_FIELD_SPECS_BY_CLASS: dict[str, list[RefFieldSpec]] = {
+    "MergedAccessPlatform": [
+        RefFieldSpec("MergedAccessPlatform", "contact", True, True, True),
+        RefFieldSpec("MergedAccessPlatform", "unitInCharge", False, True, False),
+    ],
+    "MergedActivity": [
+        RefFieldSpec("MergedActivity", "contact", True, True, True, required=True),
+        RefFieldSpec("MergedActivity", "involvedPerson", True, False, False),
+        RefFieldSpec("MergedActivity", "externalAssociate", True, False, False),
+        RefFieldSpec("MergedActivity", "responsibleUnit", False, True, False, required=True),
+        RefFieldSpec("MergedActivity", "involvedUnit", False, True, False),
+        RefFieldSpec("MergedActivity", "funderOrCommissioner", False, False, False),
+        RefFieldSpec("MergedActivity", "succeeds", False, False, False),
+    ],
+    "MergedBibliographicResource": [
+        RefFieldSpec("MergedBibliographicResource", "creator", True, False, False, required=True),
+        RefFieldSpec("MergedBibliographicResource", "editor", True, False, False),
+        RefFieldSpec("MergedBibliographicResource", "editorOfSeries", True, False, False),
+        RefFieldSpec("MergedBibliographicResource", "contributingUnit", False, True, False),
+        RefFieldSpec("MergedBibliographicResource", "publisher", False, False, False),
+    ],
+    "MergedConsent": [
+        RefFieldSpec("MergedConsent", "hasDataSubject", True, False, False, required=True),
+    ],
+    "MergedContactPoint": [],
+    "MergedDistribution": [
+        RefFieldSpec("MergedDistribution", "accessService", False, False, False),
+    ],
+    "MergedOrganization": [],
+    "MergedOrganizationalUnit": [
+        RefFieldSpec("MergedOrganizationalUnit", "parentUnit", False, True, False),
+        RefFieldSpec("MergedOrganizationalUnit", "unitOf", False, False, False),
+    ],
+    "MergedPerson": [
+        RefFieldSpec("MergedPerson", "memberOf", False, True, False),
+        RefFieldSpec("MergedPerson", "affiliation", False, False, False),
+    ],
+    "MergedPrimarySource": [
+        RefFieldSpec("MergedPrimarySource", "contact", True, True, True),
+        RefFieldSpec("MergedPrimarySource", "unitInCharge", False, True, False),
+    ],
+    "MergedResource": [
+        RefFieldSpec("MergedResource", "contact", True, True, True, required=True),
+        RefFieldSpec("MergedResource", "contributor", True, False, False),
+        RefFieldSpec("MergedResource", "creator", True, False, False),
+        RefFieldSpec("MergedResource", "contributingUnit", False, True, False),
+        RefFieldSpec("MergedResource", "unitInCharge", False, True, False, required=True),
+        RefFieldSpec("MergedResource", "externalPartner", False, False, False),
+        RefFieldSpec("MergedResource", "publisher", False, False, False),
+        RefFieldSpec("MergedResource", "wasGeneratedBy", False, False, False),
+        RefFieldSpec("MergedResource", "accessPlatform", False, False, False),
+        RefFieldSpec("MergedResource", "distribution", False, False, False),
+    ],
+    "MergedVariable": [
+        RefFieldSpec("MergedVariable", "belongsTo", False, False, False),
+        RefFieldSpec("MergedVariable", "usedIn", False, False, False, required=True),
+    ],
+    "MergedVariableGroup": [
+        RefFieldSpec("MergedVariableGroup", "containedBy", False, False, False, required=True),
+    ],
+}
+
+ALL_SPECS: list[RefFieldSpec] = [
+    s for specs in REF_FIELD_SPECS_BY_CLASS.values() for s in specs
+]
+
+
+def person_bearing_specs(*classes: str) -> list[RefFieldSpec]:
+    """The specs the rewrite acts on — Person-admitting reference
+    fields, optionally restricted to the given merged classes."""
+    wanted = set(classes) or set(REF_FIELD_SPECS_BY_CLASS)
+    return [
+        s
+        for cls in sorted(wanted)
+        for s in REF_FIELD_SPECS_BY_CLASS.get(cls, [])
+        if s.allows_person
+    ]
+
+
 # the MergedActivity slice of publisher/fields.py that the reference's
 # own tests exercise (contact: Person|Unit|ContactPoint required;
 # involvedPerson / externalAssociate: Person-bearing; responsibleUnit
 # has no Person type so the rewrite must leave it untouched)
-ACTIVITY_SPECS: list[RefFieldSpec] = [
-    RefFieldSpec("MergedActivity", "contact", True, True, True, required=True),
-    RefFieldSpec("MergedActivity", "involvedPerson", True, False, False),
-    RefFieldSpec("MergedActivity", "externalAssociate", True, False, False),
-]
+ACTIVITY_SPECS: list[RefFieldSpec] = person_bearing_specs("MergedActivity")
 
 
 def unit_ids_per_person(
@@ -107,6 +191,11 @@ def rewrite_actor_references(
     - ``broken_refs``: (identifier, entity_type, field, refs) for
       required fields left with no valid reference.
     """
+    # the rewrite only acts on Person-admitting fields — non-person
+    # reference fields (responsibleUnit, publisher, …) flow through
+    # untouched exactly like the reference's ``continue`` at
+    # transform.py:78-80, so callers may pass the full registry
+    specs = [s for s in specs if s.allows_person]
     field_names = sorted({s.field for s in specs})
     spark = items.sparkSession
     spec_df = F.broadcast(

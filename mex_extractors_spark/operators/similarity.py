@@ -192,9 +192,14 @@ def kmeans_refine(
 
     Init is the same deterministic md5-sample as ``ivf_assignments`` so
     an external oracle can replay every iteration in closed form.
-    Returns the final (id, centroid_id, l2_dist) assignment; clusters
-    that lose all members drop out (their id never reappears), matching
-    the grouped recompute.
+    ``iterations`` counts ASSIGNMENT rounds: each round assigns, and
+    every round but the last recomputes centroids from its assignment —
+    the last round's assignment IS the result (its per-cluster means are
+    the final centroids), so the corpus is scanned exactly ``iterations``
+    times, never once more for a redundant re-assignment. Returns the
+    final (id, centroid_id, l2_dist) assignment; clusters that lose all
+    members drop out (their id never reappears), matching the grouped
+    recompute.
     """
     v = F.col(vec_col).cast("array<double>")
     data = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
@@ -224,16 +229,17 @@ def kmeans_refine(
         ).select("_id", F.col("_w._v").alias("_v"), F.col("_w._cid").alias("_cid"),
                  F.col("_w._l2").alias("_l2"))
 
-    for _ in range(iterations):
-        assigned = _assign(centroids)
+    assigned = _assign(centroids)
+    for _ in range(max(iterations, 1) - 1):
         new_cent = (
             assigned.groupBy("_cid")
             .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_cvec"))
             .collect()
         )
         centroids = sorted((r["_cid"], list(r["_cvec"])) for r in new_cent)
+        assigned = _assign(centroids)
 
-    return _assign(centroids).select(
+    return assigned.select(
         F.col("_id").alias(id_col),
         F.col("_cid").alias("centroid_id"),
         F.round("_l2", 6).alias("l2_dist"),

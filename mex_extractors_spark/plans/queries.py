@@ -259,13 +259,16 @@ def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
       FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
     )"""
     ]
-    for it in range(iterations):
+    # `iterations` counts ASSIGNMENT rounds; every round but the last
+    # recomputes centroids — the final round's assignment is the result
+    # (mirrors kmeans_refine's scan-count contract exactly)
+    for it in range(max(iterations, 1) - 1):
         ctes.append(assign(f"cent{it}", f"a{it + 1}"))
         ctes.append(recompute(f"a{it + 1}", f"cent{it + 1}"))
     final = f"""
     SELECT vec_id, cid AS centroid_id, round(l2, 6) AS l2_dist FROM (
       SELECT e.vec_id, c.cid, {l2} AS l2
-      FROM embeddings e CROSS JOIN cent{iterations} c)
+      FROM embeddings e CROSS JOIN cent{max(iterations, 1) - 1} c)
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) = 1
     """
     return "WITH " + ",\n    ".join(ctes) + final
@@ -1632,6 +1635,145 @@ def j7_reference_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j7b_publisher_multiclass",
+    "J7 full field-spec registry (publisher/fields.py "
+    "REFERENCED_ENTITY_TYPES_BY_FIELD_BY_CLASS_NAME): one rewrite pass "
+    "over a mixed Resource/Consent/BibliographicResource corpus — "
+    "per-class field specs, required-without-fallback keeps broken refs "
+    "and reports them in the broken-refs side output",
+    """
+    WITH ucust AS (
+      SELECT c_custkey,
+             'c' || CAST(c_custkey AS VARCHAR) AS pid,
+             'n' || CAST(c_nationkey AS VARCHAR) AS uid,
+             c_acctbal > 0 AS p_allowed,
+             c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+               AS u_ok
+      FROM customer
+    )
+    SELECT 'o' || CAST(o.o_orderkey AS VARCHAR) AS identifier,
+           'MergedResource' AS entity_type,
+           CASE WHEN u.p_allowed THEN u.pid
+                WHEN u.u_ok THEN u.uid
+                ELSE 'cp-fallback' END AS contact,
+           CASE WHEN u.p_allowed THEN u.pid ELSE '' END AS contributor,
+           CASE WHEN u.p_allowed THEN u.pid ELSE '' END AS creator,
+           '' AS editor,
+           '' AS editor_of_series,
+           '' AS has_data_subject,
+           u.uid AS unit_in_charge,
+           CAST(0 AS BIGINT) AS broken_fields
+    FROM orders o JOIN ucust u ON o.o_custkey = u.c_custkey
+    UNION ALL
+    SELECT 'k' || CAST(u.c_custkey AS VARCHAR), 'MergedConsent',
+           '', '', '', '', '',
+           u.pid,
+           '',
+           CASE WHEN u.p_allowed THEN 0 ELSE 1 END
+    FROM ucust u
+    UNION ALL
+    SELECT 'b' || CAST(o.o_orderkey AS VARCHAR), 'MergedBibliographicResource',
+           '', '',
+           u.pid,
+           CASE WHEN u.p_allowed THEN u.pid ELSE '' END,
+           '', '', '',
+           CASE WHEN u.p_allowed THEN 0 ELSE 1 END
+    FROM orders o JOIN ucust u ON o.o_custkey = u.c_custkey
+    WHERE o.o_orderkey % 3 = 0
+    """,
+)
+def j7b_publisher_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publisher rewrite over THREE merged classes at once, driven
+    by the full field-spec registry: MergedResource (contact with
+    unit/fallback escalation, person-only contributor/creator, untouched
+    unitInCharge), MergedConsent (required hasDataSubject with NO
+    fallback type — blocked persons stay as broken refs), and
+    MergedBibliographicResource (required creator, optional editor).
+    ``broken_fields`` counts the broken-refs side-output rows per item,
+    proving the lineage output against the oracle too."""
+    from mex_extractors_spark.operators.publisher import (
+        person_bearing_specs,
+        rewrite_actor_references,
+        unit_ids_per_person,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    pid = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    uid_of_cust = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+    uid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    nul = F.lit(None).cast("array<string>")
+
+    persons = c.select(pid.alias("identifier"), F.array(uid_of_cust).alias("memberOf"))
+    units = n.select(
+        uid.alias("identifier"),
+        F.when(F.col("n_regionkey") < 3, F.lit("unit@example.org")).alias("email"),
+    )
+    allowed = (
+        c.where(F.col("c_acctbal") > 0).select(pid.alias("id"))
+        .unionByName(n.where(F.col("n_regionkey") < 3).select(uid.alias("id")))
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    resources = oc.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("identifier"),
+        F.lit("MergedResource").alias("entity_type"),
+        F.array(pid).alias("contact"),
+        F.array(pid, F.lit("c-ghost")).alias("contributor"),
+        F.array(pid).alias("creator"),
+        nul.alias("editor"),
+        nul.alias("editorOfSeries"),
+        nul.alias("hasDataSubject"),
+        F.array(uid_of_cust).alias("unitInCharge"),
+    )
+    consents = c.select(
+        F.concat(F.lit("k"), F.col("c_custkey").cast("string")).alias("identifier"),
+        F.lit("MergedConsent").alias("entity_type"),
+        nul.alias("contact"),
+        nul.alias("contributor"),
+        nul.alias("creator"),
+        nul.alias("editor"),
+        nul.alias("editorOfSeries"),
+        F.array(pid).alias("hasDataSubject"),
+        nul.alias("unitInCharge"),
+    )
+    biblio = oc.where(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("b"), F.col("o_orderkey").cast("string")).alias("identifier"),
+        F.lit("MergedBibliographicResource").alias("entity_type"),
+        nul.alias("contact"),
+        nul.alias("contributor"),
+        F.array(pid).alias("creator"),
+        F.array(pid, F.lit("c-ghost")).alias("editor"),
+        nul.alias("editorOfSeries"),
+        nul.alias("hasDataSubject"),
+        nul.alias("unitInCharge"),
+    )
+    items = resources.unionByName(consents).unionByName(biblio)
+    out, broken = rewrite_actor_references(
+        items,
+        person_bearing_specs(
+            "MergedResource", "MergedConsent", "MergedBibliographicResource"
+        ),
+        allowed,
+        unit_ids_per_person(persons, units),
+        ["cp-fallback"],
+    )
+    bc = broken.groupBy("identifier").agg(F.count(F.lit(1)).alias("_nb"))
+    return out.join(bc, "identifier", "left").select(
+        "identifier",
+        "entity_type",
+        F.concat_ws(",", "contact").alias("contact"),
+        F.concat_ws(",", "contributor").alias("contributor"),
+        F.concat_ws(",", "creator").alias("creator"),
+        F.concat_ws(",", "editor").alias("editor"),
+        F.concat_ws(",", "editorOfSeries").alias("editor_of_series"),
+        F.concat_ws(",", "hasDataSubject").alias("has_data_subject"),
+        F.concat_ws(",", "unitInCharge").alias("unit_in_charge"),
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("broken_fields"),
+    )
+
+
+@q(
     "n2_multi_source_union",
     "§3.2 all_extractors composition: two heterogeneous sources → "
     "common model (deterministic identity) → ONE shared get-or-create "
@@ -2488,6 +2630,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "s11_html_scrape",
     "k3_group_reports",
     "k6_consent_emails",
+    "j7b_publisher_multiclass",  # new in r3 (full publisher registry)
     # green in r1 only (re-verify on the current engine)
     "d1_exact_duplicates",
     "d2_ngram_jaccard",

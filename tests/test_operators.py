@@ -355,6 +355,20 @@ def test_dedup_components_long_chain_converges(spark):
     assert all(r.component_id == 1 for r in got) and len(got) == n
 
 
+def test_dedup_components_thousand_doc_chain(spark):
+    """A planted 1,000-doc duplicate chain (diameter 999 >> the default
+    20-round cap) must converge — pointer doubling makes rounds scale
+    with log2(diameter), not diameter."""
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    got = dedup.dedup_components(docs, pairs).collect()
+    assert len(got) == n
+    assert all(r.component_id == 1 for r in got)
+
+
 def test_repetition_signals(spark):
     from mex_extractors_spark.functions import text as T
 

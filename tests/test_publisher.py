@@ -160,3 +160,95 @@ def test_rewrite_preserves_kept_order_and_sorts_substitutions(spark):
     )
     # kept refs preserve ORIGINAL order; substitutions sorted + appended
     assert out["act1"]["contact"] == ["z-ok", "a-ok", "ValidUnitWithEmail"]
+
+
+# ---------------------------------------------- full field-spec registry
+
+
+def test_registry_covers_every_merged_class():
+    """publisher/fields.py REFERENCED_ENTITY_TYPES_BY_FIELD_BY_CLASS_NAME
+    iterates ALL merged classes; the Spark registry mirrors that."""
+    from mex_extractors_spark.operators.publisher import (
+        REF_FIELD_SPECS_BY_CLASS,
+        person_bearing_specs,
+    )
+
+    expected_classes = {
+        "MergedAccessPlatform", "MergedActivity", "MergedBibliographicResource",
+        "MergedConsent", "MergedContactPoint", "MergedDistribution",
+        "MergedOrganization", "MergedOrganizationalUnit", "MergedPerson",
+        "MergedPrimarySource", "MergedResource", "MergedVariable",
+        "MergedVariableGroup",
+    }
+    assert set(REF_FIELD_SPECS_BY_CLASS) == expected_classes
+    # contact fields always admit Person|Unit|ContactPoint
+    for s in person_bearing_specs():
+        if s.field == "contact":
+            assert s.allows_unit and s.allows_contact_point
+    # person-bearing slice per class used by the rewrite
+    by_class = {}
+    for s in person_bearing_specs():
+        by_class.setdefault(s.entity_type, set()).add(s.field)
+    assert by_class == {
+        "MergedAccessPlatform": {"contact"},
+        "MergedActivity": {"contact", "involvedPerson", "externalAssociate"},
+        "MergedBibliographicResource": {"creator", "editor", "editorOfSeries"},
+        "MergedConsent": {"hasDataSubject"},
+        "MergedPrimarySource": {"contact"},
+        "MergedResource": {"contact", "contributor", "creator"},
+    }
+
+
+def test_multiclass_rewrite_resource_consent_biblio(spark):
+    """One rewrite pass over a mixed three-class corpus: per-class specs
+    apply independently; a required person-only field with a blocked ref
+    keeps the broken refs (Consent.hasDataSubject, Biblio.creator) while
+    Resource.contact escalates person -> unit -> contact-point."""
+    from mex_extractors_spark.operators.publisher import person_bearing_specs
+
+    schema = (
+        "identifier string, entity_type string, contact array<string>, "
+        "contributor array<string>, creator array<string>, "
+        "editor array<string>, editorOfSeries array<string>, "
+        "hasDataSubject array<string>, unitInCharge array<string>"
+    )
+    blocked = "PersonWithFallbackUnit"   # not allowed; unit sub exists
+    ok = "allowedPerson"
+    items = spark.createDataFrame(
+        [
+            # Resource: contact escalates to the person's unit; creator
+            # emptied (person-only, optional); unitInCharge untouched
+            ("res1", "MergedResource", [blocked], [blocked], [blocked],
+             None, None, None, ["rawUnitRef"]),
+            # Consent: required, person-only, no fallback type -> broken
+            ("con1", "MergedConsent", None, None, None, None, None,
+             [blocked], None),
+            # Biblio: required creator broken; optional editor emptied
+            ("bib1", "MergedBibliographicResource", None, None, [blocked],
+             [blocked, ok], None, None, None),
+        ],
+        schema,
+    )
+    persons, units = _person_units(spark)
+    allowed_df = spark.createDataFrame(
+        [(ok,), ("ValidUnitWithEmail",)], "id string"
+    )
+    out, broken = rewrite_actor_references(
+        items,
+        person_bearing_specs(
+            "MergedResource", "MergedConsent", "MergedBibliographicResource"
+        ),
+        allowed_df,
+        unit_ids_per_person(persons, units),
+        ["cp-fallback"],
+    )
+    got = {r.identifier: r.asDict() for r in out.collect()}
+    assert got["res1"]["contact"] == ["ValidUnitWithEmail"]  # unit sub
+    assert got["res1"]["contributor"] == []
+    assert got["res1"]["creator"] == []
+    assert got["res1"]["unitInCharge"] == ["rawUnitRef"]  # non-person field
+    assert got["con1"]["hasDataSubject"] == [blocked]  # broken, kept
+    assert got["bib1"]["creator"] == [blocked]  # broken, kept
+    assert got["bib1"]["editor"] == [ok]
+    broken_set = {(r.identifier, r.field) for r in broken.collect()}
+    assert broken_set == {("con1", "hasDataSubject"), ("bib1", "creator")}

@@ -56,6 +56,49 @@ def test_blocking_check_aborts_commit(spark, tmp_path):
     assert table.current_snapshot() is None
 
 
+def test_yaml_driven_blocking_check(spark, tmp_path):
+    """Reference parity (pipeline/checks/main.py:38-45): checks are
+    declared in YAML rule files; a loaded blocking rule aborts the
+    commit exactly like a hand-built one."""
+    from mex_extractors_spark.checks import load_check_rules
+
+    yml = tmp_path / "activity.yaml"
+    yml.write_text(
+        "rules:\n"
+        "  - fail_if: fewer_than_x_items\n"
+        "    value: 10000\n"
+        "  - fail_if: x_items_more_than\n"
+        "    value: 99\n"
+        "    time_frame: 10d\n"
+    )
+    rules = load_check_rules(str(yml), name="activity")
+    assert [r.fail_if for r in rules] == ["fewer_than_x_items", "x_items_more_than"]
+    assert rules[1].time_frame == "10d"
+    # historical rule semantics (main.py:check_historical_rule)
+    assert rules[1].evaluate(200, [100]) is not None  # grew by >99 items
+    assert rules[1].evaluate(150, [100]) is None
+    assert rules[1].evaluate(200, None) is None  # no history -> pass
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    engine = ReplayEngine(
+        table, pre_commit_checks=[count_check(r) for r in rules]
+    )
+    events = synth.events(spark, 100, n_repos=5)
+    with pytest.raises(CheckFailed):
+        engine.replay(spark, events, 1, 100, batch_size=100)
+    assert table.current_snapshot() is None
+
+    # unknown / graph-topology rules are rejected loudly
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("rules:\n  - fail_if: less_than_x_inbound\n    value: 1\n")
+    with pytest.raises(ValueError, match="outbound_connection_counts|asset graph"):
+        load_check_rules(str(bad))
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text("rules:\n  - fail_if: made_up_rule\n    value: 1\n")
+    with pytest.raises(ValueError, match="unknown fail_if"):
+        load_check_rules(str(bad2))
+
+
 def test_normalize_hook_runs_before_apply(spark, tmp_path):
     """Raw kebab-aliased events are normalized inside the engine."""
     from mex_extractors_spark.sources.normalize import normalize_raw_events
