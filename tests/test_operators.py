@@ -441,3 +441,22 @@ def test_ivf_topk_full_probe_equals_exact(spark):
     # narrow probe returns a subset-quality result: valid ids, k rows
     narrow = similarity.ivf_topk(df, q, k=5, num_centroids=6, nprobe=1).collect()
     assert len(narrow) == 5 and all(0 <= r.vec_id < 60 for r in narrow)
+
+
+def test_derive_num_planes_scales_with_corpus():
+    """The LSH plane count must grow with the corpus so expected bucket
+    occupancy (and therefore candidates/doc) stays bounded — a fixed
+    plane count makes the candidate join ~n^2/2^planes (BENCH/LSH.md)."""
+    from mex_extractors_spark.operators.similarity import derive_num_planes
+
+    assert derive_num_planes(10) == 4  # tiny corpus: floor
+    p_small = derive_num_planes(10_000)
+    p_mid = derive_num_planes(640_000)
+    p_big = derive_num_planes(40_000_000)
+    assert p_small < p_mid < p_big
+    # expected occupancy bounded by the target wherever unclamped
+    for n in (10_000, 1_000_000, 100_000_000):
+        p = derive_num_planes(n)
+        if p < 24:
+            assert n / 2**p <= 64
+    assert derive_num_planes(2**60) == 24  # clamp documents the recall floor
