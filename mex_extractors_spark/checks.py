@@ -96,6 +96,25 @@ def count_check(
     return check
 
 
+def rules_to_checks(
+    rules: list[CheckRule], metrics_log=None, field: str = "rows_after"
+) -> list[Callable[[DataFrame], str | None]]:
+    """Bind loaded rules to a :class:`~mex_extractors_spark.streaming.
+    metrics.MetricsLog` so each historical rule compares against the
+    count closest to ``now - time_frame`` (the reference's historic
+    selection, pipeline/checks/main.py:130-155). Static rules ignore the
+    provider. Pass the result to ``ReplayEngine(pre_commit_checks=)``."""
+    out = []
+    for r in rules:
+        provider = (
+            (lambda rr=r: metrics_log.counts_at(field=field, time_frame=rr.time_frame))
+            if metrics_log is not None
+            else None
+        )
+        out.append(count_check(r, provider))
+    return out
+
+
 _VALID_FAIL_IF = {
     "not_exactly_x_items",
     "fewer_than_x_items",

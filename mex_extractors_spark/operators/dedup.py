@@ -420,6 +420,12 @@ def ngram_jaccard_pairs(
     return out
 
 
+# plain neighbor-min rounds before pointer doubling engages: covers
+# diameter-3 components (the common case) at one join per round; a
+# still-moving graph after this switches to the O(log diameter) regime
+_DOUBLING_AFTER = 3
+
+
 def dedup_components(
     docs: DataFrame,
     pairs: DataFrame,
@@ -434,16 +440,20 @@ def dedup_components(
     duplicate edges, so ``component_id == doc_id`` marks the canonical
     survivor and everything else in the component is droppable.
 
-    Iterative min-label propagation WITH pointer doubling: each round
-    every vertex takes the min of its own label and its neighbors'
-    labels (one join + one groupBy-min), then jumps through its own
-    label (``lbl(v) := min(lbl(v), lbl(lbl(v)))`` — the doubling step of
-    Shiloach-Vishkin / the large-star contraction in the "Connected
-    Components in MapReduce" pattern). Doubling makes rounds needed
-    O(log diameter) instead of O(diameter), so a pathological
-    10^6-long duplicate chain converges in ~20 rounds; each round's
-    shuffle is sized by the EDGE list plus one self-join on the
-    vertex list, never the corpus squared.
+    Iterative min-label propagation with ADAPTIVE pointer doubling:
+    each round every vertex takes the min of its own label and its
+    neighbors' labels (one join + one groupBy-min). Real near-dup
+    components are small and dense, so that alone converges in a few
+    rounds at one join each; if the graph is still moving after
+    ``_DOUBLING_AFTER`` rounds (a long chain / large-diameter
+    component), every later round ALSO jumps through the vertex's own
+    label (``lbl(v) := min(lbl(v), lbl(lbl(v)))`` — the doubling step
+    of Shiloach-Vishkin / the large-star contraction in the "Connected
+    Components in MapReduce" pattern), making the remaining rounds
+    O(log diameter) instead of O(diameter): a pathological 10^6-long
+    duplicate chain converges inside the default 20-round cap. Each
+    round's shuffle is sized by the EDGE list (plus, when doubling, one
+    self-join on the vertex list), never the corpus squared.
 
     Every round's frontier is truncated with an eager
     ``localCheckpoint`` — the canonical iterative-plan pattern (what
@@ -464,7 +474,7 @@ def dedup_components(
     labels = docs.select(
         F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["_d"] == labels["_v"])
             .groupBy("_s")
@@ -474,16 +484,17 @@ def dedup_components(
             labels.join(neighbor_min, labels["_v"] == neighbor_min["_s"], "left")
             .select("_v", F.least(F.col("_lbl"), F.col("_nlbl")).alias("_lbl"))
         )
-        # pointer doubling: follow the label one more hop so chain
-        # distance halves per round (labels are always vertex ids of
-        # the same component, so the inner self-join always matches)
-        target = hopped.select(
-            F.col("_v").alias("_t_v"), F.col("_lbl").alias("_t_lbl")
-        )
-        new_labels = (
-            hopped.join(target, hopped["_lbl"] == target["_t_v"])
-            .select("_v", F.least(F.col("_lbl"), F.col("_t_lbl")).alias("_lbl"))
-        ).localCheckpoint(eager=True)
+        if it >= _DOUBLING_AFTER:
+            # pointer doubling: follow the label one more hop so chain
+            # distance halves per round (labels are always vertex ids of
+            # the same component, so the inner self-join always matches)
+            target = hopped.select(
+                F.col("_v").alias("_t_v"), F.col("_lbl").alias("_t_lbl")
+            )
+            hopped = hopped.join(target, hopped["_lbl"] == target["_t_v"]).select(
+                "_v", F.least(F.col("_lbl"), F.col("_t_lbl")).alias("_lbl")
+            )
+        new_labels = hopped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n._v") == F.col("o._v"))

@@ -12,10 +12,22 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from mex_extractors_spark.lake.table import ApplyStats
+
+
+def parse_time_frame(time_frame: str) -> float:
+    """``"10d"``/``"2m"``/``"1y"`` → seconds (reference
+    pipeline/checks/main.py:56-64 ``parse_time_frame``: m = 30 days,
+    y = 365 days)."""
+    num, unit = int(time_frame[:-1]), time_frame[-1]
+    days = {"d": 1, "m": 30, "y": 365}.get(unit)
+    if days is None:
+        raise ValueError(f"time frame unit must be d/m/y: {time_frame!r}")
+    return num * days * 86_400.0
 
 
 class MetricsLog:
@@ -25,6 +37,7 @@ class MetricsLog:
 
     def append(self, stats: ApplyStats, extra: dict | None = None) -> None:
         rec = {
+            "ts": round(time.time(), 3),
             "batch_id": stats.batch_id,
             "applied": stats.applied,
             "events_in": stats.events_in,
@@ -51,3 +64,29 @@ class MetricsLog:
             return []
         with open(self.path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
+
+    def counts_at(
+        self, field: str = "rows_after", time_frame: str | None = None, now: float | None = None
+    ) -> list[int]:
+        """History counts for a rule's comparison, ending at the record
+        closest to ``now - time_frame`` — the reference's historic-count
+        selection (pipeline/checks/main.py:130-155 ``get_historic_count``:
+        the newest record at or before the cutoff, else the oldest one
+        after it). Without a time frame: the full count series. The
+        result feeds ``CheckRule.evaluate(current, history)``, which
+        compares against the LAST element."""
+        recs = [r for r in self.history() if field in r and r[field] is not None]
+        if not recs:
+            return []
+        if time_frame is None:
+            return [int(r[field]) for r in recs]
+        cutoff = (time.time() if now is None else now) - parse_time_frame(time_frame)
+        older = [r for r in recs if r.get("ts") is not None and r["ts"] <= cutoff]
+        if older:
+            pick = max(older, key=lambda r: r["ts"])
+        else:
+            newer = [r for r in recs if r.get("ts") is not None and r["ts"] > cutoff]
+            if not newer:
+                return []
+            pick = min(newer, key=lambda r: r["ts"])
+        return [int(pick[field])]

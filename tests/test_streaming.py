@@ -99,6 +99,60 @@ def test_yaml_driven_blocking_check(spark, tmp_path):
         load_check_rules(str(bad2))
 
 
+def test_time_frame_history_selection(tmp_path):
+    """counts_at mirrors the reference's historic-count pick
+    (pipeline/checks/main.py:130-155): newest record at or before
+    now - time_frame, else the oldest after it."""
+    import json
+
+    from mex_extractors_spark.checks import CheckRule, rules_to_checks
+    from mex_extractors_spark.streaming.metrics import (
+        MetricsLog,
+        parse_time_frame,
+    )
+
+    assert parse_time_frame("10d") == 10 * 86400
+    assert parse_time_frame("2m") == 60 * 86400
+    assert parse_time_frame("1y") == 365 * 86400
+    with pytest.raises(ValueError):
+        parse_time_frame("3w")
+
+    import time as _time
+
+    log = MetricsLog(str(tmp_path / "metrics.jsonl"))
+    now = _time.time()  # rules_to_checks uses real now inside counts_at
+    recs = [
+        {"ts": now - 20 * 86400, "rows_after": 100},
+        {"ts": now - 9 * 86400, "rows_after": 150},
+        {"ts": now - 86400, "rows_after": 200},
+    ]
+    with open(log.path, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    # cutoff 10d ago: newest at/before it is the 20d-old record
+    assert log.counts_at(time_frame="10d", now=now) == [100]
+    # cutoff 5d ago: the 9d-old record
+    assert log.counts_at(time_frame="5d", now=now) == [150]
+    # cutoff older than everything: oldest AFTER it
+    assert log.counts_at(time_frame="1y", now=now) == [100]
+    assert log.counts_at() == [100, 150, 200]
+
+    rule = CheckRule("x_percent_less_than", 20, "r", time_frame="5d")
+    (check,) = rules_to_checks([rule], log)
+    # provider pulls [150]; a 100-row batch dropped 33% > 20% -> fail
+    class _Fake:
+        def count(self):
+            return 100
+
+    # monkey: count_check calls batch.count() only
+    assert check(_Fake()) is not None
+    class _Ok:
+        def count(self):
+            return 140
+
+    assert check(_Ok()) is None
+
+
 def test_normalize_hook_runs_before_apply(spark, tmp_path):
     """Raw kebab-aliased events are normalized inside the engine."""
     from mex_extractors_spark.sources.normalize import normalize_raw_events
