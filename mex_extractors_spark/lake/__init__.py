@@ -5,6 +5,7 @@ cleanly swappable for real Iceberg (`spark-submit --packages`) on a
 cluster; the engine only talks to the small `LakeTable` API.
 """
 
+from mex_extractors_spark.lake.catalog import LakeCatalog, LakeTransaction
 from mex_extractors_spark.lake.derived import full_refresh, refresh_aggregates
 from mex_extractors_spark.lake.index import full_index, refresh_inverted_index
 from mex_extractors_spark.lake.schema_evolution import merge_schemas
@@ -17,7 +18,9 @@ from mex_extractors_spark.lake.table import (
 __all__ = [
     "CommitAborted",
     "CommitConflict",
+    "LakeCatalog",
     "LakeTable",
+    "LakeTransaction",
     "full_index",
     "full_refresh",
     "merge_schemas",

@@ -1,0 +1,267 @@
+"""Multi-table atomic commits: a Nessie-style lake catalog.
+
+The reference's publisher loads merged items of SEVERAL entity types and
+publishes them as one logical unit (mex/extractors/publisher/main.py:
+one run emits every class to one labeled S3 prefix with one metadata
+document) — readers never see person items from one run next to
+resource items from another. Per-table :class:`~mex_extractors_spark.
+lake.table.LakeTable` commits can't express that: each table's CAS is
+independent, so a crash between two ``apply_batch`` calls leaves the
+lake cross-table inconsistent (state table advanced, its inverted index
+not).
+
+This module adds the catalog-level commit model (what Project Nessie /
+an Iceberg REST catalog with multi-table transactions provides):
+
+- a **catalog snapshot** is one small JSON document mapping table name
+  → pinned snapshot version; it is published with the same
+  link-create-if-absent CAS as table snapshots, so a catalog commit is
+  ONE atomic operation no matter how many tables it touches;
+- a **transaction** stages each table's batch on a txn-private table
+  BRANCH (``apply_batch(branch=...)`` — data files written, fenced,
+  checksummed, but invisible to main), then commits by publishing one
+  catalog snapshot pinning all the staged branch heads together;
+- **readers** that resolve versions through the catalog
+  (:meth:`LakeCatalog.read`) get snapshot-isolated multi-table reads:
+  every table is read at the version ONE catalog snapshot pinned, so a
+  join between the state table and its index can never mix commits.
+
+Crash windows: before the catalog CAS, staged branches are invisible
+(abort = drop the branches; their snapshots become unreferenced and are
+reclaimed by ``expire_snapshots``); after the CAS, the commit is fully
+visible — advancing each table's main ref is mere housekeeping
+(performed best-effort post-commit, and safe to skip: catalog pins
+reference immutable versions that branch refs keep retained).
+
+Concurrency: optimistic, serialized at the catalog — two transactions
+that both fork from catalog version N race on publishing N+1; exactly
+one wins the CAS, the loser gets :class:`~mex_extractors_spark.lake.
+table.CommitConflict` and must retry on the new head (even
+disjoint-table transactions conflict; at catalog-commit rates — one per
+micro-batch — that is the right simplicity/safety trade, and it is
+exactly Nessie's single-ref contract).
+
+At 100 TB nothing here scales with data: a catalog snapshot is
+O(tables) bytes, staging is the standard bucket-aligned branch write,
+and the commit itself is one link(2) call.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mex_extractors_spark.lake.table import ApplyStats, CommitConflict, LakeTable
+
+
+class LakeCatalog:
+    """A directory of named :class:`LakeTable`s with atomic cross-table
+    commits. Tables are registered once per process; the catalog state
+    lives in ``<path>/_catalog`` next to nothing else."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.cat_dir = os.path.join(path, "_catalog")
+        os.makedirs(self.cat_dir, exist_ok=True)
+        self.tables: dict[str, LakeTable] = {}
+
+    # ------------------------------------------------------------ registry
+
+    def register(self, name: str, table: LakeTable) -> LakeTable:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid table name {name!r}")
+        self.tables[name] = table
+        return table
+
+    def table(self, name: str) -> LakeTable:
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r} (register first)")
+        return self.tables[name]
+
+    # ------------------------------------------------------------ snapshots
+
+    def current_snapshot(self) -> dict | None:
+        cur = os.path.join(self.cat_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as fh:
+            return self.snapshot_at(int(fh.read().strip()))
+
+    def snapshot_at(self, version: int) -> dict | None:
+        p = os.path.join(self.cat_dir, f"c{version:08d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def pins(self, catalog_version: int | None = None) -> dict[str, int]:
+        """table name -> pinned table-snapshot version at a catalog
+        snapshot (default: current). Empty when never committed."""
+        snap = (
+            self.snapshot_at(catalog_version)
+            if catalog_version is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            if catalog_version is not None:
+                raise ValueError(f"catalog snapshot c{catalog_version} not found")
+            return {}
+        return {k: int(v) for k, v in snap["tables"].items()}
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        catalog_version: int | None = None,
+        **read_kwargs,
+    ) -> DataFrame:
+        """Read a table AT THE VERSION the catalog pinned — the
+        snapshot-isolated path. Two ``read`` calls against the same
+        ``catalog_version`` (pass one explicitly to pin a whole
+        multi-table job) can never observe different transactions."""
+        pinned = self.pins(catalog_version).get(name)
+        if pinned is None:
+            raise ValueError(f"table {name!r} has no committed catalog pin")
+        return self.table(name).read(spark, version=pinned, **read_kwargs)
+
+    def _publish(self, snapshot: dict) -> None:
+        """Same atomic create-if-absent CAS as LakeTable._publish."""
+        version = snapshot["version"]
+        snap_path = os.path.join(self.cat_dir, f"c{version:08d}.json")
+        tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snapshot, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, snap_path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"catalog snapshot c{version} was published by another "
+                "transaction — re-open a transaction on the new head"
+            ) from None
+        os.remove(tmp)
+        cur = os.path.join(self.cat_dir, "CURRENT")
+        ctmp = cur + f".tmp-{uuid.uuid4().hex}"
+        with open(ctmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ctmp, cur)
+
+    def transaction(self) -> "LakeTransaction":
+        return LakeTransaction(self)
+
+
+class LakeTransaction:
+    """Stage batches on txn-private table branches; commit them all with
+    ONE catalog CAS. Use as a context manager for auto-abort:
+
+        with catalog.transaction() as txn:
+            txn.apply_batch(spark, "state", batch, "b7")
+            txn.apply_batch(spark, "index", idx_batch, "idx:b7")
+            txn.commit()
+    """
+
+    def __init__(self, catalog: LakeCatalog) -> None:
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:12]
+        base = catalog.current_snapshot()
+        self.base_version = int(base["version"]) if base else 0
+        self._base_pins = catalog.pins() if base else {}
+        self._branches: dict[str, str] = {}  # table name -> branch name
+        self._stats: list[ApplyStats] = []
+        self._done = False
+
+    # -- staging -----------------------------------------------------------
+
+    def _branch_for(self, name: str) -> str:
+        table = self.catalog.table(name)
+        if name not in self._branches:
+            branch = f"txn-{self.txn_id}"
+            # fork from the CATALOG pin (not table main): transactions
+            # see the catalog's consistent world even if a table's main
+            # ref lags the last catalog commit (housekeeping skipped)
+            at = self._base_pins.get(name)
+            if at is None:
+                cur = table.current_snapshot()
+                at = cur["version"] if cur else 0
+            table.create_branch(branch, at_version=at)
+            self._branches[name] = branch
+        return self._branches[name]
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch_df: DataFrame,
+        batch_id: str,
+        **apply_kwargs,
+    ) -> ApplyStats:
+        """Stage one table's batch (full apply semantics — fencing,
+        idempotency, schema evolution, checksums — on the txn branch)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        st = self.catalog.table(name).apply_batch(
+            spark, batch_df, batch_id, branch=self._branch_for(name), **apply_kwargs
+        )
+        self._stats.append(st)
+        return st
+
+    # -- outcome -----------------------------------------------------------
+
+    def commit(self) -> dict:
+        """Publish ONE catalog snapshot pinning every staged branch head
+        (plus unchanged pins). Raises CommitConflict if another
+        transaction committed since this one opened — nothing partial is
+        ever visible. Post-CAS, table mains are fast-forwarded and txn
+        branches dropped as best-effort housekeeping."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        new_pins = dict(self._base_pins)
+        for name, branch in self._branches.items():
+            head = self.catalog.table(name).refs().get(branch)
+            if head:  # an all-fenced/no-op stage may leave the fork point
+                new_pins[name] = head
+        snapshot = {
+            "version": self.base_version + 1,
+            "parent": self.base_version or None,
+            "tables": new_pins,
+            "txn_id": self.txn_id,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self.catalog._publish(snapshot)  # the ONE atomic step
+        self._done = True
+        for name, branch in self._branches.items():
+            table = self.catalog.table(name)
+            try:
+                table.fast_forward(branch)
+                table.drop_branch(branch)
+            except CommitConflict:
+                # someone committed to this table's main outside the
+                # catalog; the catalog pin is still correct and the
+                # branch ref keeps the pinned snapshot retained
+                pass
+        return snapshot
+
+    def abort(self) -> None:
+        """Drop every staged branch; staged snapshots become
+        unreferenced and are reclaimed by expire_snapshots."""
+        if self._done:
+            return
+        self._done = True
+        for name, branch in self._branches.items():
+            self.catalog.table(name).drop_branch(branch)
+
+    def __enter__(self) -> "LakeTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None or not self._done:
+            self.abort()

@@ -771,6 +771,109 @@ def cdc_wap_guarded_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_catalog_txn",
+    "Nessie-style multi-table atomic commit (lake/catalog.py): two "
+    "tables staged on txn branches, one catalog CAS, an aborted txn "
+    "left invisible, snapshot-isolated cross-table read",
+    """
+    WITH st AS (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    ),
+    cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+            FROM events GROUP BY event_type)
+    SELECT st.user_id, CAST(st.last_event_id AS BIGINT) AS last_event_id,
+           st.last_event_type, cnt.type_total
+    FROM st JOIN cnt ON st.last_event_type = cnt.event_type
+    """,
+)
+def cdc_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into TWO tables (converged state keyed
+    by user + per-type event counts keyed by event_type) through
+    catalog transactions: txn1 commits both halves' batch 1, a middle
+    transaction stages poisoned rows on both tables and ABORTS, txn2
+    commits batch 2. The returned join reads both tables at ONE pinned
+    catalog snapshot — it matches the oracle only if (a) the aborted
+    stage never became visible on either table and (b) the two pins
+    came from the same atomic commit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.catalog import LakeCatalog
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mx = ev.agg(F.max("seq")).first()[0]
+    mid = mx // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cdc_cat_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    cat = LakeCatalog(base)
+    cat.register("state", LakeTable(os.path.join(base, "state"), num_buckets=4,
+                                    key_cols=["user_id"]))
+    cat.register("stats", LakeTable(os.path.join(base, "stats"), num_buckets=2,
+                                    key_cols=["event_type"]))
+
+    def stats_as_of(upper_seq: int, as_seq: int) -> DataFrame:
+        return (
+            ev.where(F.col("seq") <= upper_seq)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("type_total"))
+            .select(
+                "event_type",
+                F.lit(as_seq).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+                "type_total",
+            )
+        )
+
+    with cat.transaction() as t1:
+        t1.apply_batch(spark, "state", ev.where(F.col("seq") <= mid), "cat-b1")
+        t1.apply_batch(spark, "stats", stats_as_of(mid, mid), "cat-s1")
+        t1.commit()
+    # a staged-then-aborted transaction must leave no trace on either table
+    poison = cat.transaction()
+    poison.apply_batch(
+        spark,
+        "state",
+        ev.where(F.col("seq") > mid).withColumn("event_type", F.lit("POISON")),
+        "cat-poison",
+    )
+    poison.apply_batch(
+        spark,
+        "stats",
+        stats_as_of(mx, mx).withColumn("type_total", F.lit(-1).cast("long")),
+        "cat-poison-s",
+    )
+    poison.abort()
+    with cat.transaction() as t2:
+        t2.apply_batch(spark, "state", ev.where(F.col("seq") > mid), "cat-b2")
+        t2.apply_batch(spark, "stats", stats_as_of(mx, mx), "cat-s2")
+        t2.commit()
+    pinned = cat.current_snapshot()["version"]
+    state = cat.read(spark, "state", catalog_version=pinned)
+    stats = cat.read(spark, "stats", catalog_version=pinned)
+    return state.join(
+        F.broadcast(stats.select("event_type", "type_total")),
+        state["event_type"] == stats["event_type"],
+    ).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        state["event_type"].alias("last_event_type"),
+        "type_total",
+    )
+
+
+@q(
     "k2_ndjson_export",
     "K2 checksummed versioned NDJSON sink (sinks/s3.py:52-133): "
     "executor-written ordered parts, driver read-back sha256, "
@@ -2631,6 +2734,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "k3_group_reports",
     "k6_consent_emails",
     "j7b_publisher_multiclass",  # new in r3 (full publisher registry)
+    "cdc_catalog_txn",  # new in r3 (multi-table atomic catalog commit)
     # green in r1 only (re-verify on the current engine)
     "d1_exact_duplicates",
     "d2_ngram_jaccard",
