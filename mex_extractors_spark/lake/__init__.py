@@ -5,7 +5,11 @@ cleanly swappable for real Iceberg (`spark-submit --packages`) on a
 cluster; the engine only talks to the small `LakeTable` API.
 """
 
-from mex_extractors_spark.lake.catalog import LakeCatalog, LakeTransaction
+from mex_extractors_spark.lake.catalog import (
+    LakeCatalog,
+    LakeTransaction,
+    replay_into_catalog,
+)
 from mex_extractors_spark.lake.derived import full_refresh, refresh_aggregates
 from mex_extractors_spark.lake.index import full_index, refresh_inverted_index
 from mex_extractors_spark.lake.schema_evolution import merge_schemas
@@ -26,4 +30,5 @@ __all__ = [
     "merge_schemas",
     "refresh_aggregates",
     "refresh_inverted_index",
+    "replay_into_catalog",
 ]

@@ -55,6 +55,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mex_extractors_spark.lake.table import ApplyStats, CommitConflict, LakeTable
 
@@ -158,6 +159,80 @@ class LakeCatalog:
     def transaction(self) -> "LakeTransaction":
         return LakeTransaction(self)
 
+    # ------------------------------------------------------------ retention
+
+    def expire_catalog_snapshots(self, keep_last: int = 3) -> int:
+        """Drop catalog snapshot documents older than the newest
+        ``keep_last`` of CURRENT's parent chain. Table snapshots are NOT
+        touched here — use :meth:`maintenance`, which keeps every table
+        version a retained catalog snapshot still pins."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return 0
+        keep: set[int] = set()
+        v: int | None = int(cur["version"])
+        for _ in range(max(keep_last, 1)):
+            if not v:
+                break
+            keep.add(v)
+            snap = self.snapshot_at(v)
+            v = snap.get("parent") if snap else None
+        expired = 0
+        for f in os.listdir(self.cat_dir):
+            if ".tmp-" in f:  # crash leftover between write and link/replace
+                try:
+                    os.remove(os.path.join(self.cat_dir, f))
+                except OSError:
+                    pass
+                continue
+            m = re.fullmatch(r"c(\d{8})\.json", f)
+            if m and int(m.group(1)) not in keep:
+                os.remove(os.path.join(self.cat_dir, f))
+                expired += 1
+        return expired
+
+    def retained_pins(self) -> dict[str, set[int]]:
+        """table name -> every version some retained catalog snapshot
+        pins. This is the keep-set table-level expiry must honor: a
+        reader holding any retained ``catalog_version`` can still ask
+        for these."""
+        pins: dict[str, set[int]] = {}
+        for f in os.listdir(self.cat_dir):
+            m = re.fullmatch(r"c(\d{8})\.json", f)
+            if not m:
+                continue
+            snap = self.snapshot_at(int(m.group(1)))
+            for name, v in (snap or {}).get("tables", {}).items():
+                pins.setdefault(name, set()).add(int(v))
+        return pins
+
+    def maintenance(
+        self,
+        spark: SparkSession,
+        keep_catalog_snapshots: int = 3,
+        keep_table_snapshots: int = 1,
+        min_files: int = 2,
+    ) -> dict:
+        """Catalog-wide upkeep: expire old catalog snapshots, then run
+        each registered table's :meth:`LakeTable.maintenance` with the
+        still-pinned versions as ``extra_keep`` — a bare
+        ``table.maintenance()`` on a catalog-managed table could expire
+        a version the catalog still pins and wedge
+        :meth:`read(catalog_version=)`; this entry point is the safe
+        one. Returns per-table stats plus the catalog expiry count."""
+        cat_expired = self.expire_catalog_snapshots(keep_catalog_snapshots)
+        pins = self.retained_pins()
+        per_table = {
+            name: table.maintenance(
+                spark,
+                keep_snapshots=keep_table_snapshots,
+                min_files=min_files,
+                extra_keep=pins.get(name, set()),
+            )
+            for name, table in self.tables.items()
+        }
+        return {"catalog_snapshots_expired": cat_expired, "tables": per_table}
+
 
 class LakeTransaction:
     """Stage batches on txn-private table branches; commit them all with
@@ -214,6 +289,59 @@ class LakeTransaction:
         self._stats.append(st)
         return st
 
+    def head(self, name: str) -> int:
+        """The table version this transaction currently sees: its staged
+        branch head if it wrote the table, else the catalog base pin."""
+        if name in self._branches:
+            head = self.catalog.table(name).refs().get(self._branches[name])
+            if head:
+                return head
+        pinned = self._base_pins.get(name)
+        if pinned is not None:
+            return pinned
+        cur = self.catalog.table(name).current_snapshot()
+        return cur["version"] if cur else 0
+
+    def refresh_index(self, spark: SparkSession, source_name: str,
+                      index_name: str, terms_fn) -> "IndexRefreshStats":
+        """Stage an inverted-index refresh INSIDE this transaction: the
+        index is brought up to the transaction's view of the source
+        (staged head if this txn wrote it) on the index's own txn
+        branch, so state and index move in ONE atomic catalog commit —
+        the crash window between "state advanced" and "index refreshed"
+        that separate commits leave open does not exist."""
+        from mex_extractors_spark.lake.index import refresh_inverted_index
+
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        return refresh_inverted_index(
+            spark,
+            self.catalog.table(source_name),
+            self.catalog.table(index_name),
+            terms_fn,
+            to_version=self.head(source_name),
+            branch=self._branch_for(index_name),
+        )
+
+    def refresh_view(self, spark: SparkSession, source_name: str,
+                     derived_name: str, group_cols, **kwargs) -> "RefreshStats":
+        """Stage a derived-aggregate refresh inside this transaction
+        (the :func:`~mex_extractors_spark.lake.derived.
+        refresh_aggregates` analog of :meth:`refresh_index`)."""
+        from mex_extractors_spark.lake.derived import refresh_aggregates
+
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        return refresh_aggregates(
+            spark,
+            self.catalog.table(source_name),
+            self.catalog.table(derived_name),
+            group_cols,
+            to_version=self.head(source_name),
+            branch=self._branch_for(derived_name),
+            **kwargs,
+        )
+
     # -- outcome -----------------------------------------------------------
 
     def commit(self) -> dict:
@@ -265,3 +393,62 @@ class LakeTransaction:
     def __exit__(self, exc_type, exc, tb) -> None:
         if exc_type is not None or not self._done:
             self.abort()
+
+
+def replay_into_catalog(
+    spark: SparkSession,
+    catalog: LakeCatalog,
+    state_name: str,
+    events: DataFrame,
+    seq_min: int,
+    seq_max: int,
+    batch_size: int,
+    normalize=None,
+    companions: "tuple | list" = (),
+    metrics=None,
+) -> list[dict]:
+    """Seq-range micro-batch replay where EVERY micro-batch commits
+    atomically across the state table and its companions (index /
+    derived-view refreshers) — the catalog-level analog of
+    :meth:`~mex_extractors_spark.streaming.replay.ReplayEngine.replay`.
+
+    ``companions`` are callables ``(spark, txn) -> stats`` run after the
+    state batch is staged — e.g.
+    ``lambda s, t: t.refresh_index(s, "state", "idx", terms)``. A crash
+    anywhere inside a batch aborts the WHOLE transaction: readers never
+    see a state version without its index version (the window separate
+    per-table commits leave open).
+
+    Exactly-once/resume: a redelivered batch stages per-table no-ops
+    (idempotent batch ids inside the staged apply); if NOTHING applied
+    anywhere, the transaction is aborted instead of committed, so pure
+    redelivery does not advance the catalog. Returns one record per
+    batch with the state ApplyStats and the committed catalog version
+    (None for skipped redeliveries)."""
+    from mex_extractors_spark.streaming.replay import batch_id_for_range
+
+    seq_col = catalog.table(state_name).seq_col
+    out: list[dict] = []
+    for lo in range(int(seq_min), int(seq_max) + 1, int(batch_size)):
+        hi = min(lo + batch_size - 1, int(seq_max))
+        batch = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) <= hi))
+        if normalize is not None:
+            batch = normalize(batch)
+        bid = batch_id_for_range(lo, hi)
+        txn = catalog.transaction()
+        try:
+            st = txn.apply_batch(spark, state_name, batch, bid)
+            comp_stats = [c(spark, txn) for c in companions]
+        except BaseException:
+            txn.abort()
+            raise
+        if st.applied or any(getattr(r, "applied", False) for r in comp_stats):
+            snap = txn.commit()
+            version = snap["version"]
+        else:
+            txn.abort()
+            version = None
+        if metrics is not None:
+            metrics.append(st)
+        out.append({"batch_id": bid, "stats": st, "catalog_version": version})
+    return out

@@ -89,6 +89,8 @@ def refresh_aggregates(
     group_cols: Sequence[str],
     count_alias: str = "cnt",
     sum_cols: dict[str, str] | None = None,
+    to_version: int | None = None,
+    branch: str | None = None,
 ) -> RefreshStats:
     """Bring ``derived`` (per-``group_cols`` row count + optional sums
     over source columns) up to the source's current snapshot.
@@ -98,28 +100,35 @@ def refresh_aggregates(
     versions. Sums treat NULL source values as 0 (so a sum column is
     never NULL); use exact types (integer/decimal) for byte-stable
     incremental accumulation — float sums drift by accumulation order.
+
+    ``to_version``/``branch`` stage the refresh inside a catalog
+    transaction: refresh up to a source version that is itself only
+    staged (a txn branch head) and write the derived batch to the
+    derived table's own txn branch instead of main.
     """
     sum_cols = dict(sum_cols or {})
     group_cols = list(group_cols)
     snap = source.current_snapshot()
-    if snap is None:
+    if snap is None and to_version is None:
         return RefreshStats(0, 0, full_build=False, applied=False)
-    to_version = int(snap["version"])
+    to_version = int(snap["version"]) if to_version is None else int(to_version)
+    if to_version == 0:
+        return RefreshStats(0, 0, full_build=False, applied=False)
     from_version = last_refreshed_version(derived)
     batch_id = f"cdf:v{from_version}->{to_version}"
     if from_version >= to_version:
         return RefreshStats(from_version, to_version, False, applied=False)
 
     if from_version == 0:
-        # initial build: one full aggregation of the current state
-        state = source.read(spark)
+        # initial build: one full aggregation of the refresh-target state
+        state = source.read(spark, version=to_version)
         fresh = state.groupBy(*group_cols).agg(
             *_agg_exprs(count_alias, sum_cols, F.lit(1))
         )
         upserts = fresh.withColumn(derived.seq_col, F.lit(to_version)).withColumn(
             derived.op_col, F.lit("U")
         )
-        st = derived.apply_batch(spark, upserts, batch_id)
+        st = derived.apply_batch(spark, upserts, batch_id, branch=branch)
         return RefreshStats(
             0, to_version, full_build=True, applied=st.applied,
             groups_changed=st.upserts,
@@ -136,7 +145,7 @@ def refresh_aggregates(
     )
     # merge deltas with the derived table's current values for ONLY the
     # changed groups; groups whose live row count reaches 0 are deleted
-    cur = derived.read(spark).select(
+    cur = derived.read(spark, ref=branch).select(
         *group_cols,
         F.col(count_alias).alias("__cur_cnt"),
         *[F.col(a).alias(f"__cur_{a}") for a in sum_cols],
@@ -153,7 +162,7 @@ def refresh_aggregates(
         F.lit(to_version).alias(derived.seq_col),
         F.when(new_cnt <= 0, F.lit("D")).otherwise(F.lit("U")).alias(derived.op_col),
     )
-    st = derived.apply_batch(spark, upserts, batch_id)
+    st = derived.apply_batch(spark, upserts, batch_id, branch=branch)
     return RefreshStats(
         from_version, to_version, full_build=False, applied=st.applied,
         groups_changed=st.upserts + st.deletes,

@@ -93,11 +93,15 @@ def refresh_inverted_index(
     index: LakeTable,
     terms_fn: Callable[[DataFrame], Column],
     to_version: int | None = None,
+    branch: str | None = None,
 ) -> IndexRefreshStats:
     """Bring ``index`` up to the source's ``to_version`` (default:
     current). ``terms_fn(df) -> array<string> Column`` extracts the
     indexed terms of a row (must be deterministic). ``index`` must be
     keyed ``("term", *source.key_cols)`` with ``seq_col="_src_version"``.
+    ``branch`` stages the index batch on a txn branch instead of main
+    (catalog-transaction composition: state apply + index refresh
+    become one atomic catalog commit).
     """
     expected = ["term", *source.key_cols]
     if list(index.key_cols) != expected or index.seq_col != "_src_version":
@@ -105,10 +109,11 @@ def refresh_inverted_index(
             f"index table must have key_cols={expected} and "
             f"seq_col='_src_version' (got {index.key_cols}, {index.seq_col!r})"
         )
-    cur = source.current_snapshot()
-    if cur is None:
-        return IndexRefreshStats(0, 0, full_build=False, applied=False)
-    to_version = cur["version"] if to_version is None else to_version
+    if to_version is None:
+        cur = source.current_snapshot()
+        if cur is None:
+            return IndexRefreshStats(0, 0, full_build=False, applied=False)
+        to_version = cur["version"]
     last = last_indexed_version(index)
     if to_version <= last:
         return IndexRefreshStats(last, to_version, full_build=False, applied=False)
@@ -116,7 +121,7 @@ def refresh_inverted_index(
     if last == 0:
         state = source.read(spark, version=to_version)
         batch = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
-        st = index.apply_batch(spark, batch, batch_id)
+        st = index.apply_batch(spark, batch, batch_id, branch=branch)
         return IndexRefreshStats(0, to_version, full_build=True, applied=st.applied)
 
     if source.snapshot_at(last) is None:
@@ -126,7 +131,9 @@ def refresh_inverted_index(
         # Recovery (the derived.full_refresh analog): rebuild from the
         # CURRENT state — upsert every live (term, key) pair and delete
         # index entries whose pair no longer exists.
-        return _full_rebuild(spark, source, index, terms_fn, last, to_version)
+        return _full_rebuild(
+            spark, source, index, terms_fn, last, to_version, branch=branch
+        )
 
     changes = source.read_changes(
         spark, from_version=last, to_version=to_version, include_preimages=True
@@ -150,7 +157,7 @@ def refresh_inverted_index(
     removed = _pairs(
         diff, source.key_cols, F.array_except("_pre", "_post"), "D", to_version
     )
-    st = index.apply_batch(spark, added.unionByName(removed), batch_id)
+    st = index.apply_batch(spark, added.unionByName(removed), batch_id, branch=branch)
     return IndexRefreshStats(last, to_version, full_build=False, applied=st.applied)
 
 
@@ -161,6 +168,7 @@ def _full_rebuild(
     terms_fn: Callable[[DataFrame], Column],
     last: int,
     to_version: int,
+    branch: str | None = None,
 ) -> IndexRefreshStats:
     """Recovery path when the CDF base snapshot has been expired:
     re-emit the current state's (term, key) pairs as upserts plus
@@ -171,7 +179,7 @@ def _full_rebuild(
     live = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
     pair_cols = ["term", *source.key_cols]
     stale = (
-        index.read(spark)
+        index.read(spark, ref=branch)
         .select(*pair_cols)
         .join(live.select(*pair_cols), on=pair_cols, how="left_anti")
         .select(
@@ -181,7 +189,7 @@ def _full_rebuild(
         )
     )
     st = index.apply_batch(
-        spark, live.unionByName(stale), f"idx:v{last}->{to_version}"
+        spark, live.unionByName(stale), f"idx:v{last}->{to_version}", branch=branch
     )
     return IndexRefreshStats(last, to_version, full_build=True, applied=st.applied)
 

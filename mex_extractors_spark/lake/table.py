@@ -440,12 +440,18 @@ class LakeTable:
         finally:
             self.drop_branch(branch)
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, extra_keep: "set[int] | None" = None
+    ) -> int:
         """Drop all but the newest ``keep_last`` snapshots' metadata,
         then vacuum data files no retained snapshot references (Iceberg
         ``expire_snapshots`` + orphan cleanup). The CURRENT snapshot,
-        branch heads, and tagged snapshots are always retained. Returns
-        the number of snapshots expired."""
+        branch heads, and tagged snapshots are always retained;
+        ``extra_keep`` pins additional versions (with their ancestry,
+        so fast-forward proofs stay walkable) — a :class:`~mex_
+        extractors_spark.lake.catalog.LakeCatalog` passes the versions
+        its retained catalog snapshots still reference. Returns the
+        number of snapshots expired."""
         cur = self.current_snapshot()
         if cur is None:
             return 0
@@ -469,7 +475,7 @@ class LakeTable:
             keep.add(v)
             parent_snap = self.snapshot_at(v)
             v = parent_snap["parent"] if parent_snap else None
-        for head in self.refs().values():
+        for head in [*self.refs().values(), *(extra_keep or ())]:
             b: int | None = head
             while b and b not in keep:
                 keep.add(b)
@@ -1965,6 +1971,7 @@ class LakeTable:
         spark: SparkSession,
         keep_snapshots: int = 3,
         min_files: int = 2,
+        extra_keep: "set[int] | None" = None,
     ) -> dict:
         """One-call table upkeep for a scheduled job (the Iceberg
         maintenance-procedure trio): fold pending merge-on-read deltas
@@ -1977,7 +1984,9 @@ class LakeTable:
         expired). Returns what happened, for the metrics log."""
         before = self.current_snapshot()
         compacted_version = self.compact(spark, min_files=min_files)
-        expired = self.expire_snapshots(keep_last=keep_snapshots)
+        expired = self.expire_snapshots(
+            keep_last=keep_snapshots, extra_keep=extra_keep
+        )
         orphans = self.vacuum_orphans()
         return {
             "compacted": bool(before) and compacted_version != before["version"],

@@ -2713,7 +2713,9 @@ def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   Queries green in BOTH r1 and r2 rotate to the back (still covered every
 #   run by tests/test_queries_parity.py at sf0.001); six load-bearing CDC/core
 #   queries are kept in-window as regression canaries.
-# Next round: rotate the back-22 forward again so driver coverage keeps cycling.
+# Next round: rotate the back-24 forward again so driver coverage keeps cycling
+# (w2_topological_levels and c_scalar_string_pack fell out of the 50-window when
+# j7b/cdc_catalog_txn were added; both are double-green and pytest-covered).
 _DRIVER_WINDOW_PRIORITY = [
     # never driver-green — round-1 FAILURES first (fixed in r2, must re-verify)
     "d3_minhash_lsh_neardup",

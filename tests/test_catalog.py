@@ -121,6 +121,265 @@ def test_idempotent_batch_inside_transaction(spark, cat):
     assert cat.read(spark, "state").count() == 1
 
 
+def _commit_n_txns(spark, cat, n):
+    for i in range(1, n + 1):
+        with cat.transaction() as txn:
+            txn.apply_batch(
+                spark, "state", _mk(spark, [("r1", "a", i, "U", f"v{i}")]), f"b{i}"
+            )
+            txn.commit()
+
+
+def test_catalog_maintenance_keeps_retained_pins_readable(spark, cat):
+    _commit_n_txns(spark, cat, 4)
+    res = cat.maintenance(spark, keep_catalog_snapshots=2, keep_table_snapshots=1)
+    assert res["catalog_snapshots_expired"] == 2
+    # the retained older catalog snapshot (version 3) still resolves,
+    # even though table-level keep_last=1 alone would have expired its pin
+    assert cat.read(spark, "state", catalog_version=3).collect()[0].content == "v3"
+    assert cat.read(spark, "state", catalog_version=4).collect()[0].content == "v4"
+    # the expired catalog snapshots are really gone
+    with pytest.raises(ValueError):
+        cat.pins(1)
+    with pytest.raises(ValueError):
+        cat.pins(2)
+
+
+def test_bare_table_expiry_would_wedge_catalog_reads(spark, cat):
+    """The hazard catalog.maintenance exists to prevent: expiring a
+    catalog-managed table directly drops versions the catalog still
+    pins."""
+    _commit_n_txns(spark, cat, 3)
+    cat.table("state").expire_snapshots(keep_last=1)
+    assert cat.read(spark, "state").collect()[0].content == "v3"  # head ok
+    with pytest.raises(ValueError):
+        cat.read(spark, "state", catalog_version=2).collect()
+
+
+def test_maintenance_reclaims_aborted_stage(spark, cat, tmp_path):
+    """An aborted transaction's staged snapshot + data files are
+    unreferenced once its branch is dropped; maintenance removes them."""
+    _commit_n_txns(spark, cat, 1)
+    txn = cat.transaction()
+    txn.apply_batch(spark, "state", _mk(spark, [("rX", "zz", 9, "U", "junk")]), "bX")
+    staged_version = cat.table("state").refs()[f"txn-{txn.txn_id}"]
+    txn.abort()
+    assert cat.table("state").snapshot_at(staged_version) is not None
+    cat.maintenance(spark, keep_catalog_snapshots=3, keep_table_snapshots=3)
+    assert cat.table("state").snapshot_at(staged_version) is None
+    assert cat.read(spark, "state").count() == 1  # committed state intact
+
+
+@pytest.fixture()
+def cat_idx(tmp_path):
+    """Catalog with a text-bearing state table + its inverted index +
+    a per-lang derived view."""
+    c = LakeCatalog(str(tmp_path / "lake"))
+    c.register(
+        "state",
+        LakeTable(str(tmp_path / "lake/state"), key_cols=["repo", "path"],
+                  num_buckets=4),
+    )
+    c.register(
+        "index",
+        LakeTable(str(tmp_path / "lake/index"),
+                  key_cols=["term", "repo", "path"],
+                  seq_col="_src_version", num_buckets=4),
+    )
+    c.register(
+        "by_lang",
+        LakeTable(str(tmp_path / "lake/by_lang"), key_cols=["lang"],
+                  num_buckets=2),
+    )
+    return c
+
+
+def _mk_txt(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, seq long, lang string, "
+        "text string, op string"
+    )
+
+
+def _terms(df):
+    from mex_extractors_spark.lake.index import default_terms
+
+    return default_terms("text")
+
+
+def test_txn_state_index_view_move_atomically(spark, cat_idx):
+    """State apply + inverted-index refresh + derived-view refresh in
+    ONE transaction: after commit all three agree; an aborted follow-up
+    touches none of them."""
+    from mex_extractors_spark.lake.index import full_index
+
+    with cat_idx.transaction() as t1:
+        t1.apply_batch(
+            spark, "state",
+            _mk_txt(spark, [
+                ("r1", "a.py", 1, "py", "alpha beta", "U"),
+                ("r2", "b.py", 2, "py", "beta gamma", "U"),
+                ("r3", "c.rs", 3, "rs", "delta", "U"),
+            ]),
+            "b1",
+        )
+        st_idx = t1.refresh_index(spark, "state", "index", _terms)
+        st_view = t1.refresh_view(spark, "state", "by_lang", ["lang"])
+        assert st_idx.applied and st_view.applied
+        snap = t1.commit()
+    assert set(snap["tables"]) == {"state", "index", "by_lang"}
+    pinned = snap["version"]
+    idx = sorted(
+        tuple(r) for r in cat_idx.read(spark, "index", catalog_version=pinned)
+        .select("term", "repo", "path").collect()
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in full_index(spark, cat_idx.table("state"), _terms).collect()
+    )
+    assert idx == oracle and len(idx) == 5
+    by_lang = {r.lang: r.cnt for r in cat_idx.read(spark, "by_lang").collect()}
+    assert by_lang == {"py": 2, "rs": 1}
+
+    # an update + delete batch staged with refreshes, then ABORTED:
+    # state, index and view all stay at the committed world
+    txn = cat_idx.transaction()
+    txn.apply_batch(
+        spark, "state",
+        _mk_txt(spark, [
+            ("r1", "a.py", 4, "py", "alpha OMEGA", "U"),
+            ("r3", "c.rs", 5, "rs", None, "D"),
+        ]),
+        "b2",
+    )
+    txn.refresh_index(spark, "state", "index", _terms)
+    txn.refresh_view(spark, "state", "by_lang", ["lang"])
+    txn.abort()
+    assert sorted(
+        tuple(r) for r in cat_idx.read(spark, "index")
+        .select("term", "repo", "path").collect()
+    ) == idx
+    assert {r.lang: r.cnt for r in cat_idx.read(spark, "by_lang").collect()} == by_lang
+
+    # same batch re-staged and committed: index diff + view retraction land
+    with cat_idx.transaction() as t3:
+        t3.apply_batch(
+            spark, "state",
+            _mk_txt(spark, [
+                ("r1", "a.py", 4, "py", "alpha OMEGA", "U"),
+                ("r3", "c.rs", 5, "rs", None, "D"),
+            ]),
+            "b2",
+        )
+        t3.refresh_index(spark, "state", "index", _terms)
+        t3.refresh_view(spark, "state", "by_lang", ["lang"])
+        t3.commit()
+    idx2 = sorted(
+        tuple(r) for r in cat_idx.read(spark, "index")
+        .select("term", "repo", "path").collect()
+    )
+    oracle2 = sorted(
+        tuple(r)
+        for r in full_index(spark, cat_idx.table("state"), _terms).collect()
+    )
+    assert idx2 == oracle2
+    assert ("omega", "r1", "a.py") not in idx2  # terms are raw tokens
+    assert ("OMEGA", "r1", "a.py") in idx2
+    assert ("beta", "r1", "a.py") not in idx2  # removed by the update diff
+    assert ("delta", "r3", "c.rs") not in idx2  # delete retracted its terms
+    # "rs" count reached 0 -> the group is deleted from the view
+    assert {r.lang: r.cnt for r in cat_idx.read(spark, "by_lang").collect()} == {
+        "py": 2,
+    }
+
+
+def test_replay_into_catalog_crash_resume_converges(spark, cat_idx):
+    """Catalog-level micro-batch replay with an index companion: a crash
+    inside batch 2 aborts the whole transaction (state AND index), the
+    re-run skips batch 1 as pure redelivery (no catalog advance) and
+    lands batch 2 — final index equals the from-scratch oracle."""
+    from mex_extractors_spark.lake.catalog import replay_into_catalog
+    from mex_extractors_spark.lake.index import full_index
+
+    ev = _mk_txt(spark, [
+        ("r1", "a.py", 1, "py", "alpha beta", "U"),
+        ("r2", "b.py", 2, "py", "beta gamma", "U"),
+        ("r1", "a.py", 3, "py", "alpha omega", "U"),
+        ("r2", "b.py", 4, "py", None, "D"),
+    ])
+    idx_companion = lambda s, t: t.refresh_index(s, "state", "index", _terms)  # noqa: E731
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_companion(s, t):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die inside batch 2, after state is staged
+            raise Boom()
+        return idx_companion(s, t)
+
+    with pytest.raises(Boom):
+        replay_into_catalog(
+            spark, cat_idx, "state", ev, 1, 4, 2,
+            companions=[crashing_companion],
+        )
+    v_after_crash = cat_idx.current_snapshot()["version"]
+    assert cat_idx.read(spark, "state").count() == 2  # batch 1 only
+    # resume: batch 1 is a no-op redelivery (abort, no catalog bump)
+    res = replay_into_catalog(
+        spark, cat_idx, "state", ev, 1, 4, 2, companions=[idx_companion]
+    )
+    assert res[0]["catalog_version"] is None and not res[0]["stats"].applied
+    assert res[1]["catalog_version"] == v_after_crash + 1
+    idx = sorted(
+        tuple(r) for r in cat_idx.read(spark, "index")
+        .select("term", "repo", "path").collect()
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in full_index(spark, cat_idx.table("state"), _terms).collect()
+    )
+    assert idx == oracle
+    assert {r.path for r in cat_idx.read(spark, "state").collect()} == {"a.py"}
+    # a full third replay is a pure no-op: catalog version unchanged
+    res2 = replay_into_catalog(
+        spark, cat_idx, "state", ev, 1, 4, 2, companions=[idx_companion]
+    )
+    assert all(r["catalog_version"] is None for r in res2)
+    assert cat_idx.current_snapshot()["version"] == v_after_crash + 1
+
+
+def test_commit_survives_out_of_band_main_write(spark, cat):
+    """A writer that commits to a table's MAIN outside the catalog while
+    a transaction is in flight: the catalog commit still lands (pins
+    reference immutable staged versions), housekeeping's fast-forward is
+    skipped on conflict, and catalog reads keep seeing the txn's world."""
+    _mk_state = lambda c, s: _mk(spark, [("r1", "a", s, "U", c)])  # noqa: E731
+    with cat.transaction() as t0:
+        t0.apply_batch(spark, "state", _mk_state("base", 1), "b0")
+        t0.commit()
+    txn = cat.transaction()
+    txn.apply_batch(spark, "state", _mk_state("txn", 2), "b1")
+    # out-of-band direct write to main (not through the catalog)
+    cat.table("state").apply_batch(spark, _mk_state("oob", 3), "b-oob")
+    snap = txn.commit()  # must not raise
+    # catalog view = txn's staged world (seq 2), isolated from the oob write
+    assert cat.read(spark, "state").collect()[0].content == "txn"
+    # the txn branch was kept (fast-forward conflicted) so its pinned
+    # snapshot stays referenced even without extra_keep
+    assert f"txn-{txn.txn_id}" in cat.table("state").refs()
+    # table main converged on the oob writer's LWW state instead
+    assert cat.table("state").read(spark).collect()[0].content == "oob"
+    # the next transaction forks from the CATALOG pin, not the diverged main
+    with cat.transaction() as t2:
+        assert t2.head("state") == snap["tables"]["state"]
+        t2.apply_batch(spark, "state", _mk_state("next", 4), "b2")
+        t2.commit()
+    assert cat.read(spark, "state").collect()[0].content == "next"
+
+
 def test_transaction_fences_and_evolves_like_plain_apply(spark, cat):
     """Staging uses the FULL apply path: fencing and schema evolution
     behave exactly as on main."""
