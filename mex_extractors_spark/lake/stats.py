@@ -28,10 +28,20 @@ depends on the stats being present or complete.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 from typing import Any, Mapping, Sequence
 
 # predicate ops the pruner understands; anything else keeps the file
 PRUNABLE_OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+# bloom filter defaults: m bits per (file, column), k probe positions.
+# fpp ~ (1 - e^{-kn/m})^k: 8192 bits / 5 hashes holds ~1k distinct
+# values per file at <1% false positives; raise bloom_bits for bigger
+# files (the manifest cost is m/8 bytes per file per column).
+BLOOM_BITS_DEFAULT = 8192
+BLOOM_HASHES_DEFAULT = 5
+BLOOM_HASHES_MAX = 8  # keeps h1 + i*h2 < 2^63 (h1, h2 are 60-bit)
 
 # value sets above this cardinality are dropped (no pruning power, and
 # the manifest should stay small)
@@ -79,6 +89,63 @@ def footer_column_stats(path: str, cols: Sequence[str]) -> dict[str, dict[str, A
     return out
 
 
+def bloom_canon(value: Any, type_tag: str) -> str | None:
+    """Canonical string a predicate value hashes as, or None when the
+    value's Python type does not match the column's stored type family
+    (then the bloom must not be consulted: Spark's residual filter can
+    still match via implicit cast — e.g. int column vs '5', or a string
+    column holding ' 5' vs predicate 5).
+
+    The canonical forms mirror Spark's CAST(col AS STRING) for exactly
+    the supported families — string ('s'), integral ('i'), boolean
+    ('b') — which is what the write-side bloom builder hashes
+    (table.py ``_bloom_bucket_stats``)."""
+    if type_tag == "s":
+        return value if isinstance(value, str) else None
+    if type_tag == "b":
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        return None
+    if type_tag == "i":
+        if isinstance(value, int) and not isinstance(value, bool):
+            return str(value)
+        return None
+    return None
+
+
+def bloom_positions(canon: str, m: int, k: int) -> list[int]:
+    """The k probe positions for a canonical value: double hashing
+    (Kirsch-Mitzenmacher) over one md5 — h1 = first 15 hex chars,
+    h2 = hex chars 17..31 forced odd, pos_i = (h1 + i*h2) mod m.
+    Must stay bit-identical to the Spark-side builder's
+    conv(substring(md5(..), 1, 15), 16, 10) expressions."""
+    d = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    h1 = int(d[0:15], 16)
+    h2 = int(d[16:31], 16) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_may_contain(bloom: Mapping[str, Any], value: Any) -> bool:
+    """Conservative membership test against one file's per-column bloom
+    (``{"m": bits, "k": hashes, "t": type_tag, "b": base64 bitset}``).
+    Returns False only when the value is PROVABLY absent; any doubt
+    (type mismatch, malformed bloom) keeps the file."""
+    try:
+        canon = bloom_canon(value, bloom["t"])
+        if canon is None:
+            return True
+        bits = base64.b64decode(bloom["b"])
+        m, k = int(bloom["m"]), int(bloom["k"])
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            return True
+        for pos in bloom_positions(canon, m, k):
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+    except Exception:
+        return True
+
+
 def _comparable(a: Any, b: Any) -> bool:
     if isinstance(a, bool) != isinstance(b, bool):
         return False
@@ -108,6 +175,14 @@ def file_may_match(
     st = (stats or {}).get(col)
     if st is None:
         return True
+    bloom = st.get("bloom")
+    if bloom is not None and op in ("=", "in"):
+        vals = value if op == "in" else [value]
+        # each element either proves absent via the bloom or keeps the
+        # file; the bloom saying "maybe" still falls through to the
+        # value-set / min-max evidence below
+        if all(not bloom_may_contain(bloom, v) for v in vals):
+            return False
     values = st.get("values")
     if values is not None:
         # type-mismatched predicate values: Spark's residual filter

@@ -29,6 +29,7 @@ snapshot semantics:
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -40,10 +41,23 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DataType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from mex_extractors_spark.lake.stats import (
+    BLOOM_BITS_DEFAULT,
+    BLOOM_HASHES_DEFAULT,
+    BLOOM_HASHES_MAX,
     VALUE_SET_MAX,
     file_may_match,
     footer_column_stats,
@@ -159,6 +173,9 @@ class LakeTable:
         merge_mode: str = "cow",
         max_deltas_per_bucket: int | None = 8,
         stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int | None = None,
+        bloom_hashes: int = BLOOM_HASHES_DEFAULT,
     ) -> None:
         """``checksum_mode``: how the per-bucket manifest checksums are
         produced. "readback" (default) re-reads the just-written files
@@ -204,11 +221,32 @@ class LakeTable:
         data-skipping reads via ``read(where=...)``: files whose stats
         provably exclude a predicate are dropped before the scan is
         planned. A writer policy like ``merge_mode`` — stats recorded
-        by past writers stay in the manifest either way."""
+        by past writers stay in the manifest either way.
+
+        ``bloom_cols``: columns to record a per-file bloom filter for in
+        the manifest (``bloom_bits`` bits / ``bloom_hashes`` probes per
+        file per column). min/max bounds cannot prune point lookups on
+        high-cardinality hash-like columns (a random sha spans the whole
+        alphabet in every file); a bloom prunes them to ~the files that
+        actually contain the value — the Iceberg/Delta bloom model.
+        Supported column families: string, integral, boolean (others
+        are skipped). Also a writer policy; ``read(where=...)`` uses
+        whatever blooms the manifest carries.
+
+        ``bloom_bits=None`` (default) sizes each write's blooms from
+        its OWN row counts: ~9.6 bits per row in the write's largest
+        bucket (<=1% fpp if all values are distinct, less otherwise),
+        clamped to [BLOOM_BITS_DEFAULT, 2^22]. A fixed ``bloom_bits``
+        pins the manifest cost instead — fpp then degrades once files
+        exceed ~bloom_bits/10 distinct values."""
         if checksum_mode not in ("observe", "readback"):
             raise ValueError(f"unknown checksum_mode {checksum_mode!r}")
         if merge_mode not in ("cow", "mor", "auto"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        if bloom_bits is not None and (bloom_bits < 64 or bloom_bits % 64):
+            raise ValueError("bloom_bits must be a positive multiple of 64")
+        if not 1 <= bloom_hashes <= BLOOM_HASHES_MAX:
+            raise ValueError(f"bloom_hashes must be in 1..{BLOOM_HASHES_MAX}")
         self.path = path
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
@@ -218,6 +256,9 @@ class LakeTable:
         self.merge_mode = merge_mode
         self.max_deltas_per_bucket = max_deltas_per_bucket
         self.stats_cols = list(stats_cols or [])
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         self.ledger_dir = os.path.join(path, "_ledger")
         self.data_dir = os.path.join(path, "data")
         self.refs_dir = os.path.join(self.ledger_dir, "refs")
@@ -699,21 +740,129 @@ class LakeTable:
                     value_sets.setdefault(int(r[_BUCKET]), {})[c] = list(vals)
         return bucket_stats, value_sets
 
+    @staticmethod
+    def _bloom_type_tag(dt: DataType) -> str | None:
+        """'s'/'i'/'b' for the column families the bloom hash scheme
+        covers (CAST AS STRING is canonical and Python-reproducible
+        there), None for everything else (skipped — float formatting,
+        timestamps etc. are not worth the cast-mismatch risk)."""
+        if isinstance(dt, StringType):
+            return "s"
+        if isinstance(dt, BooleanType):
+            return "b"
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return "i"
+        return None
+
+    def _bloom_m(self, rows_hint: int | None) -> int:
+        """Bits per (file, column) for this write: explicit config, or
+        auto-sized at ~9.6 bits per row of the write's largest bucket
+        (1% fpp for all-distinct values), clamped to keep the manifest
+        bounded (2^22 bits = 512 KiB per file per column at the top)."""
+        if self.bloom_bits is not None:
+            return self.bloom_bits
+        n = max(int(rows_hint or 0), 1)
+        m = ((n * 96 // 10) + 63) // 64 * 64
+        return min(max(m, BLOOM_BITS_DEFAULT), 1 << 22)
+
+    def _bloom_bucket_stats(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        schema: StructType,
+        rows_hint: int | None = None,
+    ) -> dict[int, dict[str, dict]]:
+        """Per-bucket bloom bitsets for ``bloom_cols``: one distributed
+        pass over the just-written files (page-cache hot after the
+        write/readback), ONE job for all columns.
+
+        Shape: per row emit k probe positions per column from one md5
+        (double hashing — same scheme as ``stats.bloom_positions``),
+        explode, reduce to word-level ``bit_or`` groups. The shuffle is
+        bounded by buckets x columns x (bloom_bits/64) rows regardless
+        of data size — manifest-sized, never data-sized — and the
+        driver collects only those word rows."""
+        specs = [
+            (f.name, tag)
+            for f in schema.fields
+            if f.name in self.bloom_cols
+            and (tag := self._bloom_type_tag(f.dataType)) is not None
+        ]
+        if not specs:
+            return {}
+        m, k = self._bloom_m(rows_hint), self.bloom_hashes
+        df = spark.read.schema(schema).parquet(out_dir).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
+        entries = []
+        for ci, (name, _tag) in enumerate(specs):
+            d = F.md5(F.col(name).cast("string"))
+            h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+            h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("long").bitwiseOR(
+                F.lit(1).cast("long")
+            )
+            for i in range(k):
+                entries.append(
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m)).alias(
+                            "pos"
+                        ),
+                    )
+                )
+        words = (
+            df.select(F.col(_BUCKET), F.explode(F.array(*entries)).alias("e"))
+            .select(_BUCKET, F.col("e.ci").alias("ci"), F.col("e.pos").alias("pos"))
+            .where(F.col("pos").isNotNull())  # null column values set no bits
+            .groupBy(
+                _BUCKET, "ci", F.shiftright(F.col("pos"), 6).alias("w")
+            )
+            .agg(
+                # shiftleft's numBits arg only takes a literal in the
+                # Python API — the variable-shift form needs SQL
+                F.bit_or(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pmod(pos, 64) AS INT))"
+                    )
+                ).alias("word")
+            )
+            .collect()
+        )
+        bitsets: dict[tuple[int, int], bytearray] = {}
+        for r in words:
+            key = (int(r[_BUCKET]), int(r["ci"]))
+            bits = bitsets.setdefault(key, bytearray(m // 8))
+            w, word = int(r["w"]), int(r["word"]) & 0xFFFFFFFFFFFFFFFF
+            bits[w * 8 : (w + 1) * 8] = word.to_bytes(8, "little")
+        out: dict[int, dict[str, dict]] = {}
+        for (b, ci), bits in bitsets.items():
+            name, tag = specs[ci]
+            out.setdefault(b, {})[name] = {
+                "m": m,
+                "k": k,
+                "t": tag,
+                "b": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+        return out
+
     def _collect_file_stats(
         self,
         files_by_bucket: dict[int, list[str]],
         value_sets: dict[int, dict[str, list]] | None = None,
+        blooms: dict[int, dict[str, dict]] | None = None,
     ) -> dict[int, dict[str, dict]]:
         """Per-bucket ``{relpath: {col: stats}}`` for freshly written
         files: min/max/null_count from the parquet footers (driver-side
         footer read, O(touched buckets), no data job — the Iceberg
         writers-emit-stats model) merged with the per-bucket distinct
         value sets the write's observe() collected."""
-        if not self.stats_cols:
+        if not self.stats_cols and not blooms:
             return {}
         out: dict[int, dict[str, dict]] = {}
         for b, rels in files_by_bucket.items():
             vs = (value_sets or {}).get(b) or {}
+            bl = (blooms or {}).get(b) or {}
             per_file: dict[str, dict] = {}
             for rel in rels:
                 st = footer_column_stats(
@@ -724,6 +873,11 @@ class LakeTable:
                     # write (normally exactly one)
                     st.setdefault(c, {"min": None, "max": None, "nulls": 0})
                     st[c]["values"] = vals
+                for c, bloom in bl.items():
+                    # likewise: the bucket bloom covers all its files
+                    # from this write, so per-file it is conservative
+                    st.setdefault(c, {"min": None, "max": None, "nulls": 0})
+                    st[c]["bloom"] = bloom
                 if st:
                     per_file[rel] = st
             if per_file:
@@ -1371,7 +1525,23 @@ class LakeTable:
                 files_by_bucket.setdefault(int(m.group(1)), []).append(
                     os.path.join(rel_out, f)
                 )
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
+        # blooms ride BASE entries only: _prune_base_files never prunes
+        # delta files (they must always reach the MOR merge), so a mor
+        # batch skips the bloom job — compaction regenerates blooms when
+        # the deltas fold into a fresh base.
+        blooms = (
+            self._bloom_bucket_stats(
+                spark,
+                out_dir,
+                written_schema,
+                rows_hint=max(
+                    (r for r, _c in bucket_stats.values()), default=0
+                ),
+            )
+            if self.bloom_cols and not use_mor
+            else None
+        )
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
             rows, checksum = bucket_stats.get(b, (0, "0"))
@@ -1813,7 +1983,19 @@ class LakeTable:
                     os.path.join(rel_out, f)
                 )
         schema_version = snap["schema_version"]
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
+        blooms = (
+            self._bloom_bucket_stats(
+                spark,
+                out_dir,
+                schema,
+                rows_hint=max(
+                    (r for r, _c in bucket_stats.values()), default=0
+                ),
+            )
+            if self.bloom_cols
+            else None
+        )
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
         buckets_meta = {}
         for b, (rows, checksum) in bucket_stats.items():
             entry = {
@@ -1940,7 +2122,19 @@ class LakeTable:
                 files_by_bucket.setdefault(int(m.group(1)), []).append(
                     os.path.join(rel_out, f)
                 )
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets)
+        blooms = (
+            self._bloom_bucket_stats(
+                spark,
+                out_dir,
+                schema,
+                rows_hint=max(
+                    (r for r, _c in new_stats.values()), default=0
+                ),
+            )
+            if self.bloom_cols
+            else None
+        )
+        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
         buckets_meta = dict(snap["buckets"])
         for b in candidates:
             entry = {

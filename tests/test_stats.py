@@ -341,3 +341,214 @@ class TestTypeMismatchConservatism:
         assert not file_may_match(st3, True, "c", "in", [100, 200])
         # empty in-list matches nothing -> prune
         assert not file_may_match(st, True, "c", "in", [])
+
+
+class TestBloomStats:
+    """Per-file bloom filters (lake/stats.py bloom_* + table
+    ``bloom_cols``): point-lookup pruning on high-cardinality columns
+    that min/max bounds can never exclude (a random sha spans the whole
+    alphabet in every file). Modeled on the Iceberg/Delta per-file
+    bloom; the reference's analog is the checksum metadata document
+    (mex/extractors/sinks/s3.py:111-133) — it records what a file
+    holds so a consumer can skip it."""
+
+    @staticmethod
+    def _sha_events(spark, n, seq0=1):
+        rows = [
+            (f"repo{i % 37}", f"src/f{i}.py", seq0 + i, f"{(seq0 + i):040x}",
+             3 * i, "U")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, seq long, commit string,"
+            " stars long, op string",
+        )
+
+    def _bloom_table(self, lake_dir, **kw):
+        kw.setdefault("key_cols", ["repo", "path"])
+        kw.setdefault("num_buckets", 8)
+        kw.setdefault("bloom_cols", ["commit", "stars"])
+        return LakeTable(lake_dir, **kw)
+
+    def test_bloom_recorded_and_point_lookup_prunes(self, spark, lake_dir):
+        t = self._bloom_table(lake_dir)
+        t.apply_batch(spark, self._sha_events(spark, 400), "b1")
+        snap = t.current_snapshot()
+        total = sum(len(m["files"]) for m in snap["buckets"].values())
+        # every file carries a bloom for both columns
+        for m in snap["buckets"].values():
+            for st in (m.get("file_stats") or {}).values():
+                assert st["commit"]["bloom"]["t"] == "s"
+                assert st["stars"]["bloom"]["t"] == "i"
+        # absent sha: min/max could never prune this, the bloom prunes all
+        absent = "f" * 40
+        assert (
+            len(t._prune_base_files(snap, None, [("commit", "=", absent)]))
+            == total
+        )
+        assert t.read(spark, where=[("commit", "=", absent)]).count() == 0
+        # present sha: only the containing file survives (plus rare fp)
+        present = f"{123:040x}"
+        pruned = t._prune_base_files(snap, None, [("commit", "=", present)])
+        assert len(pruned) >= total - 2
+        got = t.read(spark, where=[("commit", "=", present)]).collect()
+        assert [(r["repo"], r["stars"]) for r in got] == [("repo11", 366)]
+
+    def test_bloom_never_false_negative(self, spark, lake_dir):
+        """Every PRESENT value must survive pruning — sampled across
+        the whole corpus, string and int columns."""
+        t = self._bloom_table(lake_dir)
+        t.apply_batch(spark, self._sha_events(spark, 500), "b1")
+        full = {(r["commit"], r["stars"]) for r in t.read(spark).collect()}
+        sample = sorted(full)[::37]
+        for commit, stars in sample:
+            assert t.read(spark, where=[("commit", "=", commit)]).count() == 1
+            assert t.read(spark, where=[("stars", "=", stars)]).count() == 1
+        # conjunction with in-lists mixing present + absent values
+        commits = [c for c, _ in sample[:3]] + ["e" * 40]
+        got = t.read(spark, where=[("commit", "in", commits)]).count()
+        assert got == 3
+
+    def test_bloom_type_guard_never_prunes_cast_matches(self, spark, lake_dir):
+        """Spark's residual filter applies implicit casts; the bloom
+        hashes the column's OWN type family, so a predicate value of a
+        different type must bypass the bloom (keep the file), and the
+        residual decides."""
+        t = self._bloom_table(lake_dir, bloom_cols=["stars", "tag"])
+        rows = [("r1", "a.py", 1, " 5", 5, "U"), ("r2", "b.py", 2, "7", 7, "U")]
+        ev = spark.createDataFrame(
+            rows, "repo string, path string, seq long, tag string,"
+            " stars long, op string"
+        )
+        t.apply_batch(spark, ev, "b1")
+        snap = t.current_snapshot()
+        # int column vs string predicate: no prune (isin/eq cast-matches)
+        assert t._prune_base_files(snap, None, [("stars", "=", "5")]) == set()
+        assert t._prune_base_files(snap, None, [("stars", "in", ["5", "9"])]) == set()
+        # string column vs int predicate: ' 5' casts to 5 on Spark's
+        # side but hashes as ' 5' — the bloom must NOT be consulted
+        assert t._prune_base_files(snap, None, [("tag", "=", 5)]) == set()
+        got = t.read(spark, where=[("tag", "=", 5)]).collect()
+        assert [(r["repo"], r["tag"]) for r in got] == [("r1", " 5")]
+        # same-type lookups still prune/match exactly
+        assert t.read(spark, where=[("tag", "=", "7")]).count() == 1
+        assert t.read(spark, where=[("tag", "=", "zzz")]).count() == 0
+
+    def test_bloom_survives_compact_and_rebucket(self, spark, lake_dir):
+        t = self._bloom_table(lake_dir, merge_mode="mor")
+        t.apply_batch(spark, self._sha_events(spark, 200), "b1", mode="cow")
+        t.apply_batch(spark, self._sha_events(spark, 10, seq0=5000), "b2")
+        t.compact(spark, min_files=1)
+        snap = t.current_snapshot()
+        total = sum(len(m["files"]) for m in snap["buckets"].values())
+        newval = f"{5003:040x}"
+        pruned = t._prune_base_files(snap, None, [("commit", "=", newval)])
+        assert len(pruned) >= total - 2
+        assert t.read(spark, where=[("commit", "=", newval)]).count() == 1
+        t.rebucket(spark, 16)
+        snap = t.current_snapshot()
+        total = sum(len(m["files"]) for m in snap["buckets"].values())
+        pruned = t._prune_base_files(snap, None, [("commit", "=", newval)])
+        assert len(pruned) >= total - 2
+        assert t.read(spark, where=[("commit", "=", newval)]).count() == 1
+
+    def test_bloom_pruning_never_drops_mor_delta_state(self, spark, lake_dir):
+        """Deltas are exempt from pruning: a delta update whose commit
+        newly matches must surface even when every BASE file is bloom-
+        pruned, and a tombstone must still suppress its base row."""
+        t = self._bloom_table(lake_dir, merge_mode="mor")
+        t.apply_batch(spark, self._sha_events(spark, 100), "b1", mode="cow")
+        upd = [("repo1", "src/f1.py", 900, "b" * 40, 1, "U"),
+               ("repo2", "src/f2.py", 901, None, None, "D")]
+        t.apply_batch(
+            spark,
+            spark.createDataFrame(
+                upd, "repo string, path string, seq long, commit string,"
+                " stars long, op string"
+            ),
+            "b2",
+        )
+        got = t.read(spark, where=[("commit", "=", "b" * 40)]).collect()
+        assert [(r["repo"], r["stars"]) for r in got] == [("repo1", 1)]
+        assert t.read(spark, where=[("commit", "=", f"{3:040x}")]).count() == 0
+
+    def test_bloom_python_kernel(self):
+        from mex_extractors_spark.lake.stats import (
+            bloom_canon,
+            bloom_may_contain,
+            bloom_positions,
+        )
+        import base64 as b64
+
+        # canon mirrors CAST AS STRING per family, None on mismatch
+        assert bloom_canon("x", "s") == "x"
+        assert bloom_canon(5, "s") is None
+        assert bloom_canon(-7, "i") == "-7"
+        assert bloom_canon(True, "i") is None  # bool is not an int here
+        assert bloom_canon(True, "b") == "true"
+        assert bloom_canon(1, "b") is None
+        # hand-built bitset: set exactly the positions of "hit"
+        m, k = 512, 4
+        bits = bytearray(m // 8)
+        for pos in bloom_positions("hit", m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+        bloom = {"m": m, "k": k, "t": "s",
+                 "b": b64.b64encode(bytes(bits)).decode()}
+        assert bloom_may_contain(bloom, "hit")
+        misses = sum(
+            not bloom_may_contain(bloom, f"miss{i}") for i in range(200)
+        )
+        assert misses >= 195  # ~zero fp at 4/512 occupancy
+        # type mismatch / malformed bloom: conservative keep
+        assert bloom_may_contain(bloom, 42)
+        assert bloom_may_contain({"m": m, "k": k, "t": "s", "b": "!!"}, "x")
+        # file_may_match wiring: bloom miss prunes, maybe falls through
+        st = {"c": {"bloom": bloom}}
+        assert not file_may_match(st, True, "c", "=", "miss0")
+        assert file_may_match(st, True, "c", "=", "hit")
+        assert not file_may_match(st, True, "c", "in", ["miss1", "miss2"])
+        assert file_may_match(st, True, "c", "in", ["miss1", "hit"])
+        # bloom maybe + value-set miss: value set still prunes
+        st2 = {"c": {"bloom": bloom, "values": ["other"]}}
+        assert not file_may_match(st2, True, "c", "=", "hit")
+
+    def test_bloom_config_validation(self, lake_dir):
+        with pytest.raises(ValueError):
+            LakeTable(lake_dir + "/x", bloom_cols=["c"], bloom_bits=100)
+        with pytest.raises(ValueError):
+            LakeTable(lake_dir + "/y", bloom_cols=["c"], bloom_hashes=0)
+        with pytest.raises(ValueError):
+            LakeTable(lake_dir + "/z", bloom_cols=["c"], bloom_hashes=9)
+
+    def test_bloom_auto_sizing_tracks_bucket_rows(self, spark, lake_dir):
+        """bloom_bits=None sizes m from the write's largest bucket at
+        ~9.6 bits/row (1% fpp), floored at BLOOM_BITS_DEFAULT — a big
+        write must not silently saturate a fixed-size bloom."""
+        from mex_extractors_spark.lake.stats import BLOOM_BITS_DEFAULT
+
+        small = self._bloom_table(lake_dir + "/s", num_buckets=2)
+        small.apply_batch(spark, self._sha_events(spark, 50), "b1")
+        snap = small.current_snapshot()
+        ms = {
+            st["commit"]["bloom"]["m"]
+            for m in snap["buckets"].values()
+            for st in (m.get("file_stats") or {}).values()
+        }
+        assert ms == {BLOOM_BITS_DEFAULT}
+
+        big = self._bloom_table(lake_dir + "/b", num_buckets=2)
+        big.apply_batch(spark, self._sha_events(spark, 6000), "b1")
+        snap = big.current_snapshot()
+        m_big = {
+            st["commit"]["bloom"]["m"]
+            for m in snap["buckets"].values()
+            for st in (m.get("file_stats") or {}).values()
+        }.pop()
+        # ~3000 rows/bucket -> ~28800 bits, never the saturated floor
+        assert m_big > BLOOM_BITS_DEFAULT
+        assert m_big % 64 == 0
+        # and the lookups still prune + match exactly
+        present = f"{42:040x}"
+        assert big.read(spark, where=[("commit", "=", present)]).count() == 1
+        assert big.read(spark, where=[("commit", "=", "f" * 40)]).count() == 0
