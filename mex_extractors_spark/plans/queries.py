@@ -647,6 +647,66 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_bloom_point_lookup",
+    "bloom-filter data skipping: per-file blooms over a hash-like column "
+    "prune a point lookup min/max bounds never could (a random digest "
+    "spans every file); lake/table.py bloom_cols + lake/stats.py "
+    "bloom_may_contain — the oracle restates the lookup over plain LWW",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, md5(concat(user_id, ':', event_id)) AS commit
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_id AS last_event_id, commit
+    FROM state
+    WHERE commit = (SELECT commit FROM state ORDER BY user_id LIMIT 1)
+    """,
+)
+def cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into a LakeTable with
+    ``bloom_cols=["commit"]`` (commit = md5(user:event), a hash-like
+    column where footer min/max is useless), then answer "which row
+    carries digest X" via ``read(where=...)``: the manifest blooms
+    prove absence per file driver-side, so the scan touches ~only the
+    file holding the needle. The needle is the smallest user's current
+    digest — recomputed identically in the SQL oracle (md5 is
+    bit-identical across Spark and DuckDB)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        F.md5(F.concat_ws(":", F.col("user_id"), F.col("event_id"))).alias(
+            "commit"
+        ),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_bloom_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(
+        lake_dir, num_buckets=4, key_cols=["user_id"], bloom_cols=["commit"]
+    )
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "bloom-b1")
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "bloom-b2")
+    needle = (
+        table.read(spark).orderBy("user_id").select("commit").first()["commit"]
+    )
+    state = table.read(spark, where=[("commit", "=", needle)])
+    return state.select(
+        "user_id", F.col("seq").alias("last_event_id"), "commit"
+    )
+
+
+@q(
     "cdc_inverted_index",
     "incrementally-maintained inverted index over the CDF: per-key "
     "pre/post-image term diffs -> I/D index rows, O(changed terms) per "
@@ -2714,8 +2774,9 @@ def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   run by tests/test_queries_parity.py at sf0.001); six load-bearing CDC/core
 #   queries are kept in-window as regression canaries.
 # Next round: rotate the back-24 forward again so driver coverage keeps cycling
-# (w2_topological_levels and c_scalar_string_pack fell out of the 50-window when
-# j7b/cdc_catalog_txn were added; both are double-green and pytest-covered).
+# (a1_pricing_summary, w2_topological_levels and c_scalar_string_pack fell out
+# of the 50-window when j7b/cdc_catalog_txn/cdc_bloom_point_lookup were added;
+# all three are double-green and pytest-covered).
 _DRIVER_WINDOW_PRIORITY = [
     # never driver-green — round-1 FAILURES first (fixed in r2, must re-verify)
     "d3_minhash_lsh_neardup",
@@ -2737,6 +2798,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "k6_consent_emails",
     "j7b_publisher_multiclass",  # new in r3 (full publisher registry)
     "cdc_catalog_txn",  # new in r3 (multi-table atomic catalog commit)
+    "cdc_bloom_point_lookup",  # new in r3 (per-file bloom data skipping)
     # green in r1 only (re-verify on the current engine)
     "d1_exact_duplicates",
     "d2_ngram_jaccard",
