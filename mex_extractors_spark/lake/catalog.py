@@ -86,12 +86,35 @@ class LakeCatalog:
 
     # ------------------------------------------------------------ snapshots
 
+    def _max_ledger_version(self) -> int:
+        return max(
+            (
+                int(m.group(1))
+                for f in os.listdir(self.cat_dir)
+                if (m := re.fullmatch(r"c(\d{8})\.json", f))
+            ),
+            default=0,
+        )
+
     def current_snapshot(self) -> dict | None:
-        cur = os.path.join(self.cat_dir, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as fh:
-            return self.snapshot_at(int(fh.read().strip()))
+        """Head of the catalog ledger. The os.link of the snapshot
+        document is the CAS point — a crash between it and the CURRENT
+        replace leaves a fully-committed snapshot that CURRENT does not
+        name yet. Without healing, every later transaction would base
+        on the stale head, compute the same next version, and conflict
+        forever (livelock); so a CURRENT that lags the ledger's max
+        version is repaired here (idempotent: os.replace of the same
+        value is harmless under races)."""
+        cur_path = os.path.join(self.cat_dir, "CURRENT")
+        cur = 0
+        if os.path.exists(cur_path):
+            with open(cur_path) as fh:
+                cur = int(fh.read().strip())
+        mx = self._max_ledger_version()
+        if mx > cur:
+            self._write_current(mx)
+            cur = mx
+        return self.snapshot_at(cur) if cur else None
 
     def snapshot_at(self, version: int) -> dict | None:
         p = os.path.join(self.cat_dir, f"c{version:08d}.json")
@@ -148,6 +171,9 @@ class LakeCatalog:
                 "transaction — re-open a transaction on the new head"
             ) from None
         os.remove(tmp)
+        self._write_current(version)
+
+    def _write_current(self, version: int) -> None:
         cur = os.path.join(self.cat_dir, "CURRENT")
         ctmp = cur + f".tmp-{uuid.uuid4().hex}"
         with open(ctmp, "w") as fh:
@@ -349,7 +375,9 @@ class LakeTransaction:
         (plus unchanged pins). Raises CommitConflict if another
         transaction committed since this one opened — nothing partial is
         ever visible. Post-CAS, table mains are fast-forwarded and txn
-        branches dropped as best-effort housekeeping."""
+        branches dropped as best-effort housekeeping; a table whose main
+        diverged out-of-band keeps its txn branch (retention) and is
+        reported under ``"main_diverged"`` in the returned snapshot."""
         if self._done:
             raise RuntimeError("transaction already committed/aborted")
         new_pins = dict(self._base_pins)
@@ -366,16 +394,28 @@ class LakeTransaction:
         }
         self.catalog._publish(snapshot)  # the ONE atomic step
         self._done = True
+        diverged: list[str] = []
         for name, branch in self._branches.items():
             table = self.catalog.table(name)
             try:
                 table.fast_forward(branch)
-                table.drop_branch(branch)
             except CommitConflict:
-                # someone committed to this table's main outside the
-                # catalog; the catalog pin is still correct and the
-                # branch ref keeps the pinned snapshot retained
-                pass
+                # someone committed to this table's main OUTSIDE the
+                # catalog: the catalog pin is still correct, and the
+                # txn branch is deliberately KEPT (it retains the
+                # pinned snapshot against bare table.expire_snapshots;
+                # catalog.maintenance would retain it via pins anyway).
+                # This is a single-writer violation that no automatic
+                # ref swap can resolve without dropping someone's
+                # commit — it is surfaced in the returned snapshot's
+                # "main_diverged" so the operator can rebase the
+                # out-of-band batches through a catalog transaction
+                # and fast_forward manually.
+                diverged.append(name)
+                continue
+            table.drop_branch(branch)
+        if diverged:
+            snapshot = {**snapshot, "main_diverged": sorted(diverged)}
         return snapshot
 
     def abort(self) -> None:
@@ -439,15 +479,21 @@ def replay_into_catalog(
         try:
             st = txn.apply_batch(spark, state_name, batch, bid)
             comp_stats = [c(spark, txn) for c in companions]
+            if st.applied or any(
+                getattr(r, "applied", False) for r in comp_stats
+            ):
+                snap = txn.commit()
+                version = snap["version"]
+            else:
+                txn.abort()
+                version = None
         except BaseException:
+            # includes CommitConflict from txn.commit(): the CAS did not
+            # publish, so abort() (a no-op after a successful commit)
+            # must still drop the staged branches — leaking them would
+            # pin staged snapshots against expiry forever
             txn.abort()
             raise
-        if st.applied or any(getattr(r, "applied", False) for r in comp_stats):
-            snap = txn.commit()
-            version = snap["version"]
-        else:
-            txn.abort()
-            version = None
         if metrics is not None:
             metrics.append(st)
         out.append({"batch_id": bid, "stats": st, "catalog_version": version})

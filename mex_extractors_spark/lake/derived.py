@@ -61,10 +61,20 @@ class RefreshStats:
     groups_changed: int = 0
 
 
-def last_refreshed_version(derived: LakeTable) -> int:
+def last_refreshed_version(
+    derived: LakeTable, at_version: int | None = None
+) -> int:
     """Highest source version the derived table has absorbed (0 if the
-    derived table has never been refreshed)."""
-    snap = derived.current_snapshot()
+    derived table has never been refreshed).
+
+    ``at_version`` evaluates at a specific derived-table snapshot
+    instead of main — catalog transactions pass their staged view: main
+    can lag the catalog pin (fast-forward is best-effort housekeeping),
+    and a watermark from stale main would double-apply CDF deltas."""
+    if at_version is not None:
+        snap = derived.snapshot_at(at_version) if at_version else None
+    else:
+        snap = derived.current_snapshot()
     if snap is None:
         return 0
     versions = [
@@ -114,7 +124,13 @@ def refresh_aggregates(
     to_version = int(snap["version"]) if to_version is None else int(to_version)
     if to_version == 0:
         return RefreshStats(0, 0, full_build=False, applied=False)
-    from_version = last_refreshed_version(derived)
+    # staged on a branch: the from-watermark must come from the BRANCH
+    # head (the catalog pin / this txn's prior writes), never main —
+    # main can lag the pin when post-commit fast-forward was skipped
+    from_version = last_refreshed_version(
+        derived,
+        at_version=derived.resolve_ref(branch) if branch is not None else None,
+    )
     batch_id = f"cdf:v{from_version}->{to_version}"
     if from_version >= to_version:
         return RefreshStats(from_version, to_version, False, applied=False)

@@ -60,13 +60,20 @@ class IndexRefreshStats:
     applied: bool
 
 
-def last_indexed_version(index: LakeTable) -> int:
-    """Highest source version the index has absorbed (0 = never)."""
-    versions = [
-        int(m.group(2))
-        for b in index.applied_batches()
-        if (m := _BATCH_RE.match(b))
-    ]
+def last_indexed_version(index: LakeTable, at_version: int | None = None) -> int:
+    """Highest source version the index has absorbed (0 = never).
+
+    ``at_version`` evaluates the question at a specific index snapshot
+    instead of main — a catalog transaction MUST pass its own staged
+    view here: main can lag the catalog pin (post-commit fast-forward
+    is best-effort housekeeping), and a watermark read from stale main
+    would re-apply already-absorbed change ranges."""
+    if at_version is not None:
+        snap = index.snapshot_at(at_version) if at_version else None
+        batches = snap["applied_batches"] if snap else []
+    else:
+        batches = index.applied_batches()
+    versions = [int(m.group(2)) for b in batches if (m := _BATCH_RE.match(b))]
     return max(versions, default=0)
 
 
@@ -114,7 +121,13 @@ def refresh_inverted_index(
         if cur is None:
             return IndexRefreshStats(0, 0, full_build=False, applied=False)
         to_version = cur["version"]
-    last = last_indexed_version(index)
+    # staged on a branch: the from-watermark must come from the BRANCH
+    # head (the catalog pin / this txn's prior writes), never main —
+    # main can lag the pin when post-commit fast-forward was skipped
+    last = last_indexed_version(
+        index,
+        at_version=index.resolve_ref(branch) if branch is not None else None,
+    )
     if to_version <= last:
         return IndexRefreshStats(last, to_version, full_build=False, applied=False)
     batch_id = f"idx:v{last}->{to_version}"

@@ -315,6 +315,26 @@ class LakeTable:
             )
         return out
 
+    def version_as_of(self, ts: str) -> int:
+        """Latest MAIN-lineage snapshot committed at or before ``ts``
+        (ISO-8601 UTC, the ``committed_at`` format — lexicographic
+        compare is chronological for it): Iceberg's
+        time-travel-by-timestamp, resolved driver-side by walking the
+        parent chain from the head. Raises when every retained snapshot
+        is newer than ``ts`` (older ones may have been expired)."""
+        cur = self.current_snapshot()
+        v = cur["version"] if cur else 0
+        while v:
+            snap = self.snapshot_at(v)
+            if snap is None:
+                break  # lineage expired before reaching ts
+            if str(snap["committed_at"]) <= ts:
+                return v
+            v = snap["parent"] or 0
+        raise ValueError(
+            f"no retained snapshot committed at or before {ts!r}"
+        )
+
     # ----------------------------------------------- branches / tags (WAP)
 
     _REF_NAME_RE = re.compile(r"[A-Za-z0-9._-]{1,64}")
@@ -615,22 +635,34 @@ class LakeTable:
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
 
-    def _release_cdf_scratch(self, spark: SparkSession) -> None:
-        """Drop the catalog tables + view dirs registered by a previous
-        ``read_changes`` fast path. Those can't be dropped inside
+    # lazy CDF DataFrames an instance supports concurrently: scratch from
+    # all but the newest (K-1) read_changes calls is reclaimed on the
+    # next call, so callers may hold this many un-evaluated CDF frames
+    _CDF_SCRATCH_KEEP = 2
+
+    def _release_cdf_scratch(
+        self, spark: SparkSession, keep_last: int = 0
+    ) -> None:
+        """Drop the catalog tables + view dirs registered by previous
+        ``read_changes`` fast-path calls. They can't be dropped inside
         ``read_changes`` itself (the returned DataFrame reads them
-        lazily), so they're released on the NEXT read_changes/apply_batch
-        call on this instance — by which point apply_batch would have
-        rmtree'd the view dirs anyway, invalidating the old DataFrame.
+        lazily), so they're released generationally: each new
+        read_changes keeps the newest ``keep_last`` generations alive
+        (supporting ``_CDF_SCRATCH_KEEP`` concurrently-held lazy CDF
+        frames) and reclaims the rest; apply_batch releases ALL of them
+        (it rmtree's the view dirs anyway, invalidating old frames).
         Without this, a long session doing per-version CDF reads
         accumulates mex_lake_cur_* catalog entries unboundedly."""
-        for view_dir, tbl in getattr(self, "_cdf_scratch", []):
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
-            except Exception:  # noqa: BLE001 — cleanup is best-effort
-                pass
-            shutil.rmtree(view_dir, ignore_errors=True)
-        self._cdf_scratch = []
+        gens: list = getattr(self, "_cdf_scratch_gens", [])
+        cut = max(len(gens) - keep_last, 0) if keep_last else len(gens)
+        for gen in gens[:cut]:
+            for view_dir, tbl in gen:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+                except Exception:  # noqa: BLE001 — cleanup is best-effort
+                    pass
+                shutil.rmtree(view_dir, ignore_errors=True)
+        self._cdf_scratch_gens = gens[cut:]
 
     def _register_current_view(
         self,
@@ -911,9 +943,11 @@ class LakeTable:
         version: int | None = None,
         where: Sequence[tuple] | None = None,
         ref: str | None = None,
+        as_of: str | None = None,
     ) -> DataFrame:
-        """Table state — current, as of ``version`` (time travel), or
-        at a named branch/tag head (``ref``). ``buckets`` prunes the
+        """Table state — current, as of ``version`` (time travel), at a
+        named branch/tag head (``ref``), or as of an ISO-8601 UTC
+        timestamp (``as_of``, resolved via :meth:`version_as_of`). ``buckets`` prunes the
         scan to the named key-space partitions (the copy-on-write read
         path).
 
@@ -929,6 +963,12 @@ class LakeTable:
         Delta files are never pruned: a delta may carry tombstones for
         matching base rows, and deltas are O(batch)-small by design."""
         preds = validate_predicates(where) if where else []
+        if as_of is not None:
+            if version is not None or ref is not None:
+                raise ValueError(
+                    "pass only one of version= / ref= / as_of="
+                )
+            version = self.version_as_of(as_of)
         if ref is not None:
             if version is not None:
                 raise ValueError("pass either version= or ref=, not both")
@@ -1830,7 +1870,11 @@ class LakeTable:
             and _compatible(to_snap)
         )
         if fast:
-            self._release_cdf_scratch(spark)  # previous CDF call's tables
+            # reclaim older CDF generations, keeping the newest K-1 so
+            # the last K read_changes frames stay lazily evaluable
+            self._release_cdf_scratch(
+                spark, keep_last=self._CDF_SCRATCH_KEEP - 1
+            )
             wanted = changed if changed is not None else None
             vd_old, tbl_old = self._register_current_view(
                 spark, from_snap, wanted or [], out_schema
@@ -1838,7 +1882,10 @@ class LakeTable:
             vd_new, tbl_new = self._register_current_view(
                 spark, to_snap, wanted or [], out_schema
             )
-            self._cdf_scratch = [(vd_old, tbl_old), (vd_new, tbl_new)]
+            self._cdf_scratch_gens = [
+                *getattr(self, "_cdf_scratch_gens", []),
+                [(vd_old, tbl_old), (vd_new, tbl_new)],
+            ]
             old_side, new_side = spark.table(tbl_old), spark.table(tbl_new)
         else:
             old_side = align_to_schema(

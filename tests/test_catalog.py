@@ -396,3 +396,148 @@ def test_transaction_fences_and_evolves_like_plain_apply(spark, cat):
         t2.commit()
     rows = {r.path: (r.content, r.lang) for r in cat.read(spark, "state").collect()}
     assert rows == {"a": ("x", None), "b": ("new", "py")}  # evolved column
+
+
+def test_refresh_watermark_from_pin_when_main_lags(spark, cat_idx, monkeypatch):
+    """Post-commit fast-forward is best-effort housekeeping: when a
+    table's main lags/diverges from the catalog pin, a later
+    transactional refresh must compute its from-watermark from the TXN
+    view (the pin / staged branch head), never main — a stale-main
+    watermark re-consumes CDF ranges and silently double-applies signed
+    deltas into the derived aggregates."""
+    from mex_extractors_spark.lake.table import LakeTable as LT
+
+    with cat_idx.transaction() as t1:
+        t1.apply_batch(
+            spark, "state",
+            _mk_txt(spark, [
+                ("r1", "a.py", 1, "py", "alpha", "U"),
+                ("r2", "b.rs", 2, "rs", "beta", "U"),
+            ]),
+            "b1",
+        )
+        t1.refresh_view(spark, "state", "by_lang", ["lang"])
+        t1.commit()
+
+    orig_ff = LT.fast_forward
+
+    def diverge_by_lang(self, branch):
+        if self.path.endswith("by_lang"):
+            raise CommitConflict("simulated out-of-band main commit")
+        return orig_ff(self, branch)
+
+    monkeypatch.setattr(LT, "fast_forward", diverge_by_lang)
+    with cat_idx.transaction() as t2:
+        t2.apply_batch(
+            spark, "state",
+            _mk_txt(spark, [("r3", "c.py", 3, "py", "gamma", "U")]),
+            "b2",
+        )
+        t2.refresh_view(spark, "state", "by_lang", ["lang"])
+        snap2 = t2.commit()
+    monkeypatch.undo()
+    # divergence is surfaced, and the retaining branch is kept
+    assert snap2["main_diverged"] == ["by_lang"]
+    assert any(
+        b.startswith("txn-") for b in cat_idx.table("by_lang").refs()
+    )
+    # by_lang main genuinely lags the catalog pin now
+    main_v = cat_idx.table("by_lang").current_snapshot()["version"]
+    assert main_v < snap2["tables"]["by_lang"]
+
+    # a THIRD transactional refresh on top of the lagging main must not
+    # double-apply the (v1, v2] deltas
+    with cat_idx.transaction() as t3:
+        t3.apply_batch(
+            spark, "state",
+            _mk_txt(spark, [("r4", "d.py", 4, "py", "delta", "U")]),
+            "b3",
+        )
+        t3.refresh_view(spark, "state", "by_lang", ["lang"])
+        t3.commit()
+    by_lang = {
+        r.lang: r.cnt for r in cat_idx.read(spark, "by_lang").collect()
+    }
+    assert by_lang == {"py": 3, "rs": 1}
+
+
+def test_catalog_current_heals_after_publish_crash(spark, cat, tmp_path):
+    """Crash window between os.link(cN.json) and the CURRENT replace:
+    the linked snapshot IS committed (the link is the CAS point), so a
+    lagging/missing CURRENT must be healed — otherwise every later
+    transaction bases on the stale head and conflicts forever."""
+    import os
+
+    with cat.transaction() as t1:
+        t1.apply_batch(spark, "state", _mk(spark, [("r1", "a", 1, "U", "x")]), "b1")
+        t1.commit()
+    with cat.transaction() as t2:
+        t2.apply_batch(spark, "state", _mk(spark, [("r1", "a", 2, "U", "y")]), "b2")
+        t2.commit()
+    cur = os.path.join(cat.cat_dir, "CURRENT")
+    # scenario A: CURRENT lags (crash after linking c2, before replace)
+    with open(cur, "w") as fh:
+        fh.write("1")
+    assert cat.current_snapshot()["version"] == 2  # healed
+    with open(cur) as fh:
+        assert fh.read().strip() == "2"
+    # scenario B: CURRENT missing entirely (crash on a first commit)
+    os.remove(cur)
+    assert cat.current_snapshot()["version"] == 2
+    # and the head keeps moving: no livelock
+    with cat.transaction() as t3:
+        t3.apply_batch(spark, "state", _mk(spark, [("r1", "a", 3, "U", "z")]), "b3")
+        snap = t3.commit()
+    assert snap["version"] == 3
+    assert [r.content for r in cat.read(spark, "state").collect()] == ["z"]
+
+
+def test_replay_commit_conflict_drops_staged_branches(spark, cat_idx):
+    """A CommitConflict raised by txn.commit() inside
+    replay_into_catalog must still abort the transaction: leaked txn
+    branches would pin staged snapshots against expiry forever."""
+    from mex_extractors_spark.lake.catalog import replay_into_catalog
+
+    ev = _mk_txt(spark, [
+        ("r1", "a.py", 1, "py", "alpha", "U"),
+        ("r2", "b.py", 2, "py", "beta", "U"),
+    ])
+    calls = {"n": 0}
+
+    def interloper(s, t):
+        st = t.refresh_index(s, "state", "index", _terms)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # an out-of-band catalog commit lands while batch 2's
+            # transaction is mid-flight -> its commit CAS must lose
+            with cat_idx.transaction() as other:
+                other.apply_batch(
+                    s, "by_lang",
+                    s.createDataFrame(
+                        [("zz", 99, "U", 1)],
+                        "lang string, seq long, op string, cnt long",
+                    ),
+                    "ob1",
+                )
+                other.commit()
+        return st
+
+    with pytest.raises(CommitConflict):
+        replay_into_catalog(
+            spark, cat_idx, "state", ev, 1, 2, batch_size=1,
+            companions=(interloper,),
+        )
+    for name in ("state", "index", "by_lang"):
+        assert not any(
+            b.startswith("txn-") for b in cat_idx.table(name).refs()
+        ), name
+    # and the failed batch replays cleanly on retry
+    res = replay_into_catalog(
+        spark, cat_idx, "state", ev, 1, 2, batch_size=1,
+        companions=(
+            lambda s, t: t.refresh_index(s, "state", "index", _terms),
+        ),
+    )
+    assert res[0]["catalog_version"] is None  # batch 1: pure redelivery
+    assert res[1]["catalog_version"] is not None
+    assert cat_idx.read(spark, "state").count() == 2

@@ -1123,3 +1123,62 @@ def test_column_pruning_reaches_scan_through_mor_merge(spark, tmp_path):
         # content (the wide payload column) must be pruned everywhere
         assert "content" not in cols, plan
         assert cols <= {"repo", "path", "seq", "lang", "op"}, plan
+
+
+def test_concurrent_cdf_frames_stay_evaluable(spark, tmp_path):
+    """_CDF_SCRATCH_KEEP lazy read_changes frames can be held at once:
+    the second call must not reclaim the first call's scratch tables
+    (generational release); an older-than-K frame IS reclaimed."""
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    sch = "repo string, path string, seq long, op string, content string"
+    for v, rows in enumerate(
+        [
+            [("r", "a", 1, "U", "a1")],
+            [("r", "b", 2, "U", "b1")],
+            [("r", "a", 3, "U", "a2"), ("r", "c", 4, "U", "c1")],
+        ],
+        start=1,
+    ):
+        table.apply_batch(spark, spark.createDataFrame(rows, sch), f"b{v}")
+
+    df1 = table.read_changes(spark, from_version=1, to_version=2)
+    df2 = table.read_changes(spark, from_version=2, to_version=3)
+    # BOTH frames evaluate after the second call registered its scratch
+    assert {(r.path, r._change_type) for r in df1.collect()} == {
+        ("b", "insert")
+    }
+    assert {(r.path, r._change_type) for r in df2.collect()} == {
+        ("a", "update_postimage"),
+        ("c", "insert"),
+    }
+    # a third call reclaims generation 1 (bounded scratch), and the
+    # newest two keep working
+    df3 = table.read_changes(spark, from_version=1, to_version=3)
+    assert df3.count() == 3
+    assert df2.count() == 2
+    assert len(getattr(table, "_cdf_scratch_gens")) <= 2
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """read(as_of=ts) resolves the latest main snapshot committed at or
+    before ts (Iceberg timestamp travel); pre-history timestamps raise."""
+    import time as _time
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=2)
+    sch = "repo string, path string, seq long, op string, content string"
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 1, "U", "v1")], sch), "b1"
+    )
+    ts1 = table.current_snapshot()["committed_at"]
+    _time.sleep(1.1)  # committed_at has 1-second granularity
+    table.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 2, "U", "v2")], sch), "b2"
+    )
+    assert table.version_as_of(ts1) == 1
+    assert [r.content for r in table.read(spark, as_of=ts1).collect()] == ["v1"]
+    now = table.current_snapshot()["committed_at"]
+    assert [r.content for r in table.read(spark, as_of=now).collect()] == ["v2"]
+    with pytest.raises(ValueError):
+        table.version_as_of("1999-01-01T00:00:00Z")
+    with pytest.raises(ValueError):
+        table.read(spark, as_of=ts1, version=1)
