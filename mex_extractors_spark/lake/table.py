@@ -878,6 +878,56 @@ class LakeTable:
             }
         return out
 
+    def _stats_sidecar(self, rel: str) -> str:
+        return os.path.join(self.path, rel) + ".stats.json"
+
+    def _persist_file_stats(
+        self, file_stats: dict[int, dict[str, dict]]
+    ) -> None:
+        """Write each new data file's stats next to it as an immutable
+        sidecar (``<file>.parquet.stats.json``) instead of embedding
+        them in every snapshot document: manifests stay O(file list) no
+        matter how big the stats get (an auto-sized bloom is ~10 bits
+        per row — embedded, it was re-serialized into EVERY descendant
+        snapshot, ~1 MB per commit at 32 buckets and growing with
+        bucket count). This is Iceberg's manifest-reuse model: stats
+        live once per immutable file; snapshots only list files.
+        Sidecars are written before the snapshot publish, so a crash
+        leaves them orphaned alongside their data files and
+        ``vacuum_orphans`` reclaims both."""
+        for per_file in file_stats.values():
+            for rel, st in per_file.items():
+                path = self._stats_sidecar(rel)
+                tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(st, fh, sort_keys=True)
+                os.replace(tmp, path)
+
+    def _load_stats_sidecar(self, rel: str) -> dict | None:
+        """Stats for one data file from its sidecar, memoized per
+        instance (files are immutable, so entries never invalidate; the
+        cache is cleared wholesale if it ever grows past ~8k files)."""
+        cache = getattr(self, "_file_stats_cache", None)
+        if cache is None:
+            cache = self._file_stats_cache = {}
+        if rel in cache:
+            return cache[rel]
+        try:
+            with open(self._stats_sidecar(rel)) as fh:
+                st = json.load(fh)
+        except (OSError, ValueError):
+            st = None
+        if len(cache) > 8192:
+            cache.clear()
+        cache[rel] = st
+        return st
+
+    def file_stats(self, rel: str) -> dict | None:
+        """Public accessor: per-column stats recorded for one data file
+        (sidecar layout; legacy snapshots with embedded ``file_stats``
+        are still honored by the pruner directly)."""
+        return self._load_stats_sidecar(rel)
+
     def _collect_file_stats(
         self,
         files_by_bucket: dict[int, list[str]],
@@ -1037,9 +1087,11 @@ class LakeTable:
                     snap["schemas"][str(meta["schema_version"])]
                 ).fieldNames()
             )
-            fstats = meta.get("file_stats") or {}
+            fstats = meta.get("file_stats") or {}  # legacy embedded layout
             for rel in meta["files"]:
                 st = fstats.get(rel)
+                if st is None:
+                    st = self._load_stats_sidecar(rel)
                 if not all(
                     file_may_match(st, c in fields, c, op, v)
                     for (c, op, v) in preds
@@ -1582,6 +1634,7 @@ class LakeTable:
             else None
         )
         file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
+        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
             rows, checksum = bucket_stats.get(b, (0, "0"))
@@ -1601,8 +1654,6 @@ class LakeTable:
                     "rows": rows,
                     "checksum": checksum,
                 }
-                if file_stats.get(b):
-                    delta_group["file_stats"] = file_stats[b]
                 new_meta["deltas"] = [*old_meta.get("deltas", []), delta_group]
                 buckets_meta[str(b)] = new_meta
             else:
@@ -1613,8 +1664,6 @@ class LakeTable:
                     "rows": rows,
                     "checksum": checksum,
                 }
-                if file_stats.get(b):
-                    entry["file_stats"] = file_stats[b]
                 buckets_meta[str(b)] = entry
         old_wm = {int(k): int(v) for k, v in (snap["watermarks"] if snap else {}).items()}
         for b, wm in new_wm.items():
@@ -2043,6 +2092,7 @@ class LakeTable:
             else None
         )
         file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
+        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = {}
         for b, (rows, checksum) in bucket_stats.items():
             entry = {
@@ -2051,8 +2101,6 @@ class LakeTable:
                 "rows": rows,
                 "checksum": checksum,
             }
-            if file_stats.get(b):
-                entry["file_stats"] = file_stats[b]
             buckets_meta[str(b)] = entry
         wm_max = max(
             (int(v) for v in snap["watermarks"].values()), default=-1
@@ -2182,6 +2230,7 @@ class LakeTable:
             else None
         )
         file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
+        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = dict(snap["buckets"])
         for b in candidates:
             entry = {
@@ -2190,8 +2239,6 @@ class LakeTable:
                 "rows": new_stats.get(b, (0, "0"))[0],
                 "checksum": new_stats.get(b, (0, "0"))[1],
             }
-            if file_stats.get(b):
-                entry["file_stats"] = file_stats[b]
             buckets_meta[str(b)] = entry
         snapshot = dict(snap)
         snapshot.update(
@@ -2262,6 +2309,20 @@ class LakeTable:
             for f in files:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)
+                if ".tmp-" in f:  # crash leftover of an atomic write
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+                    continue
+                if f.endswith(".stats.json"):
+                    # sidecar lives and dies with its data file
+                    if rel[: -len(".stats.json")] not in live:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+                    continue
                 if f.endswith(".parquet") and rel not in live:
                     os.remove(full)
                     removed += 1

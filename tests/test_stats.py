@@ -53,56 +53,60 @@ def _spread_rows(n, lang="python", stars=lambda i: 10 * i, seq0=1):
     ]
 
 
+def _all_file_stats(t):
+    """{rel: stats} for every base file of the current snapshot, read
+    through the sidecar layout (legacy embedded stats NOT consulted —
+    these tests pin the current write path)."""
+    snap = t.current_snapshot()
+    return {
+        rel: t.file_stats(rel)
+        for meta in snap["buckets"].values()
+        for rel in meta["files"]
+    }
+
+
 class TestManifestStats:
     def test_footer_and_value_set_stats_recorded(self, spark, lake_dir):
         t = _mk_table(lake_dir)
         t.apply_batch(spark, _events(spark, _spread_rows(300)), "b1")
-        snap = t.current_snapshot()
+        fstats = _all_file_stats(t)
         seen_cols = set()
-        for meta in snap["buckets"].values():
-            fstats = meta.get("file_stats") or {}
-            assert set(fstats) == set(meta["files"])
-            for st in fstats.values():
-                seen_cols.update(st)
-                for cs in st.values():
-                    if cs.get("min") is not None:
-                        assert cs["min"] <= cs["max"]
+        for st in fstats.values():
+            assert st is not None  # every file has a sidecar
+            seen_cols.update(st)
+            for cs in st.values():
+                if cs.get("min") is not None:
+                    assert cs["min"] <= cs["max"]
         assert {"lang", "stars", "seq"} <= seen_cols
         # lang has 1 distinct value -> every file carries a value set
         langs = {
-            v
-            for meta in snap["buckets"].values()
-            for st in (meta.get("file_stats") or {}).values()
-            for v in st["lang"].get("values", [])
+            v for st in fstats.values() for v in st["lang"].get("values", [])
         }
         assert langs == {"python"}
-
-    def test_stats_off_by_default(self, spark, lake_dir):
-        t = LakeTable(lake_dir, key_cols=["repo", "path"], num_buckets=4)
-        t.apply_batch(spark, _events(spark, _spread_rows(50)), "b1")
+        # and the snapshot document stays slim: stats are NOT embedded
         snap = t.current_snapshot()
         assert all(
             "file_stats" not in meta for meta in snap["buckets"].values()
         )
 
+    def test_stats_off_by_default(self, spark, lake_dir):
+        t = LakeTable(lake_dir, key_cols=["repo", "path"], num_buckets=4)
+        t.apply_batch(spark, _events(spark, _spread_rows(50)), "b1")
+        assert all(st is None for st in _all_file_stats(t).values())
+
     @pytest.mark.parametrize("mode", ["readback", "observe"])
     def test_both_checksum_modes_record_full_stats(self, spark, lake_dir, mode):
-        """Footer min/max AND value sets land in the manifest whichever
+        """Footer min/max AND value sets land in the sidecars whichever
         checksum pipeline produced the bucket stats (readback rides the
         codegen'd groupBy; observe rides CollectMetrics)."""
         t = _mk_table(lake_dir, checksum_mode=mode)
         t.apply_batch(spark, _events(spark, _spread_rows(100)), "b1")
-        snap = t.current_snapshot()
+        fstats = _all_file_stats(t)
         assert any(
-            st["stars"].get("min") is not None
-            for meta in snap["buckets"].values()
-            for st in (meta.get("file_stats") or {}).values()
+            st["stars"].get("min") is not None for st in fstats.values()
         )
         langs = {
-            v
-            for meta in snap["buckets"].values()
-            for st in (meta.get("file_stats") or {}).values()
-            for v in st["lang"].get("values", [])
+            v for st in fstats.values() for v in st["lang"].get("values", [])
         }
         assert langs == {"python"}, mode
 
@@ -376,11 +380,10 @@ class TestBloomStats:
         t.apply_batch(spark, self._sha_events(spark, 400), "b1")
         snap = t.current_snapshot()
         total = sum(len(m["files"]) for m in snap["buckets"].values())
-        # every file carries a bloom for both columns
-        for m in snap["buckets"].values():
-            for st in (m.get("file_stats") or {}).values():
-                assert st["commit"]["bloom"]["t"] == "s"
-                assert st["stars"]["bloom"]["t"] == "i"
+        # every file carries a bloom for both columns (sidecar layout)
+        for st in _all_file_stats(t).values():
+            assert st["commit"]["bloom"]["t"] == "s"
+            assert st["stars"]["bloom"]["t"] == "i"
         # absent sha: min/max could never prune this, the bloom prunes all
         absent = "f" * 40
         assert (
@@ -529,21 +532,17 @@ class TestBloomStats:
 
         small = self._bloom_table(lake_dir + "/s", num_buckets=2)
         small.apply_batch(spark, self._sha_events(spark, 50), "b1")
-        snap = small.current_snapshot()
         ms = {
             st["commit"]["bloom"]["m"]
-            for m in snap["buckets"].values()
-            for st in (m.get("file_stats") or {}).values()
+            for st in _all_file_stats(small).values()
         }
         assert ms == {BLOOM_BITS_DEFAULT}
 
         big = self._bloom_table(lake_dir + "/b", num_buckets=2)
         big.apply_batch(spark, self._sha_events(spark, 6000), "b1")
-        snap = big.current_snapshot()
         m_big = {
             st["commit"]["bloom"]["m"]
-            for m in snap["buckets"].values()
-            for st in (m.get("file_stats") or {}).values()
+            for st in _all_file_stats(big).values()
         }.pop()
         # ~3000 rows/bucket -> ~28800 bits, never the saturated floor
         assert m_big > BLOOM_BITS_DEFAULT
@@ -552,3 +551,70 @@ class TestBloomStats:
         present = f"{42:040x}"
         assert big.read(spark, where=[("commit", "=", present)]).count() == 1
         assert big.read(spark, where=[("commit", "=", "f" * 40)]).count() == 0
+
+
+class TestStatsSidecars:
+    """Per-file stats sidecars: written once next to the immutable data
+    file, vacuumed with it, never re-serialized into snapshots; legacy
+    snapshots with embedded file_stats still prune."""
+
+    def test_sidecars_vacuumed_with_their_files(self, spark, lake_dir):
+        import os
+
+        t = _mk_table(lake_dir, num_buckets=4)
+        t.apply_batch(spark, _events(spark, _spread_rows(50)), "b1")
+        t.apply_batch(spark, _events(spark, _spread_rows(50, seq0=1000)), "b2")
+        snap = t.current_snapshot()
+        live = [
+            rel for m in snap["buckets"].values() for rel in m["files"]
+        ]
+        assert all(os.path.exists(t._stats_sidecar(r)) for r in live)
+        t.expire_snapshots(keep_last=1)
+        t.vacuum_orphans()
+        # live files keep their sidecars; orphaned v1 sidecars are gone
+        assert all(os.path.exists(t._stats_sidecar(r)) for r in live)
+        stray = [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(t.data_dir)
+            for f in files
+            if f.endswith(".stats.json")
+            and os.path.relpath(os.path.join(root, f), t.path)[
+                : -len(".stats.json")
+            ] not in set(live)
+        ]
+        assert stray == []
+
+    def test_legacy_embedded_stats_still_prune(self, spark, lake_dir):
+        import json as _json
+        import os
+
+        t = _mk_table(lake_dir, num_buckets=4)
+        rows = _spread_rows(100) + [("onlyE", "e.cob", 9000, "cobol", 1, "U")]
+        t.apply_batch(spark, _events(spark, rows), "b1")
+        snap = t.current_snapshot()
+        # migrate this table to the OLD layout: embed every sidecar's
+        # stats into the snapshot document, then delete the sidecars
+        for meta in snap["buckets"].values():
+            fs = {
+                rel: t.file_stats(rel)
+                for rel in meta["files"]
+                if t.file_stats(rel)
+            }
+            if fs:
+                meta["file_stats"] = fs
+        vpath = os.path.join(t.ledger_dir, f"v{snap['version']:08d}.json")
+        os.remove(vpath)
+        with open(vpath, "w") as fh:
+            _json.dump(snap, fh)
+        for meta in snap["buckets"].values():
+            for rel in meta["files"]:
+                try:
+                    os.remove(t._stats_sidecar(rel))
+                except OSError:
+                    pass
+        t2 = _mk_table(lake_dir, num_buckets=4)  # fresh instance, no cache
+        got = t2.read(spark, where=[("lang", "=", "cobol")])
+        assert len(got.inputFiles()) < 4
+        assert [(r["repo"], r["lang"]) for r in got.collect()] == [
+            ("onlyE", "cobol")
+        ]
