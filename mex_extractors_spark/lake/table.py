@@ -176,6 +176,7 @@ class LakeTable:
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int | None = None,
         bloom_hashes: int = BLOOM_HASHES_DEFAULT,
+        idempotency_window: int = 8192,
     ) -> None:
         """``checksum_mode``: how the per-bucket manifest checksums are
         produced. "readback" (default) re-reads the just-written files
@@ -245,6 +246,8 @@ class LakeTable:
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         if bloom_bits is not None and (bloom_bits < 64 or bloom_bits % 64):
             raise ValueError("bloom_bits must be a positive multiple of 64")
+        if idempotency_window < 1:
+            raise ValueError("idempotency_window must be >= 1")
         if not 1 <= bloom_hashes <= BLOOM_HASHES_MAX:
             raise ValueError(f"bloom_hashes must be in 1..{BLOOM_HASHES_MAX}")
         self.path = path
@@ -256,6 +259,7 @@ class LakeTable:
         self.merge_mode = merge_mode
         self.max_deltas_per_bucket = max_deltas_per_bucket
         self.stats_cols = list(stats_cols or [])
+        self.idempotency_window = idempotency_window
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
@@ -1223,7 +1227,18 @@ class LakeTable:
         bucket = spark.range(1).select(
             F.pmod(F.hash(*lits), F.lit(self.num_buckets)).alias("b")
         ).first()["b"]
-        out = self.read(spark, buckets=[int(bucket)])
+        # run the equalities through the stats pruner too: when the key
+        # columns carry blooms / value sets, a lookup of an ABSENT key
+        # proves itself empty from the manifest and scans zero files
+        # (the residual equality still applies either way)
+        preds = [
+            (c, "=", key_values[c])
+            for c in self.key_cols
+            if isinstance(key_values[c], (str, bool)) or (
+                isinstance(key_values[c], int)
+            )
+        ]
+        out = self.read(spark, buckets=[int(bucket)], where=preds or None)
         for c in self.key_cols:
             out = out.where(F.col(c) == F.lit(key_values[c]))
         return out
@@ -1675,7 +1690,9 @@ class LakeTable:
             "schemas": schemas,
             "buckets": buckets_meta,
             "watermarks": {str(k): v for k, v in old_wm.items()},
-            "applied_batches": sorted({*(snap["applied_batches"] if snap else []), batch_id}),
+            "applied_batches": self._trim_batches(
+                snap["applied_batches"] if snap else [], batch_id
+            ),
             "num_buckets": self.num_buckets,
             "key_cols": self.key_cols,
             "seq_col": self.seq_col,
@@ -1706,6 +1723,22 @@ class LakeTable:
             t_checksum=round(t_checksum, 3),
         )
 
+    def _trim_batches(self, old: "list[str]", batch_id: str) -> "list[str]":
+        """Append ``batch_id`` in COMMIT order and cap the retained ids
+        at ``idempotency_window`` (Delta Lake's txn-window model). The
+        id set would otherwise grow unboundedly — re-serialized into
+        every snapshot, ~300 KB after 10^4 commits and climbing for the
+        table's whole life. Dropping ids older than the window is safe
+        for seq-keyed ingest: their first apply raised the bucket
+        watermarks past every event they carried, so a redelivery from
+        beyond the window is fully fenced into a bookkeeping no-op
+        rather than a double-apply (tests pin this). Callers with
+        arbitrary non-seq batch ids that need a longer memory raise
+        ``idempotency_window``."""
+        kept = [b for b in old if b != batch_id]
+        kept.append(batch_id)
+        return kept[-self.idempotency_window:]
+
     def _commit_noop(
         self, snap: dict | None, batch_id: str, ref: str | None = None
     ) -> None:
@@ -1729,7 +1762,9 @@ class LakeTable:
             snapshot = dict(snap)
             snapshot["version"] = self._next_version()
             snapshot["parent"] = snap["version"]
-            snapshot["applied_batches"] = sorted({*snap["applied_batches"], batch_id})
+            snapshot["applied_batches"] = self._trim_batches(
+                snap["applied_batches"], batch_id
+            )
             snapshot["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         self._publish(snapshot, ref=ref)
 

@@ -120,13 +120,21 @@ class ReplayEngine:
         """
         seq_col = seq_col or self.table.seq_col
         done = self.table.applied_batches()
+        # watermark floor: once EVERY bucket's fence is >= hi, a batch is
+        # provably pure redelivery without any Spark job — this keeps a
+        # full-history restart O(1) per old batch even after its id has
+        # rotated out of the table's bounded idempotency window
+        wm = self.table.watermarks()
+        wm_floor = (
+            min(wm.values()) if len(wm) == self.table.num_buckets else -1
+        )
         out: list[ApplyStats] = []
         n_batches = max(1, math.ceil((seq_max - seq_min + 1) / batch_size))
         for i in range(n_batches):
             lo = seq_min + i * batch_size
             hi = min(seq_max, lo + batch_size - 1)
             bid = batch_id_for_range(lo, hi)
-            if bid in done:
+            if bid in done or hi <= wm_floor:
                 out.append(ApplyStats(batch_id=bid, applied=False))
                 continue
             batch = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) <= hi))

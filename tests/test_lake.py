@@ -1182,3 +1182,28 @@ def test_time_travel_by_timestamp(spark, tmp_path):
         table.version_as_of("1999-01-01T00:00:00Z")
     with pytest.raises(ValueError):
         table.read(spark, as_of=ts1, version=1)
+
+
+def test_idempotency_window_bounds_manifest(spark, tmp_path):
+    """applied_batches is capped at idempotency_window in commit order
+    (the Delta txn-window model) — and a redelivery whose id rotated
+    out is still safe: its events are all below the bucket watermarks,
+    so it lands as a fenced bookkeeping no-op, never a double-apply."""
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=2, idempotency_window=3)
+    sch = "repo string, path string, seq long, op string, content string"
+
+    def b(i):
+        return spark.createDataFrame([("r", f"p{i}", i, "U", f"c{i}")], sch)
+
+    for i in range(1, 6):
+        t.apply_batch(spark, b(i), f"b{i}")
+    batches = t.current_snapshot()["applied_batches"]
+    assert batches == ["b3", "b4", "b5"]  # commit order, capped
+    rows_before = sorted(map(tuple, t.read(spark).collect()))
+    v_before = t.current_snapshot()["version"]
+    # redeliver b1: id forgotten, but every event is fenced
+    st = t.apply_batch(spark, b(1), "b1")
+    assert st.events_fenced == 1 and st.upserts == 0
+    assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+    assert t.current_snapshot()["version"] == v_before + 1  # bookkeeping
+    assert t.current_snapshot()["applied_batches"] == ["b4", "b5", "b1"]

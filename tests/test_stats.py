@@ -618,3 +618,21 @@ class TestStatsSidecars:
         assert [(r["repo"], r["lang"]) for r in got.collect()] == [
             ("onlyE", "cobol")
         ]
+
+
+def test_read_key_proves_absent_keys_from_manifest(spark, lake_dir):
+    """Primary-key point lookups compose bucket pruning with stats
+    pruning: with blooms on the key columns, an absent key scans
+    ZERO files; present keys still return exactly their row."""
+    t = TestBloomStats()._bloom_table(
+        lake_dir, bloom_cols=["repo", "path"], stats_cols=["repo"]
+    )
+    t.apply_batch(spark, TestBloomStats._sha_events(spark, 300), "b1")
+    hit = t.read_key(spark, repo="repo11", path="src/f122.py")
+    assert [(r["repo"], r["stars"]) for r in hit.collect()] == [
+        ("repo11", 366)
+    ]
+    miss = t.read_key(spark, repo="nope", path="missing.py")
+    assert miss.inputFiles() == []
+    assert miss.count() == 0
+

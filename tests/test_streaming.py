@@ -332,3 +332,29 @@ def test_state_audits_route_through_write_audit_publish(spark, tmp_path):
         strict.replay(spark, more, 301, 400, batch_size=100)
     assert table.current_snapshot()["version"] == v0
     assert table.refs() == {}
+
+
+def test_replay_restart_skips_old_batches_via_watermark_floor(spark, tmp_path):
+    """A full-history restart must stay O(1) per already-applied batch
+    even after batch ids rotate out of the bounded idempotency window:
+    once every bucket watermark clears a batch's hi seq, the replay
+    skips it driver-side — no Spark job, no bookkeeping commits."""
+    from mex_extractors_spark.lake.table import LakeTable
+    from mex_extractors_spark.streaming.replay import ReplayEngine
+
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=2, idempotency_window=2)
+    eng = ReplayEngine(t)
+    sch = "repo string, path string, seq long, op string, content string"
+    ev = spark.createDataFrame(
+        [("r", f"p{i % 7}", i, "U", f"c{i}") for i in range(1, 51)], sch
+    )
+    recs = eng.replay(spark, ev, 1, 50, batch_size=10)
+    assert sum(1 for r in recs if r.applied) == 5
+    assert len(t.current_snapshot()["applied_batches"]) == 2  # window cap
+    v = t.current_snapshot()["version"]
+    rows = sorted(map(tuple, t.read(spark).collect()))
+    recs2 = eng.replay(spark, ev, 1, 50, batch_size=10)
+    assert all(not r.applied for r in recs2)
+    # the floor skip never reached the table: no bookkeeping versions
+    assert t.current_snapshot()["version"] == v
+    assert sorted(map(tuple, t.read(spark).collect())) == rows
