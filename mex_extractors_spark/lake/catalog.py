@@ -66,8 +66,8 @@ class LakeCatalog:
     lives in ``<path>/_catalog`` next to nothing else."""
 
     def __init__(self, path: str) -> None:
-        self.path = path
-        self.cat_dir = os.path.join(path, "_catalog")
+        self.path = os.path.abspath(path)  # same contract as LakeTable
+        self.cat_dir = os.path.join(self.path, "_catalog")
         os.makedirs(self.cat_dir, exist_ok=True)
         self.tables: dict[str, LakeTable] = {}
 
@@ -152,6 +152,82 @@ class LakeCatalog:
         if pinned is None:
             raise ValueError(f"table {name!r} has no committed catalog pin")
         return self.table(name).read(spark, version=pinned, **read_kwargs)
+
+    def history(self) -> list[dict]:
+        """All retained catalog snapshots, oldest first — the catalog
+        analog of :meth:`LakeTable.history` (Nessie's commit log): one
+        entry per multi-table transaction with the pins it published."""
+        out = []
+        for f in sorted(os.listdir(self.cat_dir)):
+            m = re.fullmatch(r"c(\d{8})\.json", f)
+            if not m:
+                continue
+            snap = self.snapshot_at(int(m.group(1)))
+            out.append(
+                {
+                    "version": snap["version"],
+                    "parent": snap["parent"],
+                    "committed_at": snap["committed_at"],
+                    "txn_id": snap.get("txn_id"),
+                    "tables": {k: int(v) for k, v in snap["tables"].items()},
+                }
+            )
+        return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_catalog_version: int,
+        to_catalog_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
+        """Change-data-feed addressed by CATALOG versions: what changed
+        in table ``name`` between two multi-table commits. This is the
+        snapshot-isolated CDF — both endpoints are pins published by one
+        atomic transaction each, so a consumer diffing ``state`` and
+        ``index`` at the same pair of catalog versions sees exactly the
+        transactions between them, never a half-committed batch (the
+        anomaly table-version CDF is exposed to when tables commit
+        independently).
+
+        ``from_catalog_version=0`` means "before the first catalog
+        commit"; a table first pinned inside the window emits its full
+        state at the ``to`` pin as ``insert`` rows (Delta CDF's
+        ``startingVersion=0`` contract). A table whose pin did not move
+        between the endpoints returns an empty frame in CDF shape."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("catalog has no committed snapshots")
+        to_v = int(cur["version"]) if to_catalog_version is None else int(to_catalog_version)
+        to_pins = self.pins(to_v)
+        if name not in to_pins:
+            raise ValueError(
+                f"table {name!r} has no pin at catalog version c{to_v}"
+            )
+        from_v = int(from_catalog_version)
+        from_pins = self.pins(from_v) if from_v else {}
+        table = self.table(name)
+        to_pin = to_pins[name]
+        from_pin = from_pins.get(name)
+
+        def _cdf_shape(df: DataFrame, change_type) -> DataFrame:
+            payload = [c for c in df.columns if c not in table.key_cols]
+            return df.select(
+                *table.key_cols, *payload, change_type.alias("_change_type")
+            )
+
+        if from_pin == to_pin:  # pin did not move: nothing changed
+            return _cdf_shape(
+                table.read(spark, version=to_pin).limit(0), F.lit("")
+            )
+        if from_pin is None:  # first pinned inside the window: bootstrap
+            return _cdf_shape(
+                table.read(spark, version=to_pin), F.lit("insert")
+            )
+        return table.read_changes(
+            spark, from_pin, to_pin, include_preimages=include_preimages
+        )
 
     def _publish(self, snapshot: dict) -> None:
         """Same atomic create-if-absent CAS as LakeTable._publish."""

@@ -250,7 +250,12 @@ class LakeTable:
             raise ValueError("idempotency_window must be >= 1")
         if not 1 <= bloom_hashes <= BLOOM_HASHES_MAX:
             raise ValueError(f"bloom_hashes must be in 1..{BLOOM_HASHES_MAX}")
-        self.path = path
+        # absolute from the start: Spark qualifies a RELATIVE external
+        # location against spark.sql.warehouse.dir, not the process cwd,
+        # so a relative table path would write under spark-warehouse/
+        # while the os.* ledger and the readback scan resolve against
+        # cwd — the table would "lose" every write.
+        self.path = os.path.abspath(path)
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.op_col = op_col
@@ -263,8 +268,8 @@ class LakeTable:
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
-        self.ledger_dir = os.path.join(path, "_ledger")
-        self.data_dir = os.path.join(path, "data")
+        self.ledger_dir = os.path.join(self.path, "_ledger")
+        self.data_dir = os.path.join(self.path, "data")
         self.refs_dir = os.path.join(self.ledger_dir, "refs")
         self.tags_dir = os.path.join(self.ledger_dir, "tags")
         os.makedirs(self.ledger_dir, exist_ok=True)

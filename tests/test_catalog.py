@@ -541,3 +541,67 @@ def test_replay_commit_conflict_drops_staged_branches(spark, cat_idx):
     assert res[0]["catalog_version"] is None  # batch 1: pure redelivery
     assert res[1]["catalog_version"] is not None
     assert cat_idx.read(spark, "state").count() == 2
+
+
+def test_catalog_history_logs_every_transaction(spark, cat):
+    with cat.transaction() as t1:
+        t1.apply_batch(spark, "state", _mk(spark, [("r1", "a", 1, "U", "x")]), "b1")
+        t1.commit()
+    with cat.transaction() as t2:
+        t2.apply_batch(spark, "stats", _counts(spark, [("py", 1, "U", 3)]), "s1")
+        t2.commit()
+    hist = cat.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["parent"] is None and hist[1]["parent"] == 1
+    assert set(hist[0]["tables"]) == {"state"}
+    # txn 2 carries the unchanged state pin forward plus the new stats pin
+    assert hist[1]["tables"]["state"] == hist[0]["tables"]["state"]
+    assert "stats" in hist[1]["tables"]
+    assert all(h["txn_id"] for h in hist)
+
+
+def test_catalog_cdf_between_transactions(spark, cat):
+    with cat.transaction() as t1:
+        t1.apply_batch(
+            spark,
+            "state",
+            _mk(spark, [("r1", "a", 1, "U", "one"), ("r1", "b", 2, "U", "two")]),
+            "b1",
+        )
+        t1.commit()
+    with cat.transaction() as t2:
+        t2.apply_batch(
+            spark,
+            "state",
+            _mk(
+                spark,
+                [
+                    ("r1", "a", 3, "U", "one-v2"),  # update
+                    ("r1", "b", 4, "D", ""),  # delete
+                    ("r1", "c", 5, "U", "three"),  # insert
+                ],
+            ),
+            "b2",
+        )
+        t2.apply_batch(spark, "stats", _counts(spark, [("py", 1, "U", 3)]), "s1")
+        t2.commit()
+
+    ch = {
+        r.path: r["_change_type"]
+        for r in cat.read_changes(spark, "state", 1, 2).collect()
+    }
+    assert ch == {"a": "update_postimage", "b": "delete", "c": "insert"}
+    # from_catalog_version=0 bootstraps: full state at the to-pin as inserts
+    boot = cat.read_changes(spark, "state", 0, 1).collect()
+    assert {r.path for r in boot} == {"a", "b"}
+    assert {r["_change_type"] for r in boot} == {"insert"}
+    # table first pinned inside the window: bootstrap inserts too
+    st = cat.read_changes(spark, "stats", 1, 2).collect()
+    assert len(st) == 1 and st[0]["_change_type"] == "insert"
+    # pin that did not move: empty frame, CDF shape preserved
+    unmoved = cat.read_changes(spark, "stats", 2)
+    assert unmoved.count() == 0
+    assert unmoved.columns[-1] == "_change_type"
+    # unknown endpoint pin errors loudly
+    with pytest.raises(ValueError, match="no pin"):
+        cat.read_changes(spark, "stats", 0, 1)

@@ -1207,3 +1207,23 @@ def test_idempotency_window_bounds_manifest(spark, tmp_path):
     assert sorted(map(tuple, t.read(spark).collect())) == rows_before
     assert t.current_snapshot()["version"] == v_before + 1  # bookkeeping
     assert t.current_snapshot()["applied_batches"] == ["b4", "b5", "b1"]
+
+
+def test_relative_table_path_resolves_against_cwd(spark, tmp_path, monkeypatch):
+    """A RELATIVE table path must work: Spark qualifies a relative
+    external-table location against spark.sql.warehouse.dir (not the
+    process cwd), so LakeTable normalizes to an absolute path at
+    construction — otherwise the bucketed write lands under
+    spark-warehouse/ while the ledger and readback resolve against cwd
+    and the first apply_batch dies with PATH_NOT_FOUND."""
+    monkeypatch.chdir(tmp_path)
+    t = LakeTable("rel_lake", num_buckets=2)
+    assert os.path.isabs(t.path) and t.path == str(tmp_path / "rel_lake")
+    df = spark.createDataFrame(
+        [("r1", "a", 1, "U", "x")],
+        "repo string, path string, seq long, op string, content string",
+    )
+    st = t.apply_batch(spark, df, "b1")
+    assert st.applied
+    assert not (tmp_path / "spark-warehouse").exists()  # nothing strayed
+    assert t.read(spark).count() == 1
