@@ -5,11 +5,13 @@ output prefix + recorded versions" (mex/extractors/sinks/s3.py:100-127).
 Here it is a real table-metadata operation with Iceberg semantics:
 
 - new columns in the batch are ADDED to the table schema (nullable);
-- type WIDENING is allowed along int→long→double (and float→double),
-  date→timestamp;
-- NARROWING or incompatible changes are rejected (the batch fails
-  before any data file is written — a blocking check, cf.
-  mex/extractors/pipeline/base.py:113).
+- type WIDENING is allowed along LOSSLESS promotions only
+  (byte→short→int→long, byte/short→float, byte/short/int→double,
+  float→double, date→timestamp — the Iceberg promotion rules);
+- NARROWING, lossy promotions (long→float/double: a 64-bit integer
+  does not fit a 24/53-bit mantissa), or incompatible changes are
+  rejected (the batch fails before any data file is written — a
+  blocking check, cf. mex/extractors/pipeline/base.py:113).
 """
 
 from __future__ import annotations
@@ -30,19 +32,22 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# widening lattice: a type may be promoted to anything with a higher rank
-# within its family
-_NUMERIC_RANK: dict[str, int] = {
-    ByteType().simpleString(): 0,
-    ShortType().simpleString(): 1,
-    IntegerType().simpleString(): 2,
-    LongType().simpleString(): 3,
-    FloatType().simpleString(): 4,
-    DoubleType().simpleString(): 5,
-}
-_TEMPORAL_RANK: dict[str, int] = {
-    DateType().simpleString(): 0,
-    TimestampType().simpleString(): 1,
+# widening edges: LOSSLESS promotions only. A naive rank lattice that
+# puts float above long would let a long column "widen" to float — a
+# float mantissa holds 24 bits, so values past 2^24 silently corrupt
+# (and long→double past 2^53 likewise). Iceberg's allowed promotions
+# are the same idea: int→long, float→double, never integer→smaller
+# float. byte/short fit exactly in float; byte/short/int fit exactly
+# in double.
+_WIDENS_TO: dict[str, set[str]] = {
+    ByteType().simpleString(): {"smallint", "int", "bigint", "float", "double"},
+    ShortType().simpleString(): {"int", "bigint", "float", "double"},
+    IntegerType().simpleString(): {"bigint", "double"},
+    LongType().simpleString(): set(),
+    FloatType().simpleString(): {"double"},
+    DoubleType().simpleString(): set(),
+    DateType().simpleString(): {"timestamp"},
+    TimestampType().simpleString(): set(),
 }
 
 
@@ -55,9 +60,10 @@ def _widen(a: DataType, b: DataType) -> DataType:
     if a == b:
         return a
     sa, sb = a.simpleString(), b.simpleString()
-    for rank in (_NUMERIC_RANK, _TEMPORAL_RANK):
-        if sa in rank and sb in rank:
-            return a if rank[sa] >= rank[sb] else b
+    if sb in _WIDENS_TO.get(sa, set()):
+        return b
+    if sa in _WIDENS_TO.get(sb, set()):
+        return a
     raise SchemaEvolutionError(f"cannot evolve column type {sa} <-> {sb}")
 
 

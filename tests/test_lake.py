@@ -248,6 +248,28 @@ def test_schema_narrowing_rejected():
         merge_schemas(bad_a, bad_b)
 
 
+def test_lossy_numeric_promotions_rejected():
+    """long→float would silently corrupt values past 2^24 (float holds a
+    24-bit mantissa) and long→double past 2^53 — both must be rejected,
+    while genuinely lossless promotions still widen."""
+    from pyspark.sql.types import DoubleType, FloatType, ShortType
+
+    def merged(t_a, t_b):
+        return merge_schemas(
+            StructType([StructField("x", t_a)]),
+            StructType([StructField("x", t_b)]),
+        )["x"].dataType
+
+    for lossy in (FloatType(), DoubleType()):
+        with pytest.raises(SchemaEvolutionError):
+            merged(LongType(), lossy)
+    with pytest.raises(SchemaEvolutionError):
+        merged(IntegerType(), FloatType())  # int has 31 value bits > 24
+    assert merged(ShortType(), FloatType()) == FloatType()
+    assert merged(IntegerType(), DoubleType()) == DoubleType()
+    assert merged(FloatType(), DoubleType()) == DoubleType()
+
+
 def test_verify_bucket_checksums(spark, tmp_path, events_parquet):
     """Read-back audit passes on an intact table and flags corruption."""
     events = spark.read.parquet(events_parquet)
