@@ -522,6 +522,7 @@ def replay_into_catalog(
     normalize=None,
     companions: "tuple | list" = (),
     metrics=None,
+    max_commit_retries: int = 0,
 ) -> list[dict]:
     """Seq-range micro-batch replay where EVERY micro-batch commits
     atomically across the state table and its companions (index /
@@ -540,7 +541,16 @@ def replay_into_catalog(
     anywhere, the transaction is aborted instead of committed, so pure
     redelivery does not advance the catalog. Returns one record per
     batch with the state ApplyStats and the committed catalog version
-    (None for skipped redeliveries)."""
+    (None for skipped redeliveries).
+
+    ``max_commit_retries``: concurrency policy for losing the catalog
+    CAS to another writer. The default 0 fails fast (single-writer
+    deployments want a loud signal — see the zombie-writer hazard in
+    the table CAS docs). >0 re-opens the transaction on the NEW catalog
+    head and re-stages the whole batch — safe because staging is
+    idempotent (batch-id fencing turns an already-applied table into a
+    staged no-op) and optimistic-concurrency-correct because every
+    re-stage re-reads through the fresh head's pins."""
     from mex_extractors_spark.streaming.replay import batch_id_for_range
 
     seq_col = catalog.table(state_name).seq_col
@@ -551,25 +561,30 @@ def replay_into_catalog(
         if normalize is not None:
             batch = normalize(batch)
         bid = batch_id_for_range(lo, hi)
-        txn = catalog.transaction()
-        try:
-            st = txn.apply_batch(spark, state_name, batch, bid)
-            comp_stats = [c(spark, txn) for c in companions]
-            if st.applied or any(
-                getattr(r, "applied", False) for r in comp_stats
-            ):
-                snap = txn.commit()
-                version = snap["version"]
-            else:
+        for attempt in range(max_commit_retries + 1):
+            txn = catalog.transaction()
+            try:
+                st = txn.apply_batch(spark, state_name, batch, bid)
+                comp_stats = [c(spark, txn) for c in companions]
+                if st.applied or any(
+                    getattr(r, "applied", False) for r in comp_stats
+                ):
+                    snap = txn.commit()
+                    version = snap["version"]
+                else:
+                    txn.abort()
+                    version = None
+                break
+            except CommitConflict:
+                # the CAS did not publish; drop the staged branches
+                # (leaking them would pin staged snapshots against
+                # expiry forever), then re-stage on the new head
                 txn.abort()
-                version = None
-        except BaseException:
-            # includes CommitConflict from txn.commit(): the CAS did not
-            # publish, so abort() (a no-op after a successful commit)
-            # must still drop the staged branches — leaking them would
-            # pin staged snapshots against expiry forever
-            txn.abort()
-            raise
+                if attempt == max_commit_retries:
+                    raise
+            except BaseException:
+                txn.abort()
+                raise
         if metrics is not None:
             metrics.append(st)
         out.append({"batch_id": bid, "stats": st, "catalog_version": version})

@@ -605,3 +605,50 @@ def test_catalog_cdf_between_transactions(spark, cat):
     # unknown endpoint pin errors loudly
     with pytest.raises(ValueError, match="no pin"):
         cat.read_changes(spark, "stats", 0, 1)
+
+
+def test_replay_commit_conflict_retries_on_new_head(spark, cat_idx):
+    """With max_commit_retries > 0 a lost catalog CAS re-stages the
+    batch on the NEW head instead of raising: the out-of-band commit's
+    pins survive, the retried batch lands on top, and no txn branches
+    leak."""
+    from mex_extractors_spark.lake.catalog import replay_into_catalog
+
+    ev = _mk_txt(spark, [
+        ("r1", "a.py", 1, "py", "alpha", "U"),
+        ("r2", "b.py", 2, "py", "beta", "U"),
+    ])
+    fired = {"done": False}
+
+    def interloper(s, t):
+        st = t.refresh_index(s, "state", "index", _terms)
+        if not fired["done"]:
+            fired["done"] = True
+            with cat_idx.transaction() as other:
+                other.apply_batch(
+                    s, "by_lang",
+                    s.createDataFrame(
+                        [("zz", 99, "U", 1)],
+                        "lang string, seq long, op string, cnt long",
+                    ),
+                    "ob1",
+                )
+                other.commit()
+        return st
+
+    res = replay_into_catalog(
+        spark, cat_idx, "state", ev, 1, 2, batch_size=2,
+        companions=(interloper,), max_commit_retries=1,
+    )
+    assert res[0]["catalog_version"] is not None
+    # both the interloper's world and the retried batch are visible
+    assert cat_idx.read(spark, "by_lang").where("lang = 'zz'").count() == 1
+    assert cat_idx.read(spark, "state").count() == 2
+    assert cat_idx.read(spark, "index").count() > 0
+    for name in ("state", "index", "by_lang"):
+        assert not any(
+            b.startswith("txn-") for b in cat_idx.table(name).refs()
+        ), name
+    # retried transaction forked from the interloper's head: linear log
+    hist = cat_idx.history()
+    assert [h["parent"] for h in hist] == [None, *range(1, len(hist))]
