@@ -53,6 +53,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from mex_extractors_spark.lake.cluster import (
+    ZVALUE_COL,
+    column_cutpoints,
+    zorder_supported,
+    zvalue_expr,
+)
 from mex_extractors_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from mex_extractors_spark.lake.stats import (
     BLOOM_BITS_DEFAULT,
@@ -70,6 +76,12 @@ from mex_extractors_spark.operators.lww import (
 )
 
 _BUCKET = "_bucket"
+
+# default files per bucket a clustered compaction aims for when no
+# explicit target_file_rows is given — enough in-bucket granularity for
+# range pruning to bite, few enough files to keep manifests/open-costs
+# bounded (Iceberg's write.target-file-size analog, expressed in rows)
+CLUSTER_FILES_PER_BUCKET = 8
 
 # bucket id Spark's bucketed writer embeds in data file names
 # (part-00000-<uuid>_00007.c000.snappy.parquet -> 7); same pattern as
@@ -714,9 +726,19 @@ class LakeTable:
         )
         keys = ", ".join(_ident(c) for c in self.key_cols)
         loc = view_dir.replace("'", "''")
+        # A clustered bucket's files are sorted by the CLUSTER order,
+        # not the key — declaring SORTED BY would let Spark elide the
+        # sort-merge join's sort whenever a bucket holds exactly one
+        # file, silently mis-merging. Declare sortedness only when
+        # every touched bucket is key-sorted (no cluster spec).
+        key_sorted = all(
+            not (snap["buckets"].get(str(b)) or {}).get("cluster")
+            for b in touched
+        )
+        sorted_clause = f"SORTED BY ({keys}) " if key_sorted else ""
         spark.sql(
             f"CREATE TABLE {cur_tbl} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"CLUSTERED BY ({keys}) {sorted_clause}"
             f"INTO {self.num_buckets} BUCKETS LOCATION '{loc}'"
         )
         return view_dir, cur_tbl
@@ -942,13 +964,18 @@ class LakeTable:
         files_by_bucket: dict[int, list[str]],
         value_sets: dict[int, dict[str, list]] | None = None,
         blooms: dict[int, dict[str, dict]] | None = None,
+        extra_cols: Sequence[str] | None = None,
     ) -> dict[int, dict[str, dict]]:
         """Per-bucket ``{relpath: {col: stats}}`` for freshly written
         files: min/max/null_count from the parquet footers (driver-side
         footer read, O(touched buckets), no data job — the Iceberg
         writers-emit-stats model) merged with the per-bucket distinct
-        value sets the write's observe() collected."""
-        if not self.stats_cols and not blooms:
+        value sets the write's observe() collected. ``extra_cols``
+        widens the footer read beyond ``stats_cols`` — a clustered
+        compaction always records bounds for its cluster columns, or
+        the whole rewrite would prune nothing."""
+        footer_cols = sorted(set(self.stats_cols) | set(extra_cols or ()))
+        if not footer_cols and not blooms:
             return {}
         out: dict[int, dict[str, dict]] = {}
         for b, rels in files_by_bucket.items():
@@ -957,7 +984,7 @@ class LakeTable:
             per_file: dict[str, dict] = {}
             for rel in rels:
                 st = footer_column_stats(
-                    os.path.join(self.path, rel), self.stats_cols
+                    os.path.join(self.path, rel), footer_cols
                 )
                 for c, vals in vs.items():
                     # a bucket's value set covers ALL its files from this
@@ -975,23 +1002,42 @@ class LakeTable:
                 out[b] = per_file
         return out
 
-    def _write_bucketed(self, spark: SparkSession, df: DataFrame, out_dir: str) -> None:
-        """Write the merged state as one sorted parquet file per bucket.
+    def _write_bucketed(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        out_dir: str,
+        sort_cols: Sequence[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """Write the merged state as sorted parquet per bucket.
 
         The writer's bucket function is the same murmur3-pmod as
         ``_bucket_expr``/the merge exchange, so the incoming partitions
         are already bucket-aligned and no extra exchange is planned. The
         catalog entry is transient (external table; DROP keeps files).
+
+        Default: one file per bucket, sorted by the key columns. A
+        clustered compaction passes ``sort_cols`` (the cluster order)
+        and ``max_records_per_file``: the per-bucket writer rolls to a
+        new file at the row budget, so each file covers a contiguous
+        range of the sort order — that is what makes the footer-stats
+        skipping selective inside a bucket.
         """
         out_tbl = f"mex_lake_out_{uuid.uuid4().hex[:12]}"
-        try:
-            (
-                df.write.mode("overwrite")
-                .bucketBy(self.num_buckets, *self.key_cols)
-                .sortBy(*self.key_cols)
-                .option("path", out_dir)
-                .saveAsTable(out_tbl)
+        order = list(sort_cols) if sort_cols else list(self.key_cols)
+        writer = (
+            df.write.mode("overwrite")
+            .bucketBy(self.num_buckets, *self.key_cols)
+            .sortBy(*order)
+            .option("path", out_dir)
+        )
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", int(max_records_per_file)
             )
+        try:
+            writer.saveAsTable(out_tbl)
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {out_tbl}")
 
@@ -2165,11 +2211,55 @@ class LakeTable:
         self._publish(snapshot)
         return version
 
+    def _validate_cluster(
+        self, snap: dict, cols: list[str], strategy: str
+    ) -> dict:
+        """Validated cluster spec dict as recorded in bucket manifest
+        entries; raises on unknown columns or a zorder request over
+        non-numeric columns (quantile codes need an order-preserving
+        cast to double)."""
+        if strategy not in ("sort", "zorder"):
+            raise ValueError(
+                f"cluster_strategy must be 'sort' or 'zorder': {strategy!r}"
+            )
+        if not cols:
+            raise ValueError("cluster_by must name at least one column")
+        schema = StructType.fromJson(
+            snap["schemas"][str(snap["schema_version"])]
+        )
+        fields = {f.name: f.dataType for f in schema.fields}
+        missing = [c for c in cols if c not in fields]
+        if missing:
+            raise ValueError(f"cluster_by columns not in schema: {missing}")
+        if strategy == "zorder":
+            bad = [c for c in cols if not zorder_supported(fields[c])]
+            if bad:
+                raise ValueError(
+                    "zorder needs numeric/date/timestamp columns "
+                    f"(use cluster_strategy='sort' for): {bad}"
+                )
+        return {"by": list(cols), "strategy": strategy}
+
+    def _cluster_target_rows(self, snap: dict, candidates: list[int]) -> int:
+        """Default rows-per-file for a clustered rewrite: the candidate
+        buckets' mean row count split into ``CLUSTER_FILES_PER_BUCKET``
+        files (manifest arithmetic only — no job)."""
+        total = sum(
+            int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+            for b in candidates
+            for m in [snap["buckets"][str(b)]]
+        )
+        per_bucket = total / max(len(candidates), 1)
+        return max(int(per_bucket // CLUSTER_FILES_PER_BUCKET), 1)
+
     def compact(
         self,
         spark: SparkSession,
         buckets: Sequence[int] | None = None,
         min_files: int = 2,
+        cluster_by: Sequence[str] | None = None,
+        cluster_strategy: str = "sort",
+        target_file_rows: int | None = None,
     ) -> int:
         """Table maintenance (Iceberg ``rewrite_data_files`` / Delta
         OPTIMIZE / Paimon full-compaction analog): fold each candidate
@@ -2204,32 +2294,91 @@ class LakeTable:
         ``vacuum_orphans`` later reclaim. Crash-safe: files land in a
         fresh version directory before the atomic snapshot publish.
         Returns the committed version (current version if no candidate).
+
+        Clustering (Iceberg sort-order rewrite / Delta OPTIMIZE ZORDER
+        analog): ``cluster_by=[cols]`` rewrites each candidate bucket
+        as MULTIPLE files, each covering a narrow range of the cluster
+        order — ``cluster_strategy="sort"`` (lexicographic, any
+        orderable type) or ``"zorder"`` (Morton-interleaved quantile
+        codes, numeric/date/timestamp, prunes on every clustered
+        column). Files roll at ``target_file_rows`` rows (default:
+        ~`CLUSTER_FILES_PER_BUCKET` files per bucket). Cluster-column
+        footer bounds are always recorded in the file-stats sidecars,
+        so ``read(where=...)`` prunes inside buckets immediately. The
+        spec is recorded per bucket entry: re-running with the same
+        spec is a no-op (idempotent maintenance), a PLAIN compact
+        leaves clustered multi-file bases alone unless they carry
+        deltas or a stale schema (and drops the spec when it does
+        rewrite — pass the spec to keep clustering through folds). A
+        z-ordered rewrite stores its Morton value as a physical
+        ``_mex_zv`` column; every read path loads files with an
+        explicit logical schema, so the extra column is invisible.
+        Clustered files are NOT key-sorted: the merge view declares
+        SORTED BY only for unclustered buckets (see
+        ``_register_current_view``) — the apply-side sort-merge join
+        re-sorts, which is the standard cost of clustering.
         """
         snap = self.current_snapshot()
         if snap is None or not snap["buckets"] or not snap.get("schema_version"):
             return snap["version"] if snap else 0
         current_sv = int(snap["schema_version"])
+        cluster_spec = (
+            self._validate_cluster(snap, list(cluster_by), cluster_strategy)
+            if cluster_by
+            else None
+        )
         wanted = set(int(b) for b in buckets) if buckets is not None else None
+
+        def _needs_rewrite(meta: dict) -> bool:
+            if meta.get("deltas"):
+                return True
+            if int(meta["schema_version"]) != current_sv:
+                return True
+            if cluster_spec is not None:
+                return meta.get("cluster") != cluster_spec
+            # plain compaction folds multi-file bases, but a clustered
+            # bucket is multi-file BY DESIGN — leave it alone
+            return not meta.get("cluster") and len(meta["files"]) >= min_files
+
         candidates = sorted(
             int(b)
             for b, meta in snap["buckets"].items()
             if (meta["files"] or meta.get("deltas"))
             and (wanted is None or int(b) in wanted)
-            and (
-                meta.get("deltas")
-                or len(meta["files"]) >= min_files
-                or int(meta["schema_version"]) != current_sv
-            )
+            and _needs_rewrite(meta)
         )
         if not candidates:
             return snap["version"]
         schema = StructType.fromJson(snap["schemas"][str(current_sv)])
         version = self._next_version()
         rel_out, out_dir = self._new_data_dir(version)
-        rows_df = self.read(spark, buckets=candidates).repartition(
+        rows_df = self.read(spark, buckets=candidates)
+        sort_cols: list[str] | None = None
+        max_rpf: int | None = None
+        if cluster_spec is not None:
+            max_rpf = target_file_rows or self._cluster_target_rows(
+                snap, candidates
+            )
+            if cluster_spec["strategy"] == "zorder":
+                # one percentile_approx aggregate over the candidate
+                # rows (partial-merge sketch, no shuffle of the data)
+                cuts = column_cutpoints(rows_df, cluster_spec["by"])
+                rows_df = rows_df.withColumn(
+                    ZVALUE_COL, zvalue_expr(cluster_spec["by"], cuts)
+                )
+                sort_cols = [ZVALUE_COL]
+            else:
+                sort_cols = list(cluster_spec["by"])
+        rows_df = rows_df.repartition(
             self.num_buckets, *[F.col(c) for c in self.key_cols]
         )
-        self._write_bucketed(spark, rows_df, out_dir)
+        self._write_bucketed(
+            spark,
+            rows_df,
+            out_dir,
+            sort_cols=sort_cols,
+            max_records_per_file=max_rpf,
+        )
         # verification read-back: the rewrite must be content-identical,
         # so the fresh per-bucket stats must EQUAL the manifest's
         new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
@@ -2269,7 +2418,12 @@ class LakeTable:
             if self.bloom_cols
             else None
         )
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
+        file_stats = self._collect_file_stats(
+            files_by_bucket,
+            value_sets,
+            blooms,
+            extra_cols=cluster_spec["by"] if cluster_spec else None,
+        )
         self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = dict(snap["buckets"])
         for b in candidates:
@@ -2279,6 +2433,8 @@ class LakeTable:
                 "rows": new_stats.get(b, (0, "0"))[0],
                 "checksum": new_stats.get(b, (0, "0"))[1],
             }
+            if cluster_spec is not None:
+                entry["cluster"] = dict(cluster_spec)
             buckets_meta[str(b)] = entry
         snapshot = dict(snap)
         snapshot.update(
@@ -2300,6 +2456,9 @@ class LakeTable:
         keep_snapshots: int = 3,
         min_files: int = 2,
         extra_keep: "set[int] | None" = None,
+        cluster_by: Sequence[str] | None = None,
+        cluster_strategy: str = "sort",
+        target_file_rows: int | None = None,
     ) -> dict:
         """One-call table upkeep for a scheduled job (the Iceberg
         maintenance-procedure trio): fold pending merge-on-read deltas
@@ -2309,9 +2468,18 @@ class LakeTable:
         and delete data files no retained snapshot references
         (``vacuum_orphans``, which expire already triggers — the
         explicit call also sweeps crash leftovers when nothing
-        expired). Returns what happened, for the metrics log."""
+        expired). ``cluster_by``/``cluster_strategy``/``target_file_rows``
+        forward to :meth:`compact` so a scheduled maintenance keeps the
+        table's clustering through delta folds (a plain compact would
+        drop it). Returns what happened, for the metrics log."""
         before = self.current_snapshot()
-        compacted_version = self.compact(spark, min_files=min_files)
+        compacted_version = self.compact(
+            spark,
+            min_files=min_files,
+            cluster_by=cluster_by,
+            cluster_strategy=cluster_strategy,
+            target_file_rows=target_file_rows,
+        )
         expired = self.expire_snapshots(
             keep_last=keep_snapshots, extra_keep=extra_keep
         )

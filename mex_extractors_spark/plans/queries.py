@@ -707,6 +707,71 @@ def cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_zorder_clustered_read",
+    "Z-order clustered compaction (Delta OPTIMIZE ZORDER / Iceberg "
+    "sort-order rewrite analog): compact(cluster_by=[seq,value], "
+    "strategy=zorder) rewrites each hash bucket as range-disjoint "
+    "files, so the footer-stats pruner skips files INSIDE buckets for "
+    "a 2-d box predicate; the oracle restates the box over plain LWW",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+      AND event_id > (SELECT max(event_id) // 2 FROM events)
+      AND value < 10.0
+    """,
+)
+def cdc_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream into a LakeTable in two batches, Z-order
+    the table by (seq, value) via ``compact(cluster_by=...,
+    cluster_strategy="zorder")``, then answer a 2-d box query ("recent
+    AND low-value current state") via ``read(where=...)``. On a
+    hash-bucketed layout every one-file-per-bucket write spans the full
+    range of both columns — min/max prunes nothing; after the clustered
+    rewrite each bucket holds several files with tight bounds in BOTH
+    dimensions and the pruner drops most of them driver-side. The
+    clustering is a pure physical rewrite: the oracle is the plain LWW
+    state with the same box predicate."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_zord_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "z-b1")
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "z-b2")
+    rows = table.current_snapshot()["total_rows"]
+    table.compact(
+        spark,
+        cluster_by=["seq", "value"],
+        cluster_strategy="zorder",
+        target_file_rows=max(rows // (4 * 8), 1),
+    )
+    state = table.read(
+        spark, where=[("seq", ">", int(mid)), ("value", "<", 10.0)]
+    )
+    return state.select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "cdc_inverted_index",
     "incrementally-maintained inverted index over the CDF: per-key "
     "pre/post-image term diffs -> I/D index rows, O(changed terms) per "
@@ -2799,6 +2864,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "j7b_publisher_multiclass",  # new in r3 (full publisher registry)
     "cdc_catalog_txn",  # new in r3 (multi-table atomic catalog commit)
     "cdc_bloom_point_lookup",  # new in r3 (per-file bloom data skipping)
+    "cdc_zorder_clustered_read",  # new in r3 (clustered compaction)
     # green in r1 only (re-verify on the current engine)
     "d1_exact_duplicates",
     "d2_ngram_jaccard",
