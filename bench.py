@@ -378,6 +378,11 @@ def main() -> None:
         help="bloom-filter point-lookup bench on a hash-like column "
         "(min/max can never prune it); writes BENCH/BLOOM.md",
     )
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="clustered-compaction bench: range + 2-d box reads before "
+        "and after a Z-order rewrite; writes BENCH/CLUSTER.md",
+    )
     args = ap.parse_args()
 
     sf = _sf_from_dir(SF_DIR)
@@ -746,6 +751,154 @@ def main() -> None:
                 "(implicit-cast matches can never be pruned away).\n"
             )
         print(json.dumps({"bloom": res}))
+        return
+
+    if args.cluster:
+        # Clustering regime: a standing hash-bucketed table queried by
+        # RANGE (recency slices, 2-d boxes). Without clustering every
+        # bucket's file spans the whole range of every non-key column,
+        # so the stats pruner keeps ~everything; after a Z-order
+        # rewrite each bucket is many range-disjoint files and the same
+        # pruner drops most of them driver-side.
+        from pyspark.sql import functions as F
+
+        from mex_extractors_spark.lake.table import LakeTable
+        from mex_extractors_spark.sources.normalize import normalize_change_events
+
+        cores = args.cores or CPUS
+        buckets = args.buckets
+        base = _mktemp("bench_cluster_")
+        spark = _bench_spark(cores, "bench-cluster")
+        try:
+            gen_events(spark, os.path.join(base, "ev"), n_events, 2, n_repos, paths)
+            ev = normalize_change_events(
+                spark.read.parquet(*sorted(
+                    os.path.join(base, "ev", d)
+                    for d in os.listdir(os.path.join(base, "ev"))
+                    if d.startswith("_segment=")
+                ))
+            ).withColumn("size", F.length("content").cast("long"))
+            mid = n_events // 2
+            table = LakeTable(
+                os.path.join(base, "lake"), num_buckets=buckets,
+                stats_cols=["seq"],
+            )
+            table.apply_batch(spark, ev.where(F.col("seq") <= mid), "c-b1")
+            table.apply_batch(spark, ev.where(F.col("seq") > mid), "c-b2")
+            p90 = int(n_events * 0.9)
+            # content lengths are discrete (4 values), so p10 == min; <=
+            # keeps the bottom quartile — a non-trivial box
+            size_p10 = ev.where(F.col("op") != "D").approxQuantile(
+                "size", [0.1], 0.01
+            )[0]
+            range_pred = [("seq", ">", int(n_events * 0.98))]
+            box_pred = [("seq", ">", p90), ("size", "<=", int(size_p10))]
+
+            def best3(fn):
+                times = []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    fn()
+                    times.append(time.monotonic() - t0)
+                return round(min(times), 3)
+
+            def mb(df):
+                return round(
+                    sum(
+                        os.path.getsize(f.replace("file:", ""))
+                        for f in df.inputFiles()
+                    )
+                    / 1e6,
+                    1,
+                )
+
+            def measure(tag, res):
+                for name, preds in (("range", range_pred), ("box", box_pred)):
+                    df = table.read(spark, where=preds)
+                    res[f"{tag}_{name}_files"] = len(df.inputFiles())
+                    res[f"{tag}_{name}_mb"] = mb(df)
+                    res[f"{tag}_{name}_s"] = best3(
+                        lambda p=preds: table.read(spark, where=p).count()
+                    )
+                res[f"{tag}_rows_range"] = table.read(
+                    spark, where=range_pred
+                ).count()
+                res[f"{tag}_rows_box"] = table.read(spark, where=box_pred).count()
+
+            res = {
+                "table_rows": int(table.current_snapshot()["total_rows"]),
+                "total_files_plain": sum(
+                    len(m["files"])
+                    for m in table.current_snapshot()["buckets"].values()
+                ),
+            }
+            measure("plain", res)
+            t0 = time.monotonic()
+            table.compact(
+                spark, cluster_by=["seq", "size"], cluster_strategy="zorder"
+            )
+            res["zorder_rewrite_s"] = round(time.monotonic() - t0, 3)
+            res["total_files_zorder"] = sum(
+                len(m["files"])
+                for m in table.current_snapshot()["buckets"].values()
+            )
+            measure("zorder", res)
+            # correctness anchor: identical row counts either side
+            assert res["plain_rows_range"] == res["zorder_rows_range"]
+            assert res["plain_rows_box"] == res["zorder_rows_box"]
+            for name in ("range", "box"):
+                res[f"{name}_scan_reduction"] = round(
+                    res[f"plain_{name}_mb"]
+                    / max(res[f"zorder_{name}_mb"], 1e-9),
+                    1,
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+            spark.stop()
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "CLUSTER.md"), "w") as fh:
+            fh.write(
+                "# BENCH clustered compaction — Z-order range/box pruning\n\n"
+                f"Standing table ({res['table_rows']:,} rows, {buckets} "
+                f"buckets, local[{cores}], sf={sf}) bulk-loaded in 2 "
+                "batches, then rewritten once with "
+                "`compact(cluster_by=['seq','size'], "
+                "cluster_strategy='zorder')` "
+                f"({res['zorder_rewrite_s']} s, "
+                f"{res['total_files_plain']} → {res['total_files_zorder']} "
+                "files). Queries: a recency slice (`seq > p98`) and a 2-d "
+                "box (`seq > p90 AND size <= p10`), answered via "
+                "`read(where=...)` before and after — same predicate, same "
+                "result rows, only the physical layout differs.\n\n"
+                "| query | layout | files scanned | MB scanned | "
+                "best-of-3 wall s |\n|---|---|---|---|---|\n"
+                f"| range | plain | {res['plain_range_files']} | "
+                f"{res['plain_range_mb']} | {res['plain_range_s']} |\n"
+                f"| range | zorder | {res['zorder_range_files']} | "
+                f"{res['zorder_range_mb']} | {res['zorder_range_s']} |\n"
+                f"| 2-d box | plain | {res['plain_box_files']} | "
+                f"{res['plain_box_mb']} | {res['plain_box_s']} |\n"
+                f"| 2-d box | zorder | {res['zorder_box_files']} | "
+                f"{res['zorder_box_mb']} | {res['zorder_box_s']} |\n\n"
+                f"Scan reduction: **{res['range_scan_reduction']}× (range), "
+                f"{res['box_scan_reduction']}× (box) fewer bytes**; result "
+                f"rows identical either side ({res['plain_rows_range']:,} "
+                f"range, {res['plain_rows_box']:,} box). Bytes are the "
+                "scale-relevant column (at this dev size fixed per-query "
+                "driver cost dominates wall; at 100 TB the scanned-bytes "
+                "ratio IS the wall ratio). The bulk-loaded layout can only "
+                "prune at batch-boundary granularity (each bucket holds "
+                "one file per bulk batch, each spanning the batch's full "
+                "seq range and ALL sizes — the box predicate prunes "
+                "~nothing); after the Z-order rewrite every file covers a "
+                "narrow rectangle in (seq, size) and the SAME manifest "
+                "pruner skips most files in BOTH dimensions. The rewrite "
+                "itself is one repartition + bucketed write over the "
+                "candidate buckets (the standard amortized cost of "
+                "OPTIMIZE ZORDER), and correctness never depends on it: "
+                "the predicate is re-applied to surviving rows.\n"
+            )
+        print(json.dumps({"cluster": res}))
         return
 
     if args.mor_compare:
