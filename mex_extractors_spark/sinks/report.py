@@ -74,31 +74,35 @@ def write_group_reports(
     entity_name: str,
     row_cols: Sequence[str],
     order_col: str,
+    file_format: str = "csv",
 ) -> DataFrame:
     """One report file per ``group_col`` value; returns the manifest
-    DataFrame (file_name, n_rows, content_sha256)."""
+    DataFrame (file_name, n_rows, content_sha256).
+
+    ``file_format="xlsx"`` writes real workbooks through the
+    dependency-free SpreadsheetML writer (sources/xlsx.py) — the
+    reference's primary report format (sinks/s3.py:136-193), with
+    byte-deterministic output so the manifest sha256 is reproducible.
+    The default stays ``"csv"`` because its canonical bytes are also
+    expressible as a SQL oracle (k3_group_reports)."""
+    if file_format not in ("csv", "xlsx"):
+        raise ValueError(f"file_format must be 'csv' or 'xlsx', got {file_format!r}")
     os.makedirs(out_dir, exist_ok=True)
     row_cols = list(row_cols)
 
-    try:  # pragma: no cover - container has no openpyxl
-        import openpyxl  # noqa: F401
-
-        use_xlsx = True
-    except ImportError:
-        use_xlsx = False
-
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         group = pdf[group_col].iloc[0]
-        if use_xlsx:  # pragma: no cover - exercised only with openpyxl
+        if file_format == "xlsx":
+            from mex_extractors_spark.sources.xlsx import xlsx_bytes
+
             file_name = f"{entity_name}_{_safe(group)}.xlsx"
-            body = pdf.sort_values(order_col)[row_cols]
-            body.to_excel(os.path.join(out_dir, file_name), index=False)
-            payload = open(os.path.join(out_dir, file_name), "rb").read()
+            body = pdf.sort_values(order_col)[row_cols].reset_index(drop=True)
+            payload = xlsx_bytes({entity_name: body})
         else:
             file_name = f"{entity_name}_{_safe(group)}.csv"
             payload = render_csv_bytes(pdf, row_cols, order_col)
-            with open(os.path.join(out_dir, file_name), "wb") as fh:
-                fh.write(payload)
+        with open(os.path.join(out_dir, file_name), "wb") as fh:
+            fh.write(payload)
         return pd.DataFrame(
             {
                 "file_name": [file_name],

@@ -15,11 +15,11 @@ pages); partitioning the unit list IS the parallelism — each task owns
 a few units, the heavy byte-reading happens executor-side, and a bad
 unit poisons only its own quarantine row, not the job.
 
-Excel needs openpyxl (absent in this container): ``read_excel_files``
-raises a clearly-marked NotImplementedError at *call* time, while its
-entire Spark-side plumbing — unit list, partitioning, mapInPandas
-signature, schema alignment, quarantine — is the same code path the
-CSV and paged demos exercise in tests.
+Excel reads prefer ``pd.read_excel`` when openpyxl is installed and
+fall back to the dependency-free SpreadsheetML parser in
+``sources/xlsx.py`` otherwise — the Spark-side plumbing (unit list,
+partitioning, mapInPandas signature, schema alignment, quarantine) is
+identical either way and shared with the CSV and paged scans.
 """
 
 from __future__ import annotations
@@ -79,7 +79,15 @@ def scan_units_vectorized(
     def _scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for unit in pdf.to_dict("records"):
-                tag = str(unit.get("path", unit))
+                if "path" in unit and len(unit) > 1:
+                    # attribute errors to the whole unit, not just the
+                    # file — a bad sheet must not implicate its siblings
+                    extras = ",".join(
+                        f"{k}={unit[k]}" for k in sorted(unit) if k != "path"
+                    )
+                    tag = f"{unit['path']}#{extras}"
+                else:
+                    tag = str(unit.get("path", unit))
                 try:
                     out = read_unit(unit)
                     if isinstance(out, pd.DataFrame):
@@ -139,33 +147,49 @@ def read_excel_files(
     """S4/S5: Excel workbook scan — one unit per (file, sheet).
 
     Mirrors ff_projects/extract.py:38-42 (``keep_default_na=False``)
-    and odk/extract.py:29-41 (multi-sheet parse). The container lacks
-    openpyxl, so the pandas call is stubbed behind a clearly-marked
-    NotImplementedError; everything around it (unit expansion,
-    mapInPandas, schema alignment, quarantine) is live, tested code
-    shared with the CSV/paged scans.
+    and odk/extract.py:29-41 (multi-sheet parse). When openpyxl is
+    installed the read goes through ``pd.read_excel``; otherwise the
+    dependency-free SpreadsheetML parser (sources/xlsx.py) reads the
+    workbook directly — either way the unit expansion, mapInPandas,
+    schema alignment and quarantine are the same code path the CSV and
+    paged scans exercise. ``read_excel_kwargs`` are forwarded to
+    ``pd.read_excel`` only; the stdlib parser rejects kwargs it cannot
+    honor instead of silently changing semantics (its blank-cells-stay-
+    blank behavior already matches ``keep_default_na=False``).
     """
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - absent in container
-        raise NotImplementedError(
-            "read_excel_files needs openpyxl (not installed here); the "
-            "identical scan plumbing is exercised via read_csv_files_pandas"
-        ) from exc
 
+        use_pandas = True
+    except ImportError:
+        use_pandas = False
+        unsupported = set(read_excel_kwargs) - {"keep_default_na"}
+        if unsupported:
+            raise ValueError(
+                "stdlib xlsx fallback (openpyxl absent) does not support "
+                f"read_excel kwargs: {sorted(unsupported)}"
+            )
+
+    # all-null columns defeat createDataFrame type inference — a unit
+    # with no sheet request simply has no "sheet" key
     units = [
-        {"path": p, "sheet": s}
+        ({"path": p, "sheet": s} if s is not None else {"path": p})
         for p in paths
         for s in (sheet_names if sheet_names is not None else [None])
     ]
 
-    def _read(unit: dict[str, Any]):  # pragma: no cover - needs openpyxl
-        import pandas as pd
+    def _read(unit: dict[str, Any]):
+        sheet = unit.get("sheet")
+        if use_pandas:  # pragma: no cover - openpyxl absent in container
+            import pandas as pd
 
-        kwargs = dict(read_excel_kwargs)
-        if unit.get("sheet") is not None:
-            kwargs["sheet_name"] = unit["sheet"]
-        return pd.read_excel(unit["path"], keep_default_na=False, **kwargs)
+            kwargs = dict(read_excel_kwargs)
+            if sheet is not None:
+                kwargs["sheet_name"] = sheet
+            return pd.read_excel(unit["path"], keep_default_na=False, **kwargs)
+        from mex_extractors_spark.sources.xlsx import read_xlsx
+
+        return read_xlsx(unit["path"], sheet_name=sheet if sheet is not None else 0)
 
     return scan_units_vectorized(spark, units, schema, _read, num_partitions)
 

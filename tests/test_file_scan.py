@@ -100,13 +100,83 @@ def test_generator_callback_streams_chunks(spark, tmp_path):
     assert good.count() == 3
 
 
-def test_excel_scan_is_clearly_stubbed_without_openpyxl(spark):
-    pytest.importorskip_reason = None
+def _write_workbooks(tmp_path) -> list[str]:
+    import pandas as pd
+
+    from mex_extractors_spark.sources.xlsx import write_xlsx
+
+    w1 = str(tmp_path / "w1.xlsx")
+    write_xlsx(
+        w1,
+        {
+            "projects": pd.DataFrame({"name": ["alpha", "beta"], "amount": [1, 2]}),
+            "archive": pd.DataFrame({"name": ["old"], "amount": [9]}),
+        },
+    )
+    w2 = str(tmp_path / "w2.xlsx")
+    write_xlsx(
+        w2,
+        {
+            # extra column pruned by schema alignment, blank amount -> null
+            "projects": pd.DataFrame(
+                {"name": ["gamma"], "amount": [3], "extra": ["x"]}
+            ),
+            "archive": pd.DataFrame({"name": ["older"], "amount": [None]}),
+        },
+    )
+    return [w1, w2]
+
+
+def test_excel_scan_reads_real_workbooks(spark, tmp_path):
+    paths = _write_workbooks(tmp_path)
+    df = read_excel_files(spark, paths, SCHEMA, sheet_names=["projects"])
+    good, bad = split_scan_errors(df)
+    rows = {(r.name, r.amount) for r in good.collect()}
+    assert rows == {("alpha", 1), ("beta", 2), ("gamma", 3)}
+    assert bad.count() == 0
+
+
+def test_excel_scan_multi_sheet_fanout_and_default_sheet(spark, tmp_path):
+    paths = _write_workbooks(tmp_path)
+    df = read_excel_files(spark, paths, SCHEMA, sheet_names=["projects", "archive"])
+    good, _ = split_scan_errors(df)
+    rows = {(r.name, r.amount) for r in good.collect()}
+    assert rows == {
+        ("alpha", 1),
+        ("beta", 2),
+        ("gamma", 3),
+        ("old", 9),
+        ("older", None),
+    }
+    # sheet_names=None -> first sheet of each workbook only
+    first = read_excel_files(spark, paths, SCHEMA)
+    good_first, _ = split_scan_errors(first)
+    assert {r.name for r in good_first.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_excel_scan_quarantines_bad_workbook(spark, tmp_path):
+    paths = _write_workbooks(tmp_path)
+    corrupt = tmp_path / "corrupt.xlsx"
+    corrupt.write_bytes(b"this is not a zip archive")
+    df = read_excel_files(spark, [*paths, str(corrupt)], SCHEMA)
+    good, bad = split_scan_errors(df)
+    assert good.count() == 3
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "corrupt.xlsx" in quarantined[0][0]
+
+
+def test_excel_scan_fallback_rejects_unsupported_kwargs(spark, tmp_path):
     try:
         import openpyxl  # noqa: F401
 
-        pytest.skip("openpyxl present; stub path not applicable")
+        pytest.skip("openpyxl present; fallback kwarg guard not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel_files(spark, ["x.xlsx"], SCHEMA)
+    with pytest.raises(ValueError, match="skiprows"):
+        read_excel_files(spark, ["x.xlsx"], SCHEMA, skiprows=2)
+    # keep_default_na is the semantic our parser already provides
+    paths = _write_workbooks(tmp_path)
+    df = read_excel_files(spark, paths, SCHEMA, keep_default_na=False)
+    good, _ = split_scan_errors(df)
+    assert good.count() == 3

@@ -71,6 +71,38 @@ def test_render_csv_bytes_escapes_delimiters_and_quotes():
     assert rows[3] == ["line\nbreak", "3"]
 
 
+def test_group_reports_xlsx_branch_writes_real_workbooks(spark, tmp_path):
+    from mex_extractors_spark.sources.xlsx import read_xlsx
+
+    df = spark.createDataFrame(
+        [("b", 1, 20), ("a", 1, 10), ("c", 2, 30)], "name string, grp int, v int"
+    )
+    out = str(tmp_path / "reports")
+    manifest = {
+        r.file_name: r
+        for r in write_group_reports(
+            df, out, group_col="grp", entity_name="item",
+            row_cols=["name", "v"], order_col="name", file_format="xlsx",
+        ).collect()
+    }
+    assert set(manifest) == {"item_1.xlsx", "item_2.xlsx"}
+    payload = open(os.path.join(out, "item_1.xlsx"), "rb").read()
+    assert manifest["item_1.xlsx"].content_sha256 == hashlib.sha256(payload).hexdigest()
+    body = read_xlsx(payload)
+    assert list(body.columns) == ["name", "v"]
+    assert body["name"].tolist() == ["a", "b"] and body["v"].tolist() == [10, 20]
+    # byte-deterministic render: a second run reproduces the same sha
+    out2 = str(tmp_path / "reports2")
+    manifest2 = {
+        r.file_name: r.content_sha256
+        for r in write_group_reports(
+            df, out2, group_col="grp", entity_name="item",
+            row_cols=["name", "v"], order_col="name", file_format="xlsx",
+        ).collect()
+    }
+    assert manifest2["item_1.xlsx"] == manifest["item_1.xlsx"].content_sha256
+
+
 def test_group_reports_sanitized_name_collision(spark, tmp_path):
     """Distinct groups 'a/b' and 'a_b' must yield distinct files — the
     sanitizer appends a raw-value hash whenever it alters the name."""
