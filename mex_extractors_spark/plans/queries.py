@@ -1417,8 +1417,9 @@ def s8_columnar_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "s4_style_scan",
     "S4/S5-shape generic vectorized scan: work-unit list → mapInPandas "
-    "with declared schema + quarantine (Excel plumbing, demonstrated "
-    "with per-file pandas CSV since openpyxl is absent)",
+    "with declared schema + quarantine, demonstrated with per-file "
+    "pandas CSV (s5_excel_multisheet drives the same adapter's real "
+    "xlsx branch)",
     """
     SELECT n_name AS name, CAST(n_regionkey AS INT) AS region, count(*) AS n
     FROM nation GROUP BY n_name, n_regionkey
@@ -2904,12 +2905,14 @@ def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   FIRST — the five round-1 failures (d3/d4/d5b/sim2/sim3), then the rest of
 #   the never-driver-checked set, then queries green in only one prior round.
 #   Queries green in BOTH r1 and r2 rotate to the back (still covered every
-#   run by tests/test_queries_parity.py at sf0.001); six load-bearing CDC/core
-#   queries are kept in-window as regression canaries.
-# Next round: rotate the back-24 forward again so driver coverage keeps cycling
-# (a1_pricing_summary, w2_topological_levels and c_scalar_string_pack fell out
-# of the 50-window when j7b/cdc_catalog_txn/cdc_bloom_point_lookup were added;
-# all three are double-green and pytest-covered).
+#   run by tests/test_queries_parity.py at sf0.001); two load-bearing CDC/core
+#   queries (w1_lww_latest_event, cdc_converged_state) are kept in-window as
+#   regression canaries.
+# Next round: rotate the back-27 forward again so driver coverage keeps cycling
+# (f4_first_wins_dedup, a1_pricing_summary, w2_topological_levels and
+# c_scalar_string_pack sit at #51-54 — pushed out when j7b/cdc_catalog_txn/
+# cdc_bloom_point_lookup/cdc_zorder_clustered_read/s5_excel_multisheet were
+# added; all four are double-green and pytest-covered).
 _DRIVER_WINDOW_PRIORITY = [
     # never driver-green — round-1 FAILURES first (fixed in r2, must re-verify)
     "d3_minhash_lsh_neardup",

@@ -77,6 +77,51 @@ def test_missing_sheet_raises_with_names():
         xlsx_bytes({})
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        # any printable text incl. XML-active chars; strip XML-invalid
+        # control chars the codec (like Excel) does not round-trip
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=12,
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.lists(_cell, min_size=3, max_size=3), min_size=1, max_size=8)
+    )
+    def test_property_round_trip(rows):
+        pdf = pd.DataFrame(rows, columns=["a", "b", "c"])
+        out = read_xlsx(xlsx_bytes({"s": pdf}))
+        assert out.shape == pdf.shape
+        for i in range(pdf.shape[0]):
+            for j in range(pdf.shape[1]):
+                want, got = pdf.iat[i, j], out.iat[i, j]
+                if want is None or (isinstance(want, float) and want != want):
+                    assert got is None or (isinstance(got, float) and got != got)
+                elif isinstance(want, bool):
+                    assert got is want
+                elif isinstance(want, float) and want == int(want):
+                    # 2.0 serializes as "2.0" and parses as float; -0.0
+                    # and 0.0 compare equal by design
+                    assert float(got) == want
+                else:
+                    assert got == want, (want, got)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_reads_foreign_convention_workbook():
     """A workbook written with conventions our writer never uses —
     proves the reader parses the spec, not just its own output."""
