@@ -10,10 +10,11 @@ manifest (file name, row count, content sha256) returns to the plan.
 Nothing is collected to the driver; a skewed group costs one task,
 not the job.
 
-XLSX needs openpyxl, which this container lacks — the writer falls
-back to CSV bytes with the same naming and manifest contract, and the
-``to_excel`` branch activates when openpyxl is importable (same
-pattern as the reference's pandas ExcelWriter usage).
+The file format is an explicit ``file_format='csv'|'xlsx'`` parameter:
+``csv`` renders canonical RFC-4180 bytes, ``xlsx`` renders a real
+workbook through the dependency-free SpreadsheetML writer
+(sources/xlsx.py, deterministic bytes — no openpyxl needed). Both
+branches share the naming and sha256-manifest contract.
 """
 
 from __future__ import annotations

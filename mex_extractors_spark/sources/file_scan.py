@@ -154,8 +154,11 @@ def read_excel_files(
     schema alignment and quarantine are the same code path the CSV and
     paged scans exercise. ``read_excel_kwargs`` are forwarded to
     ``pd.read_excel`` only; the stdlib parser rejects kwargs it cannot
-    honor instead of silently changing semantics (its blank-cells-stay-
-    blank behavior already matches ``keep_default_na=False``).
+    honor instead of silently changing semantics. Both branches agree
+    on blank string cells: ``pd.read_excel(keep_default_na=False)``
+    yields ``''`` there, so the stdlib fallback (whose parser reports
+    blanks as None/NaN) post-fills ``''`` into every column the caller
+    declared as a string in ``schema``.
     """
     try:
         import openpyxl  # noqa: F401
@@ -189,7 +192,18 @@ def read_excel_files(
             return pd.read_excel(unit["path"], keep_default_na=False, **kwargs)
         from mex_extractors_spark.sources.xlsx import read_xlsx
 
-        return read_xlsx(unit["path"], sheet_name=sheet if sheet is not None else 0)
+        pdf = read_xlsx(unit["path"], sheet_name=sheet if sheet is not None else 0)
+        # match pd.read_excel(keep_default_na=False): blank cells in
+        # string-typed columns are '' there, None/NaN from the stdlib
+        # parser — fill via the declared schema so the two branches
+        # return identical data for the same workbook
+        string_cols = {
+            f.name for f in schema.fields if isinstance(f.dataType, StringType)
+        }
+        for col in pdf.columns:
+            if col in string_cols:
+                pdf[col] = pdf[col].where(pdf[col].notna(), "")
+        return pdf
 
     return scan_units_vectorized(spark, units, schema, _read, num_partitions)
 

@@ -31,7 +31,7 @@ import zipfile
 from collections.abc import Mapping
 from typing import Any
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
@@ -42,6 +42,10 @@ _CELL_REF_RE = re.compile(r"^([A-Z]+)([0-9]+)$")
 _INT_RE = re.compile(r"^-?[0-9]+$")
 # fixed DOS timestamp -> byte-identical archives for identical input
 _ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+# XML 1.0 forbids these control characters entirely — escape() cannot
+# represent them, so a cell containing one must fail at write time
+# instead of producing a workbook Excel/ET.fromstring reject
+_XML_INVALID_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
 def _local(tag: str) -> str:
@@ -218,8 +222,19 @@ def _xml_cell(ref: str, value: Any) -> str | None:
     if isinstance(value, bool):  # before int: bool is an int subclass
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and value in (float("inf"), float("-inf")):
+            # SpreadsheetML has no non-finite number literal; <v>inf</v>
+            # would serialize fine and corrupt the workbook silently
+            raise ValueError(f"non-finite float at cell {ref}: {value!r}")
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+    raw = str(value)
+    if _XML_INVALID_RE.search(raw):
+        bad = _XML_INVALID_RE.search(raw).group(0)
+        raise ValueError(
+            f"XML-invalid control character {bad!r} at cell {ref}; "
+            "strip control characters before writing the report"
+        )
+    text = escape(raw)
     space = ' xml:space="preserve"' if text != text.strip() else ""
     return f'<c r="{ref}" t="inlineStr"><is><t{space}>{text}</t></is></c>'
 
@@ -272,7 +287,9 @@ def xlsx_bytes(sheets: Mapping[str, pd.DataFrame]) -> bytes:
         "</Relationships>"
     )
     sheet_tags = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # quoteattr, not escape: escape() leaves '"' alone, and sheet
+        # names (entity names from write_group_reports) may contain one
+        f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(names)
     )
     workbook = (

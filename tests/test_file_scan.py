@@ -166,6 +166,24 @@ def test_excel_scan_quarantines_bad_workbook(spark, tmp_path):
     assert "corrupt.xlsx" in quarantined[0][0]
 
 
+def test_excel_blank_string_cells_read_as_empty_string(spark, tmp_path):
+    # pd.read_excel(keep_default_na=False) gives '' for blank string
+    # cells; the stdlib fallback must match (the reference's
+    # ff_projects extract depends on blanks == '' not null)
+    import pandas as pd
+
+    from mex_extractors_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "blanks.xlsx")
+    write_xlsx(
+        p, {"projects": pd.DataFrame({"name": [None, "x"], "amount": [1, None]})}
+    )
+    good, _ = split_scan_errors(read_excel_files(spark, [p], SCHEMA))
+    rows = {(r.name, r.amount) for r in good.collect()}
+    # blank STRING cell -> ''; blank INT cell stays null (typed schema)
+    assert rows == {("", 1), ("x", None)}
+
+
 def test_excel_scan_fallback_rejects_unsupported_kwargs(spark, tmp_path):
     try:
         import openpyxl  # noqa: F401

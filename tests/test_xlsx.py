@@ -70,6 +70,36 @@ def test_wide_sheet_column_refs_past_z():
         assert _col_to_index(_index_to_col(i)) == i
 
 
+def test_sheet_name_with_double_quote_round_trips():
+    # sheet names flow in from group values (write_group_reports); a
+    # '"' is legal in a sheet name and must not break workbook.xml
+    name = 'he said "hi" & <more>'
+    raw = xlsx_bytes({name: pd.DataFrame({"a": [1]})})
+    out = read_xlsx(raw, sheet_name=None)
+    assert list(out) == [name]
+    assert out[name].loc[0, "a"] == 1
+
+
+def test_xml_invalid_control_char_fails_loudly():
+    with pytest.raises(ValueError, match="control character"):
+        xlsx_bytes({"s": pd.DataFrame({"a": ["bad\x0bvalue"]})})
+    with pytest.raises(ValueError, match="control character"):
+        xlsx_bytes({"s": pd.DataFrame({"a": ["nul\x00"]})})
+    # \t \n \r are XML-legal and must still round-trip
+    out = read_xlsx(xlsx_bytes({"s": pd.DataFrame({"a": ["tab\there"]})}))
+    assert out.loc[0, "a"] == "tab\there"
+
+
+def test_nonfinite_float_fails_loudly():
+    with pytest.raises(ValueError, match="non-finite"):
+        xlsx_bytes({"s": pd.DataFrame({"a": [float("inf")]})})
+    with pytest.raises(ValueError, match="non-finite"):
+        xlsx_bytes({"s": pd.DataFrame({"a": [float("-inf")]})})
+    # NaN stays the documented blank-cell encoding
+    out = read_xlsx(xlsx_bytes({"s": pd.DataFrame({"a": [float("nan"), 1.5]})}))
+    assert pd.isna(out.loc[0, "a"]) and out.loc[1, "a"] == 1.5
+
+
 def test_missing_sheet_raises_with_names():
     with pytest.raises(KeyError, match="no sheet named 'zzz'"):
         read_xlsx(xlsx_bytes({"only": pd.DataFrame({"a": [1]})}), "zzz")
