@@ -170,6 +170,23 @@ def ivf_assignments(
     )
 
 
+def cluster_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise member mean per cluster: (_cid, _pos, _m) rows.
+
+    ``posexplode`` + one ``avg`` keeps the plan a constant size at any
+    dimensionality (no per-element aggregate expressions) and stays
+    map-side combinable: hash partial aggregation reduces each input
+    split to at most k·dim rows before the exchange, so the shuffle is
+    O(k·dim·executors) no matter how large the corpus is. Exposed for
+    the plan-shape test; ``kmeans_refine`` is its only product caller.
+    """
+    return (
+        assigned.select("_cid", F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("_cid", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     num_centroids: int = 16,
@@ -183,12 +200,14 @@ def kmeans_refine(
     Per iteration: assign every vector to its nearest centroid
     (broadcast argmin — centroids are k×dim doubles, tiny), then
     recompute each centroid as the element-wise mean of its members via
-    ``dim`` codegen'd ``avg`` aggregates in ONE groupBy — a single
-    shuffle of k·dim partial sums per executor, the classic MLlib
-    k-means shape. The k centroid rows come back to the driver between
-    iterations (sanctioned tiny-metadata collect, exactly what MLlib's
-    runs do); the big table is scanned once per iteration and never
-    shuffled on its own keys.
+    ``posexplode`` + ONE ``avg`` over ``(centroid, position)`` — a
+    single aggregate expression regardless of dimensionality (a
+    768-dim embedding must not plan 768 avg expressions), hash-agg
+    partial combine pre-reduces each executor to k·dim sums before the
+    shuffle, the classic MLlib k-means shape. The k·dim means come back
+    to the driver between iterations (sanctioned tiny-metadata collect,
+    exactly what MLlib's runs do); the big table is scanned once per
+    iteration and never shuffled on its own keys.
 
     Init is the same deterministic md5-sample as ``ivf_assignments`` so
     an external oracle can replay every iteration in closed form.
@@ -203,8 +222,6 @@ def kmeans_refine(
     """
     v = F.col(vec_col).cast("array<double>")
     data = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
-    dim_probe = data.select(F.size("_v").alias("d")).limit(1).collect()
-    dim = dim_probe[0]["d"] if dim_probe else 0
 
     seed_rows = (
         data.orderBy(F.md5(F.col("_id").cast("string")))
@@ -231,12 +248,13 @@ def kmeans_refine(
 
     assigned = _assign(centroids)
     for _ in range(max(iterations, 1) - 1):
-        new_cent = (
-            assigned.groupBy("_cid")
-            .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_cvec"))
-            .collect()
+        mean_rows = cluster_means(assigned).collect()
+        acc: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            acc.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
+        centroids = sorted(
+            (cid, [vals[i] for i in range(len(vals))]) for cid, vals in acc.items()
         )
-        centroids = sorted((r["_cid"], list(r["_cvec"])) for r in new_cent)
         assigned = _assign(centroids)
 
     return assigned.select(

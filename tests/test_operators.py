@@ -317,6 +317,36 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     assert all(r.l2_dist < 0.1 for r in got)
 
 
+def test_kmeans_high_dim_constant_plan_size(spark):
+    # a 256-dim embedding must not plan 256 aggregate expressions: the
+    # centroid recompute is posexplode + ONE avg at any dimensionality
+    dim = 256
+    rows = [
+        (c * 100 + i, [float(c) * 10 + 0.01 * ((i + d) % 3) for d in range(dim)])
+        for c in range(2)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    assigned = df.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+        F.lit(0).alias("_cid"),
+    )
+    plan = similarity.cluster_means(assigned)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("avg(") == 1
+    assert "_v[255]" not in plan and "_v[10]" not in plan
+
+    got = similarity.kmeans_refine(df, num_centroids=2, iterations=2).collect()
+    assert len(got) == 12
+    by_cluster: dict[int, set[int]] = {}
+    for r in got:
+        by_cluster.setdefault(r.centroid_id, set()).add(r.vec_id // 100)
+    assert len(by_cluster) == 2
+    assert all(len(planted) == 1 for planted in by_cluster.values())
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 30)
     feats = extract_features(media, dim=8)
