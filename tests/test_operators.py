@@ -347,6 +347,69 @@ def test_kmeans_high_dim_constant_plan_size(spark):
     assert all(len(planted) == 1 for planted in by_cluster.values())
 
 
+def test_real_codec_round_trip_and_dispatch():
+    import numpy as np
+
+    from mex_extractors_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        decode_features,
+        decode_wav,
+        wav_bytes,
+    )
+
+    y, x = np.mgrid[0:5, 0:7]
+    r = ((3 * x + 7 * y) % 256).astype(np.uint8)
+    g = ((5 * x + y + 1) % 256).astype(np.uint8)
+    b = ((x + 13 * y + 11) % 256).astype(np.uint8)
+    w_, h_, mr, mg, mb = decode_bmp(bmp_bytes(r, g, b))
+    assert (w_, h_) == (7, 5)
+    assert (mr, mg, mb) == (float(r.mean()), float(g.mean()), float(b.mean()))
+
+    s = (((np.arange(600) * 17) % 501) - 250).astype(np.int64)
+    n, dur, rms, zcr, sr = decode_wav(wav_bytes(s, sample_rate=8000))
+    assert (n, sr) == (600, 8000) and dur == 600 / 8000
+    assert rms == float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+    sign = s >= 0
+    assert zcr == float(np.count_nonzero(sign[1:] != sign[:-1])) / 599
+
+    # dispatch: magic bytes pick the real codec; opaque -> hash stub
+    feat_img = decode_features(bmp_bytes(r, g, b), "image")
+    assert feat_img[:2] == [7.0, 5.0] and feat_img[5] == 3.0
+    feat_aud = decode_features(wav_bytes(s), "audio")
+    assert feat_aud[0] == 600.0 and feat_aud[4] == 8000.0 and feat_aud[5] == 1.0
+    feat_hash = decode_features(b"not a media payload", "image")
+    assert len(feat_hash) == 8 and all(0.0 <= v <= 1.0 for v in feat_hash)
+    with pytest.raises(ValueError, match="NULL payload"):
+        decode_features(None, "image")
+    with pytest.raises(ValueError, match="24-bit"):
+        # valid magic, unsupported encoding must fail loudly
+        import struct
+
+        bogus = b"BM" + struct.pack("<IHHI", 60, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
+        ) + b"\x00" * 8
+        decode_features(bogus, "image")
+
+
+def test_synth_real_media_features(spark):
+    from mex_extractors_spark.operators.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    ids = spark.range(20).withColumnRenamed("id", "media_id")
+    media = synth_real_media(ids)
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[4].kind == "image" and rows[4].mime == "image/bmp"
+    assert rows[4].width == 4 + 4 % 5 and rows[4].height == 3 + 4 % 4
+    assert rows[7].kind == "audio" and rows[7].duration_ms == (400 + 200) * 1000 // 8000
+    feats = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    assert feats[4][0] == float(rows[4].width)
+    assert feats[7][0] == 400.0 + (7 % 5) * 100
+    assert feats[7][4] == 8000.0
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 30)
     feats = extract_features(media, dim=8)
