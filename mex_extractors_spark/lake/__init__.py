@@ -5,6 +5,7 @@ cleanly swappable for real Iceberg (`spark-submit --packages`) on a
 cluster; the engine only talks to the small `LakeTable` API.
 """
 
+from mex_extractors_spark.lake.ann import IvfIndex
 from mex_extractors_spark.lake.catalog import (
     LakeCatalog,
     LakeTransaction,
@@ -22,6 +23,7 @@ from mex_extractors_spark.lake.table import (
 __all__ = [
     "CommitAborted",
     "CommitConflict",
+    "IvfIndex",
     "LakeCatalog",
     "LakeTable",
     "LakeTransaction",

@@ -1,0 +1,276 @@
+"""Persistent IVF ANN index as a lake table — the 100 TB query path.
+
+``operators/similarity.ivf_topk`` recomputes the coarse-quantizer
+assignment of the WHOLE corpus inline on every query: correct, but the
+first plan a 100×-scale user rejects. This module materializes the
+assignment once as a :class:`~mex_extractors_spark.lake.table.LakeTable`
+(the FAISS "build the IVF lists" step, done as a lake write):
+
+- **covering**: each row stores (vec_id, centroid_id, l2_dist,
+  embedding) — queries read ONLY the index, never the source corpus;
+- **clustered for pruning**: after the build the table is compacted
+  with ``cluster_by=["centroid_id"]`` (sort strategy), so every data
+  file covers a narrow centroid range and the per-file stats sidecars
+  let ``read(where=[("centroid_id", "in", probes)])`` drop
+  ~(1 - nprobe/num_centroids) of the files before the scan is planned
+  (tests assert the ``inputFiles()`` shrink);
+- **incrementally maintained**: ``refresh`` consumes the source
+  table's change-data-feed exactly like the inverted index
+  (lake/index.py): inserted/updated vectors are re-assigned against
+  the SAVED centroids (never resampled — the quantizer is frozen at
+  build time, the standard IVF contract), deletes become tombstones.
+  Cost is O(changed vectors) per refresh, never O(corpus). Batch ids
+  ``ivf:v{from}->{to}`` make refreshes exactly-once and fenced, like
+  every other lake write.
+
+Centroids are persisted next to the ledger (``_ledger/ivf_centroids
+.json``, atomic tmp+rename) so the probe selection is a driver-side
+lookup over k rows — no Spark job before the pruned scan.
+
+Reference lineage: the reference queries the backend's PERSISTENT
+search index rather than recomputing it per query
+(publisher/extract.py:9-26); this is the embedding-space analog.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.table import LakeTable
+from mex_extractors_spark.operators.similarity import (
+    assign_to_centroids,
+    cosine_topk,
+    sample_centroids,
+)
+
+_BATCH_RE = re.compile(r"^ivf:v(\d+)->(\d+)$")
+
+
+@dataclass
+class IvfRefreshStats:
+    from_version: int
+    to_version: int
+    full_build: bool
+    applied: bool
+
+
+class IvfIndex:
+    """IVF index over an embedding corpus, stored as a LakeTable keyed
+    on the vector id with ``centroid_id`` tracked in the file stats."""
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_buckets: int = 4,
+    ) -> None:
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.table = LakeTable(
+            path,
+            key_cols=[id_col],
+            seq_col="_src_version",
+            op_col="op",
+            num_buckets=num_buckets,
+            stats_cols=["centroid_id"],
+        )
+        self._centroids_file = os.path.join(
+            self.table.ledger_dir, "ivf_centroids.json"
+        )
+
+    # ---------------------------------------------------------- centroids
+
+    def centroids(self) -> list[tuple[int, list[float]]]:
+        """The frozen coarse quantizer: [(centroid_id, vector)]."""
+        if not os.path.exists(self._centroids_file):
+            raise ValueError(f"IVF index at {self.table.path} was never built")
+        with open(self._centroids_file) as fh:
+            return [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(fh)]
+
+    def _save_centroids(self, cents: list[tuple[int, list[float]]]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.table.ledger_dir, suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(cents, fh)
+        os.replace(tmp, self._centroids_file)  # atomic on POSIX
+
+    def _centroids_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.centroids(), "_cid long, _cvec array<double>"
+        )
+
+    def last_indexed_version(self) -> int:
+        versions = [
+            int(m.group(2))
+            for b in self.table.applied_batches()
+            if (m := _BATCH_RE.match(b))
+        ]
+        return max(versions, default=0)
+
+    # --------------------------------------------------------------- build
+
+    def build(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        num_centroids: int = 16,
+        source_version: int = 1,
+        target_file_rows: int | None = None,
+    ) -> IvfRefreshStats:
+        """One-shot index build from a static corpus DataFrame: freeze
+        the quantizer (deterministic md5 sample — the same closed-form
+        centroid set the SQL oracles state), assign every vector with
+        ONE broadcast-argmin pass (the vector rides through the argmin,
+        no join back to the corpus), commit as a single exactly-once
+        batch, then sort-cluster the files by ``centroid_id`` so probe
+        reads prune. Idempotent: a re-build with the same
+        ``source_version`` hits the applied-batch no-op path."""
+        cent_rows = sample_centroids(
+            df, num_centroids, vec_col=self.vec_col, id_col=self.id_col
+        ).collect()
+        cents = sorted((int(r["_cid"]), list(r["_cvec"])) for r in cent_rows)
+        self._save_centroids(cents)
+        assigned = assign_to_centroids(
+            df,
+            self._centroids_df(spark),
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            keep_vec=True,
+        )
+        batch = assigned.select(
+            F.col(self.id_col),
+            F.col("centroid_id").cast("long"),
+            F.col("l2_dist"),
+            F.col(self.vec_col),
+            F.lit(source_version).cast("long").alias("_src_version"),
+            F.lit("U").alias("op"),
+        )
+        st = self.table.apply_batch(spark, batch, f"ivf:v0->{source_version}")
+        if st.applied:
+            # one file per centroid-range: probe reads should touch
+            # ~nprobe/num_centroids of the files, so split each bucket
+            # into ~num_centroids/num_buckets files by default
+            if target_file_rows is None:
+                n = batch.count()
+                target_file_rows = max(
+                    64, math.ceil(n / max(num_centroids, self.table.num_buckets))
+                )
+            self.table.compact(
+                spark,
+                min_files=1,
+                cluster_by=["centroid_id"],
+                cluster_strategy="sort",
+                target_file_rows=target_file_rows,
+            )
+        return IvfRefreshStats(0, source_version, full_build=True, applied=st.applied)
+
+    # ------------------------------------------------------------- refresh
+
+    def refresh(
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        to_version: int | None = None,
+        num_centroids: int = 16,
+    ) -> IvfRefreshStats:
+        """Absorb the source table's changes since the last refresh:
+        re-assign inserted/updated vectors against the frozen
+        quantizer, tombstone deleted ids — O(changed vectors), the
+        lake/index.py maintenance shape. The source must carry
+        ``self.vec_col``; its key must be ``[self.id_col]``."""
+        if list(source.key_cols) != [self.id_col]:
+            raise ValueError(
+                f"source key_cols must be [{self.id_col!r}], got {source.key_cols}"
+            )
+        cur = source.current_snapshot()
+        if cur is None:
+            return IvfRefreshStats(0, 0, full_build=False, applied=False)
+        if to_version is None:
+            to_version = cur["version"]
+        last = self.last_indexed_version()
+        if to_version <= last:
+            return IvfRefreshStats(last, to_version, full_build=False, applied=False)
+        if last == 0:
+            # bootstrap: full build from the source's current state
+            # (``num_centroids`` only matters here — afterwards the
+            # quantizer is frozen in the centroids file)
+            state = source.read(spark, version=to_version)
+            return self.build(
+                spark, state, num_centroids=num_centroids, source_version=to_version
+            )
+        changes = source.read_changes(
+            spark, from_version=last, to_version=to_version
+        )
+        ct = F.col("_change_type")
+        post = changes.where(ct.isin("insert", "update_postimage"))
+        upserts = assign_to_centroids(
+            post,
+            self._centroids_df(spark),
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            keep_vec=True,
+        ).select(
+            F.col(self.id_col),
+            F.col("centroid_id").cast("long"),
+            F.col("l2_dist"),
+            F.col(self.vec_col),
+            F.lit(to_version).cast("long").alias("_src_version"),
+            F.lit("U").alias("op"),
+        )
+        deletes = changes.where(ct == "delete").select(
+            F.col(self.id_col),
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.lit(None).cast("double").alias("l2_dist"),
+            F.lit(None).cast("array<double>").alias(self.vec_col),
+            F.lit(to_version).cast("long").alias("_src_version"),
+            F.lit("D").alias("op"),
+        )
+        st = self.table.apply_batch(
+            spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}"
+        )
+        return IvfRefreshStats(last, to_version, full_build=False, applied=st.applied)
+
+    # --------------------------------------------------------------- query
+
+    def probe_ids(self, query_vec: list[float], nprobe: int) -> list[int]:
+        """The ``nprobe`` centroids nearest the query — pure driver-side
+        math over the saved k-row quantizer (exact L2, ties by id; the
+        same ordering the SQL oracle states)."""
+        ranked = sorted(
+            (
+                math.sqrt(sum((x - y) ** 2 for x, y in zip(vec, query_vec))),
+                cid,
+            )
+            for cid, vec in self.centroids()
+        )
+        return [cid for _d, cid in ranked[:nprobe]]
+
+    def probe_read(self, spark: SparkSession, probe: list[int]) -> DataFrame:
+        """Stats-pruned scan of the probed inverted lists: files whose
+        ``centroid_id`` range excludes every probe are dropped before
+        the scan is planned (visible via ``DataFrame.inputFiles()``)."""
+        return self.table.read(spark, where=[("centroid_id", "in", list(probe))])
+
+    def topk(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """IVF search against the persisted index: driver-side probe
+        selection → file-pruned candidate scan → exact cosine top-k.
+        Same semantics as ``similarity.ivf_topk`` (one oracle covers
+        both), but the corpus is never re-assigned at query time."""
+        cand = self.probe_read(spark, self.probe_ids(query_vec, nprobe))
+        return cosine_topk(
+            cand, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
+        )

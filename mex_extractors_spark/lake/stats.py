@@ -184,23 +184,29 @@ def file_may_match(
         if all(not bloom_may_contain(bloom, v) for v in vals):
             return False
     values = st.get("values")
-    if values is not None:
-        # type-mismatched predicate values: Spark's residual filter
+    if values is not None and op in ("=", "in"):
+        # Value sets REFUTE only — a hit must still fall through to the
+        # min/max bounds below: the set is collected per BUCKET and
+        # stamped on every file of it (one groupBy readback), so after
+        # a clustered compaction splits a bucket into range files the
+        # set alone would keep every file and the per-file min/max is
+        # the evidence that actually prunes.
+        # Type-mismatched predicate values: Spark's residual filter
         # applies implicit casts ('2024' = 2024 can match), so pruning
-        # on raw Python membership would drop matching files — keep.
-        # An EMPTY value set means the column is all-null in this file,
-        # which no prunable op matches — prune is safe.
+        # on raw Python membership would drop matching files — skip the
+        # refutation. An EMPTY value set means the column is all-null
+        # in this file, which no prunable op matches — prune is safe.
         if op == "=":
-            if values and not _comparable(value, values[0]):
-                return True
-            return value in values
-        if op == "in":
+            if not (values and not _comparable(value, values[0])):
+                if value not in values:
+                    return False
+        else:  # "in"
             # ANY non-comparable element forces a keep: Spark's residual
             # isin() can match it via implicit cast even when the
             # comparable elements all miss (e.g. [100, "5"] vs int col).
-            if values and any(not _comparable(v, values[0]) for v in value):
-                return True
-            return any(v in values for v in value)
+            if not (values and any(not _comparable(v, values[0]) for v in value)):
+                if not any(v in values for v in value):
+                    return False
     mn, mx = st.get("min"), st.get("max")
     if mn is None:
         return True

@@ -130,43 +130,81 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
-def ivf_assignments(
+def sample_centroids(
     df: DataFrame,
     num_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF coarse quantization: centroids = deterministic sample (the
-    ``num_centroids`` vectors with smallest md5(id) — md5 so an
-    external oracle selects the identical sample), assignment = argmin
-    L2 distance via a broadcast join against the tiny centroid set,
-    ties broken by centroid id. Returns (id, centroid_id, l2_dist)."""
-    centroids = (
-        df.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cvec"))
+    """Deterministic centroid sample: the ``num_centroids`` vectors
+    with smallest md5(id) — md5 so an external oracle selects the
+    identical sample. Returns (_cid, _cvec)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_cvec"),
+        )
         .orderBy(F.md5(F.col("_cid").cast("string")))
         .limit(num_centroids)
     )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Argmin-L2 assignment against an EXPLICIT (_cid, _cvec) centroid
+    set via a broadcast join (centroids are tiny by construction), ties
+    broken by centroid id. Split out of ``ivf_assignments`` so a
+    persistent index (lake/ann.py) can assign fresh vectors with its
+    SAVED centroids instead of resampling. Returns
+    (id, centroid_id, l2_dist), plus the vector itself when
+    ``keep_vec`` (carried through the argmin so a covering index build
+    needs no second join back to the corpus)."""
+    v = F.col(vec_col).cast("array<double>")
     l2 = F.sqrt(
         F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)
-            ),
+            F.zip_with(v, F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
-            lambda acc, v: acc + v,
+            lambda acc, v_: acc + v_,
         )
     )
+    payload = ["_cid", "l2_dist", *(["_vec"] if keep_vec else [])]
     scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col("_cid"), F.round(l2, 6).alias("l2_dist")
+        F.col(id_col),
+        F.col("_cid"),
+        F.round(l2, 6).alias("l2_dist"),
+        *([v.alias("_vec")] if keep_vec else []),
     )
     best = scored.groupBy(id_col).agg(
         F.min_by(
-            F.struct("_cid", "l2_dist"), F.struct("l2_dist", "_cid")
+            F.struct(*payload), F.struct("l2_dist", "_cid")
         ).alias("_w")
     )
     return best.select(
         F.col(id_col),
         F.col("_w._cid").alias("centroid_id"),
         F.col("_w.l2_dist").alias("l2_dist"),
+        *([F.col("_w._vec").alias(vec_col)] if keep_vec else []),
+    )
+
+
+def ivf_assignments(
+    df: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: ``sample_centroids`` +
+    ``assign_to_centroids``. Returns (id, centroid_id, l2_dist)."""
+    return assign_to_centroids(
+        df,
+        sample_centroids(df, num_centroids, vec_col=vec_col, id_col=id_col),
+        vec_col=vec_col,
+        id_col=id_col,
     )
 
 
@@ -323,14 +361,15 @@ def ivf_topk(
     centroids are nearest the query, then exact cosine top-k within
     those candidates — the standard recall/cost dial of IVF indexes.
 
-    Scale shape: at 100 TB the assignments are PRECOMPUTED (one
-    ``ivf_assignments``/``kmeans_refine`` build job) and the corpus is
-    partitioned by ``centroid_id``, so the probe prunes the scan to
-    nprobe/num_centroids of the data before any vector math; here the
-    assignment join runs inline for self-containedness. The probe set
-    is chosen DRIVER-side over the collected centroid sample (tiny by
-    construction) and embedded as literals, so the candidate filter is
-    a plain ``isin`` the optimizer can push down.
+    Scale shape: this variant re-assigns the corpus INLINE per query —
+    self-contained, but the wrong plan at 100 TB. The scale path is
+    :class:`mex_extractors_spark.lake.ann.IvfIndex`: assignments
+    persisted once as a covering lake table, files sort-clustered by
+    ``centroid_id``, probe reads file-pruned to ~nprobe/num_centroids
+    of the data before any vector math (same semantics, same oracle).
+    The probe set is chosen DRIVER-side over the collected centroid
+    sample (tiny by construction) and embedded as literals, so the
+    candidate filter is a plain ``isin`` the optimizer can push down.
     """
     import math
 

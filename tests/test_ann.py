@@ -1,0 +1,123 @@
+"""Persistent IVF index (lake/ann.py): build / clustered pruning /
+CDF-driven refresh with a frozen quantizer / exactly-once refresh."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mex_extractors_spark.lake.ann import IvfIndex
+from mex_extractors_spark.lake.table import LakeTable
+from mex_extractors_spark.operators import similarity
+
+DIM = 8
+
+
+def _vec(i: int) -> list[float]:
+    return [((i * 7 + d * 3) % 13) / 13.0 + (0.5 if d == i % DIM else 0.0) for d in range(DIM)]
+
+
+def _corpus(spark, n: int = 200):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+
+
+QVEC = [0.4, 0.1, 0.9, 0.2, 0.7, 0.0, 0.3, 0.6]
+
+
+def test_build_topk_matches_inline_ivf(spark, tmp_path):
+    df = _corpus(spark)
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    st = idx.build(spark, df, num_centroids=8)
+    assert st.applied and st.full_build
+
+    want = {
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.ivf_topk(df, QVEC, k=5, num_centroids=8, nprobe=3).collect()
+    }
+    got = {(r.vec_id, r.cosine_sim) for r in idx.topk(spark, QVEC, k=5, nprobe=3).collect()}
+    assert got == want
+
+    # re-build with the same source version is a no-op (exactly-once)
+    v0 = idx.table.current_snapshot()["version"]
+    st2 = idx.build(spark, df, num_centroids=8)
+    assert not st2.applied
+    assert idx.table.current_snapshot()["version"] == v0
+
+
+def test_probe_read_prunes_files(spark, tmp_path):
+    df = _corpus(spark, n=240)
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    idx.build(spark, df, num_centroids=8, target_file_rows=16)
+
+    full_files = set(idx.table.read(spark).inputFiles())
+    probe = idx.probe_ids(QVEC, nprobe=2)
+    probe_files = set(idx.probe_read(spark, probe).inputFiles())
+    assert probe_files <= full_files
+    # sort-clustered by centroid_id: probing 2 of 8 lists must drop
+    # well over half the files (exact count depends on file boundaries)
+    assert len(probe_files) <= len(full_files) / 2, (
+        len(probe_files),
+        len(full_files),
+    )
+    # and the pruned read still returns exactly the probed lists
+    rows = idx.probe_read(spark, probe).select("centroid_id").distinct().collect()
+    assert {r.centroid_id for r in rows} <= set(probe)
+
+
+def test_refresh_incremental_with_frozen_quantizer(spark, tmp_path):
+    src = LakeTable(str(tmp_path / "src"), key_cols=["vec_id"], num_buckets=2)
+    base = _corpus(spark, n=120).withColumn("seq", F.col("vec_id") + 1).withColumn(
+        "op", F.lit("U")
+    )
+    src.apply_batch(spark, base, "b1")
+
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    st = idx.refresh(spark, src, num_centroids=6)
+    assert st.applied and st.full_build
+    cents_before = idx.centroids()
+
+    # source changes: 3 vectors move, 2 are deleted, 1 is new
+    moved = spark.createDataFrame(
+        [(i, [x + 2.0 for x in _vec(i)], 1000 + i, "U") for i in (5, 17, 40)]
+        + [(i, _vec(i), 2000 + i, "D") for i in (7, 11)]
+        + [(500, _vec(500), 3000, "U")],
+        "vec_id long, embedding array<double>, seq long, op string",
+    )
+    src.apply_batch(spark, moved, "b2")
+    st2 = idx.refresh(spark, src)
+    assert st2.applied and not st2.full_build
+    assert idx.centroids() == cents_before  # quantizer frozen
+
+    # index state == fresh assignment of the CURRENT source state
+    # against the FROZEN centroids
+    cent_df = spark.createDataFrame(cents_before, "_cid long, _cvec array<double>")
+    want = {
+        (r.vec_id, r.centroid_id, r.l2_dist)
+        for r in similarity.assign_to_centroids(
+            src.read(spark), cent_df
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.centroid_id, r.l2_dist)
+        for r in idx.table.read(spark).collect()
+    }
+    assert got == want
+    assert not any(r[0] in (7, 11) for r in got)  # deletes tombstoned
+    assert any(r[0] == 500 for r in got)  # insert indexed
+
+    # replayed refresh is fenced (same version range -> no-op)
+    v = idx.table.current_snapshot()["version"]
+    st3 = idx.refresh(spark, src)
+    assert not st3.applied
+    assert idx.table.current_snapshot()["version"] == v
+
+
+def test_unbuilt_index_raises(spark, tmp_path):
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    with pytest.raises(ValueError, match="never built"):
+        idx.topk(spark, QVEC)
+    src = LakeTable(str(tmp_path / "src"), key_cols=["other_id"])
+    with pytest.raises(ValueError, match="key_cols"):
+        idx.refresh(spark, src)
