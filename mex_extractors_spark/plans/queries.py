@@ -1854,6 +1854,92 @@ def m2_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000)
 
 
+def _m1b_oracle() -> str:
+    """Closed-form restatement of the REAL codec features: every media
+    parameter is an integer function of the id (synth_real_media), so
+    the decoded width/height/channel means (BMP) and sample-count/
+    duration/RMS/zero-crossing-rate (WAV) are exactly computable in SQL
+    without touching a byte — integer sums are exact in float64, so the
+    engine's numpy means match DuckDB's avg() bit-for-bit."""
+    return """
+    WITH ids AS (SELECT doc_id::BIGINT AS media_id FROM documents),
+    img AS (
+      SELECT media_id, 4 + media_id % 5 AS w,
+             3 + media_id % 4 AS h
+      FROM ids WHERE media_id % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM img
+    ),
+    img_feat AS (
+      SELECT media_id, 'image' AS kind,
+             round(max(w)::DOUBLE, 6) AS f0,
+             round(max(h)::DOUBLE, 6) AS f1,
+             round(avg((media_id + 3 * (i % w) + 7 * (i // w)) % 256), 6) AS f2,
+             round(avg((2 * media_id + 5 * (i % w) + (i // w)) % 256), 6) AS f3,
+             round(avg((media_id + (i % w) + 13 * (i // w) + 11) % 256), 6) AS f4,
+             3.0 AS f5
+      FROM px GROUP BY media_id
+    ),
+    aud AS (
+      SELECT media_id, 400 + (media_id % 5) * 100 AS n
+      FROM ids WHERE media_id % 2 = 1
+    ),
+    samples AS (
+      SELECT media_id, n, i,
+             ((media_id * 31 + i * 17) % 501) - 250 AS s
+      FROM (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM aud)
+    ),
+    lagged AS (
+      SELECT media_id, n, i, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM samples
+    ),
+    aud_feat AS (
+      SELECT media_id, 'audio' AS kind,
+             round(max(n)::DOUBLE, 6) AS f0,
+             round(max(n) / 8000.0, 6) AS f1,
+             round(sqrt(sum((s * s)::DOUBLE) / max(n)), 6) AS f2,
+             round(sum(CASE WHEN prev IS NOT NULL
+                            AND ((s >= 0) <> (prev >= 0))
+                       THEN 1 ELSE 0 END)::DOUBLE / (max(n) - 1), 6) AS f3,
+             8000.0 AS f4, 1.0 AS f5
+      FROM lagged GROUP BY media_id
+    )
+    SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
+    """
+
+
+@q(
+    "m1b_real_codec_features",
+    "REAL media decode, no third-party libs: struct-parsed 24-bit BMP "
+    "(width/height/channel means) and stdlib-wave-parsed 16-bit PCM WAV "
+    "(samples/duration/RMS/zero-crossing rate), payloads synthesized AND "
+    "decoded executor-side in Arrow batches (operators/multimodal.py); "
+    "the oracle restates every feature in closed form from the id",
+    _m1b_oracle(),
+)
+def m1b_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synth_real_media(d.select(F.col("doc_id").alias("media_id")))
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(6)
+        ],
+    )
+
+
 # ------------------------------------------------- J7 publisher rewrite
 
 
@@ -2502,6 +2588,34 @@ def sim5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sim6_ivf_indexed_topk",
+    "PERSISTED IVF index (lake/ann.py): assignments materialized once "
+    "as a covering LakeTable, files sort-clustered by centroid_id so "
+    "the probe read PRUNES to ~nprobe/num_centroids of the files "
+    "(stats-sidecar skipping) — the 100 TB replacement for sim5's "
+    "inline re-assignment; same closed-form oracle as sim5",
+    _sim5_oracle([((i * 37) % 19 - 9) / 10.0 for i in range(64)], k=10,
+                 num_centroids=8, nprobe=3),
+)
+def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.ann import IvfIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"ivf_idx_{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    idx = IvfIndex(idx_dir, num_buckets=4)
+    idx.build(spark, e, num_centroids=8)
+    return idx.topk(spark, qvec, k=10, nprobe=3)
+
+
+@q(
     "sim3_ivf_assignments",
     "IVF coarse quantization: centroid assignment via broadcast join; "
     "centroids = md5-smallest ids (md5 is engine-independent), argmin "
@@ -2900,81 +3014,74 @@ def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # (dict iteration order), so ordering is the gate.  Round-robin coverage note:
-#   r1 window = first 43 in definition order; r2 window = first 50.
-#   r3 window (below): every query that has never had a driver-green row goes
-#   FIRST — the five round-1 failures (d3/d4/d5b/sim2/sim3), then the rest of
-#   the never-driver-checked set, then queries green in only one prior round.
-#   Queries green in BOTH r1 and r2 rotate to the back (still covered every
-#   run by tests/test_queries_parity.py at sf0.001); two load-bearing CDC/core
-#   queries (w1_lww_latest_event, cdc_converged_state) are kept in-window as
-#   regression canaries.
-# Next round: rotate the back-27 forward again so driver coverage keeps cycling
-# (f4_first_wins_dedup, a1_pricing_summary, w2_topological_levels and
-# c_scalar_string_pack sit at #51-54 — pushed out when j7b/cdc_catalog_txn/
-# cdc_bloom_point_lookup/cdc_zorder_clustered_read/s5_excel_multisheet were
-# added; all four are double-green and pytest-covered).
+#   r1 window = first 43 in definition order; r2 window = first 50; r3 window
+#   = never-driver-green first (all 50 rows green, see CORRECTNESS_r03.json).
+#   r4 window (below): the 28 queries r3 rotated OUT plus the round-4
+#   additions (sim6_ivf_indexed_topk, m1b_real_codec_features) go first —
+#   after this round every registered query has a driver-green row within the
+#   last two rounds. The permanent canaries (w1_lww_latest_event,
+#   cdc_converged_state, f4_first_wins_dedup) stay in-window every round.
+#   The remaining slots re-verify r3-green queries whose implementation
+#   changed in round 4: the k-means recompute (sim3/sim4/sim5 share the
+#   refactored assignment), the real-codec dispatch (m1), the XLSX writer
+#   (s5/k3), and the file-stats pruning change in lake/stats.py (the whole
+#   cdc read/skipping family). Queries outside the window stay covered every
+#   run by tests/test_queries_parity.py at sf0.001.
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-green — round-1 FAILURES first (fixed in r2, must re-verify)
-    "d3_minhash_lsh_neardup",
-    "d4_simhash_neardup",
-    "d5b_embedding_lsh_neardup",
-    "sim2_ann_lsh_topk",
-    "sim3_ivf_assignments",
-    "j5way_regional_revenue",
-    "a9_rollup_order_totals",
-    # never driver-checked at all
-    "d6_dedup_components",
-    "sim5_ivf_topk",
-    "sim4_kmeans_refine",
-    "t7_decontamination",
-    "s9_paginated_scan",
-    "s10_child_page_scan",
-    "s11_html_scrape",
-    "k3_group_reports",
-    "k6_consent_emails",
-    "j7b_publisher_multiclass",  # new in r3 (full publisher registry)
-    "cdc_catalog_txn",  # new in r3 (multi-table atomic catalog commit)
-    "cdc_bloom_point_lookup",  # new in r3 (per-file bloom data skipping)
-    "cdc_zorder_clustered_read",  # new in r3 (clustered compaction)
-    # green in r1 only (re-verify on the current engine)
-    "d1_exact_duplicates",
-    "d2_ngram_jaccard",
-    "d5_embedding_cosine_pairs",
-    "sim1_cosine_topk",
-    "n1_common_model_identity",
-    "subq_above_brand_avg",
-    # green in r2 only (one green row so far)
-    "j1_broadcast_dim_join",
-    "t3_lang_id",
-    "a4_first_of_group",
-    "cdc_changes_feed",
-    "cdc_incremental_agg",
-    "cdc_inverted_index",
-    "cdc_mor_converged_state",
-    "cdc_stats_skipping_read",
-    "cdc_wap_guarded_publish",
-    "f9_deny_list_filter",
-    "f10_subtree_filter",
-    "j7_reference_rewrite",
-    "k2_ndjson_export",
-    "m1_multimodal_features",
-    "m2_frame_sample_plan",
-    "n2_multi_source_union",
-    # s5 proves the REAL xlsx branch of the same adapter s4 demoed with
-    # CSV (s4 is double-green r1+r2 and pytest-covered: rotated back)
-    "s5_excel_multisheet",
-    "t5_tumbling_window_counts",
-    "t6_repetition_signals",
-    "t8_pii_redaction",
-    "t9_hash_sample",
-    "t10_shard_packing",
-    # green in BOTH rounds — kept in-window as regression canaries
+    # round-4 additions — never driver-checked
+    "sim6_ivf_indexed_topk",
+    "m1b_real_codec_features",
+    # permanent canaries
     "w1_lww_latest_event",
     "cdc_converged_state",
     "f4_first_wins_dedup",
+    # rotated out in r3 (green in r1/r2) — back in the window
     "a1_pricing_summary",
     "w2_topological_levels",
     "c_scalar_string_pack",
+    "j2_inner_skip_join",
+    "j3_left_join_fallback",
+    "j6_self_join_link",
+    "anti_join_missing_dim",
+    "f2_filter_cascade",
+    "f3_keep_singletons",
+    "w6_rank_topn_per_group",
+    "a3_distinct_value_set",
+    "a1_group_minmax",
+    "a5_union_key_sets",
+    "u5_except_values",
+    "c8_year_extract",
+    "c_json_extract",
+    "s8_columnar_pivot",
+    "s4_style_scan",
+    "a2_group_collect_nested",
+    "c7_date_parse_fallback",
+    "j4_synonym_lookup",
+    "f8_exactly_one_gate",
+    "u34_array_intersect_except",
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t4_fingerprint",
+    # r3-green, re-verified because round 4 touched their code paths
+    "sim4_kmeans_refine",      # posexplode centroid recompute
+    "sim3_ivf_assignments",    # sample/assign refactor
+    "sim5_ivf_topk",           # shares assign_to_centroids
+    "sim1_cosine_topk",
+    "sim2_ann_lsh_topk",
+    "m1_multimodal_features",  # decode_features dispatch
+    "m2_frame_sample_plan",
+    "s5_excel_multisheet",     # XLSX writer hardening
+    "k3_group_reports",        # XLSX report branch
+    "cdc_stats_skipping_read",   # file_may_match evidence intersection
+    "cdc_bloom_point_lookup",
+    "cdc_zorder_clustered_read",
+    "cdc_wap_guarded_publish",
+    "cdc_catalog_txn",
+    "cdc_mor_converged_state",
+    "cdc_changes_feed",
+    "cdc_incremental_agg",
+    "cdc_inverted_index",
+    "k2_ndjson_export",
 ]
 
 
