@@ -104,14 +104,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--summarize", action="store_true")
     ap.add_argument("--rounds", type=int, default=4, help="repeats per level")
+    ap.add_argument(
+        "--levels", default=None,
+        help="comma-separated core counts (default all); e.g. --levels=2,8 "
+        "to top up a window-sensitive pair with extra repeats",
+    )
+    ap.add_argument("--round-base", type=int, default=0, help="round tag offset")
     args = ap.parse_args()
     if args.summarize:
         summarize()
         return
+    levels = (
+        tuple(int(x) for x in args.levels.split(",")) if args.levels else LEVELS
+    )
     gen_corpus()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    for rnd in range(args.rounds):
-        for cores in LEVELS:
+    for rnd in range(args.round_base, args.round_base + args.rounds):
+        for cores in levels:
             res = run_one(cores)
             with open(RUNS_FILE, "a") as fh:
                 fh.write(json.dumps({"cores": cores, "round": rnd, "result": res}) + "\n")
