@@ -37,21 +37,19 @@ from __future__ import annotations
 import json
 import math
 import os
-import re
 import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mex_extractors_spark.lake.index import last_indexed_version
 from mex_extractors_spark.lake.table import LakeTable
 from mex_extractors_spark.operators.similarity import (
     assign_to_centroids,
     cosine_topk,
     sample_centroids,
 )
-
-_BATCH_RE = re.compile(r"^ivf:v(\d+)->(\d+)$")
 
 
 @dataclass
@@ -86,6 +84,12 @@ class IvfIndex:
         self._centroids_file = os.path.join(
             self.table.ledger_dir, "ivf_centroids.json"
         )
+        # written after the build's clustered compaction succeeds; its
+        # absence on a build retry means the crash landed between the
+        # apply commit and the compaction, so the retry must re-cluster
+        self._clustered_file = os.path.join(
+            self.table.ledger_dir, "ivf_clustered.json"
+        )
 
     # ---------------------------------------------------------- centroids
 
@@ -108,12 +112,9 @@ class IvfIndex:
         )
 
     def last_indexed_version(self) -> int:
-        versions = [
-            int(m.group(2))
-            for b in self.table.applied_batches()
-            if (m := _BATCH_RE.match(b))
-        ]
-        return max(versions, default=0)
+        # shared with the inverted index: ONE parser for the
+        # `{prefix}:v{from}->{to}` exactly-once version window
+        return last_indexed_version(self.table, prefix="ivf")
 
     # --------------------------------------------------------------- build
 
@@ -132,12 +133,23 @@ class IvfIndex:
         no join back to the corpus), commit as a single exactly-once
         batch, then sort-cluster the files by ``centroid_id`` so probe
         reads prune. Idempotent: a re-build with the same
-        ``source_version`` hits the applied-batch no-op path."""
-        cent_rows = sample_centroids(
-            df, num_centroids, vec_col=self.vec_col, id_col=self.id_col
-        ).collect()
-        cents = sorted((int(r["_cid"]), list(r["_cvec"])) for r in cent_rows)
-        self._save_centroids(cents)
+        ``source_version`` hits the applied-batch no-op path — and the
+        frozen quantizer is NEVER overwritten there (a no-op that
+        resampled centroids from a drifted corpus would silently break
+        every stored assignment). A crash between the apply commit and
+        the clustered compaction is healed on retry: the compaction
+        marker is written only after the cluster rewrite succeeds."""
+        batch_id = f"ivf:v0->{source_version}"
+        already = batch_id in self.table.applied_batches()
+        if not already:
+            # pre-apply persist is crash-safe: the sample is a pure
+            # deterministic function of df, so a retry before the apply
+            # commit rewrites byte-identical centroids
+            cent_rows = sample_centroids(
+                df, num_centroids, vec_col=self.vec_col, id_col=self.id_col
+            ).collect()
+            cents = sorted((int(r["_cid"]), list(r["_cvec"])) for r in cent_rows)
+            self._save_centroids(cents)
         assigned = assign_to_centroids(
             df,
             self._centroids_df(spark),
@@ -153,13 +165,17 @@ class IvfIndex:
             F.lit(source_version).cast("long").alias("_src_version"),
             F.lit("U").alias("op"),
         )
-        st = self.table.apply_batch(spark, batch, f"ivf:v0->{source_version}")
-        if st.applied:
+        st = self.table.apply_batch(spark, batch, batch_id)
+        if st.applied or (already and not os.path.exists(self._clustered_file)):
             # one file per centroid-range: probe reads should touch
             # ~nprobe/num_centroids of the files, so split each bucket
-            # into ~num_centroids/num_buckets files by default
+            # into ~num_centroids/num_buckets files by default.
+            # events_in from the apply stats is the batch row count —
+            # no second pass over the corpus-sized assignment pipeline
+            # (on the no-op retry path it is 0, so fall back to the
+            # converged table count, a metadata-cheap read)
             if target_file_rows is None:
-                n = batch.count()
+                n = st.events_in or self.table.read(spark).count()
                 target_file_rows = max(
                     64, math.ceil(n / max(num_centroids, self.table.num_buckets))
                 )
@@ -170,6 +186,10 @@ class IvfIndex:
                 cluster_strategy="sort",
                 target_file_rows=target_file_rows,
             )
+            fd, tmp = tempfile.mkstemp(dir=self.table.ledger_dir, suffix=".json")
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"clustered_at_version": source_version}, fh)
+            os.replace(tmp, self._clustered_file)
         return IvfRefreshStats(0, source_version, full_build=True, applied=st.applied)
 
     # ------------------------------------------------------------- refresh

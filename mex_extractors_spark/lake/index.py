@@ -60,20 +60,30 @@ class IndexRefreshStats:
     applied: bool
 
 
-def last_indexed_version(index: LakeTable, at_version: int | None = None) -> int:
+def last_indexed_version(
+    index: LakeTable, at_version: int | None = None, prefix: str = "idx"
+) -> int:
     """Highest source version the index has absorbed (0 = never).
 
     ``at_version`` evaluates the question at a specific index snapshot
     instead of main — a catalog transaction MUST pass its own staged
     view here: main can lag the catalog pin (post-commit fast-forward
     is best-effort housekeeping), and a watermark read from stale main
-    would re-apply already-absorbed change ranges."""
+    would re-apply already-absorbed change ranges.
+
+    ``prefix`` names the batch-id family (``{prefix}:v{from}->{to}``):
+    every derived-table maintainer (the inverted index here, the IVF
+    ANN index in lake/ann.py) shares this one version-window parser so
+    the exactly-once fencing contract cannot silently diverge."""
+    pat = _BATCH_RE if prefix == "idx" else re.compile(
+        rf"^{re.escape(prefix)}:v(\d+)->(\d+)$"
+    )
     if at_version is not None:
         snap = index.snapshot_at(at_version) if at_version else None
         batches = snap["applied_batches"] if snap else []
     else:
         batches = index.applied_batches()
-    versions = [int(m.group(2)) for b in batches if (m := _BATCH_RE.match(b))]
+    versions = [int(m.group(2)) for b in batches if (m := pat.match(b))]
     return max(versions, default=0)
 
 

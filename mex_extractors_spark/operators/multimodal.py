@@ -117,6 +117,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     row_size = (w * 3 + 3) & ~3
     data = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=pixel_off
@@ -156,6 +158,10 @@ def decode_wav(payload: bytes) -> tuple[int, float, float, float, int]:
         if w.getnchannels() != 1 or w.getsampwidth() != 2:
             raise ValueError("only mono 16-bit PCM WAV supported")
         sr = w.getframerate()
+        if sr <= 0:
+            # crafted header: wave reads framerate=0 without complaint,
+            # but duration would divide by it
+            raise ValueError(f"invalid WAV sample rate {sr}")
         n = w.getnframes()
         s = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
     duration = n / sr
@@ -179,17 +185,31 @@ def decode_features(payload: bytes | None, kind: str, dim: int = 8) -> list[floa
 
     Vectors are truncated/zero-padded to ``dim`` so the output schema
     is stable across modalities.
+
+    The magic-byte sniff is a HINT, not a guarantee: arbitrary bytes
+    can start with ``BM`` (1 payload in 65,536 does) and every RIFF
+    container (WebP, AVI) shares the WAV magic. A failed decode of a
+    sniffed payload therefore falls through to the hash branch instead
+    of raising — one adversarial byte string must never kill a
+    corpus-scale extract job on every task retry.
     """
     if payload is None:
         raise ValueError("cannot decode a NULL payload")
     raw = bytes(payload)
+    feat = None
     if raw[:2] == b"BM":
-        w, h, mr, mg, mb = decode_bmp(raw)
-        feat = [float(w), float(h), mr, mg, mb, 3.0]
+        try:
+            w, h, mr, mg, mb = decode_bmp(raw)
+            feat = [float(w), float(h), mr, mg, mb, 3.0]
+        except (ValueError, struct.error):
+            feat = None  # not actually a parseable 24-bit BMP
     elif raw[:4] == b"RIFF":
-        n, duration, rms, zcr, sr = decode_wav(raw)
-        feat = [float(n), duration, rms, zcr, float(sr), 1.0]
-    else:
+        try:
+            n, duration, rms, zcr, sr = decode_wav(raw)
+            feat = [float(n), duration, rms, zcr, float(sr), 1.0]
+        except (ValueError, wave.Error, EOFError):
+            feat = None  # RIFF but not mono 16-bit PCM WAV
+    if feat is None:
         digest = hashlib.sha256(raw + kind.encode()).digest()
         feat = [byte / 255.0 for byte in digest[:dim]]
     return feat[:dim] + [0.0] * max(0, dim - len(feat))

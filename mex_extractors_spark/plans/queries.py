@@ -2598,6 +2598,7 @@ def sim5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  num_centroids=8, nprobe=3),
 )
 def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import hashlib
     import os
     import shutil
@@ -2607,9 +2608,18 @@ def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    # per-(sf_dir, pid) scratch dir: concurrent evaluators (parity
+    # pytest next to the correctness driver) must not rmtree each
+    # other's live index; reuse within one process keeps the build
+    # idempotent (applied-batch no-op), and atexit reclaims the disk.
+    # The returned DataFrame lazily scans these files, so cleanup must
+    # outlive the caller's collect — process exit, not function exit.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"ivf_idx_{tag}")
-    shutil.rmtree(idx_dir, ignore_errors=True)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(idx_dir):
+        atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
     idx = IvfIndex(idx_dir, num_buckets=4)
     idx.build(spark, e, num_centroids=8)
     return idx.topk(spark, qvec, k=10, nprobe=3)

@@ -121,3 +121,44 @@ def test_unbuilt_index_raises(spark, tmp_path):
     src = LakeTable(str(tmp_path / "src"), key_cols=["other_id"])
     with pytest.raises(ValueError, match="key_cols"):
         idx.refresh(spark, src)
+
+
+def test_rebuild_noop_never_clobbers_frozen_quantizer(spark, tmp_path):
+    """A re-build against a DRIFTED corpus (version not bumped) must hit
+    the exactly-once no-op path WITHOUT resampling the quantizer: saved
+    centroids from the drifted corpus + stored assignments from the
+    original one would silently probe the wrong inverted lists."""
+    df = _corpus(spark)
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(spark, df, num_centroids=8)
+    cents_before = idx.centroids()
+
+    drifted = df.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding")
+    )
+    st = idx.build(spark, drifted, num_centroids=8)  # same source_version
+    assert not st.applied
+    assert idx.centroids() == cents_before
+
+
+def test_build_retry_recovers_missing_compaction(spark, tmp_path):
+    """Crash between the apply commit and the clustered compaction: the
+    marker is absent, so the no-op retry must re-run the cluster rewrite
+    (otherwise probe reads prune nothing, forever)."""
+    import os
+
+    df = _corpus(spark, n=240)
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    idx.build(spark, df, num_centroids=8, target_file_rows=16)
+    assert os.path.exists(idx._clustered_file)
+
+    # simulate the crash window: batch applied, compaction marker lost
+    os.remove(idx._clustered_file)
+    st = idx.build(spark, df, num_centroids=8, target_file_rows=16)
+    assert not st.applied  # still exactly-once on the data
+    assert os.path.exists(idx._clustered_file)  # but re-clustered
+
+    # and the re-clustered files still prune
+    full = set(idx.table.read(spark).inputFiles())
+    probe_files = set(idx.probe_read(spark, idx.probe_ids(QVEC, 2)).inputFiles())
+    assert len(probe_files) <= len(full) / 2

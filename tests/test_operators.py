@@ -382,14 +382,35 @@ def test_real_codec_round_trip_and_dispatch():
     assert len(feat_hash) == 8 and all(0.0 <= v <= 1.0 for v in feat_hash)
     with pytest.raises(ValueError, match="NULL payload"):
         decode_features(None, "image")
-    with pytest.raises(ValueError, match="24-bit"):
-        # valid magic, unsupported encoding must fail loudly
-        import struct
 
-        bogus = b"BM" + struct.pack("<IHHI", 60, 0, 0, 54) + struct.pack(
-            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
-        ) + b"\x00" * 8
-        decode_features(bogus, "image")
+    # magic-byte FALSE POSITIVES must not kill a corpus-scale job:
+    # arbitrary bytes can start with 'BM' (1 in 65,536 sha payloads
+    # does) and WebP/AVI share the RIFF magic — each falls back to the
+    # hash feature instead of raising out of the task
+    import struct
+
+    def _is_hash_feat(feat: list[float]) -> bool:
+        return len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+
+    bogus_8bpp = b"BM" + struct.pack("<IHHI", 60, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
+    ) + b"\x00" * 8
+    assert _is_hash_feat(decode_features(bogus_8bpp, "image"))
+    assert _is_hash_feat(decode_features(b"BM" + b"\x07" * 30, "image"))
+    assert _is_hash_feat(decode_features(b"RIFF\x04\x00\x00\x00WEBP", "image"))
+    # crafted WAV header with sample_rate=0: stdlib wave parses it
+    # happily, so duration would divide by zero without the guard
+    zero_sr = (
+        b"RIFF$\x00\x00\x00WAVE"
+        + b"fmt \x10\x00\x00\x00"
+        + struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+        + b"data\x00\x00\x00\x00"
+    )
+    assert _is_hash_feat(decode_features(zero_sr, "audio"))
+    # the direct decoders still fail loudly (callers that KNOW the
+    # format keep the strict contract)
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bogus_8bpp)
 
 
 def test_synth_real_media_features(spark):
