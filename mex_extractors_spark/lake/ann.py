@@ -48,6 +48,7 @@ from mex_extractors_spark.lake.table import LakeTable
 from mex_extractors_spark.operators.similarity import (
     assign_to_centroids,
     cosine_topk,
+    derive_ivf_params,
     sample_centroids,
 )
 
@@ -122,7 +123,7 @@ class IvfIndex:
         self,
         spark: SparkSession,
         df: DataFrame,
-        num_centroids: int = 16,
+        num_centroids: int | None = 16,
         source_version: int = 1,
         target_file_rows: int | None = None,
     ) -> IvfRefreshStats:
@@ -138,7 +139,11 @@ class IvfIndex:
         resampled centroids from a drifted corpus would silently break
         every stored assignment). A crash between the apply commit and
         the clustered compaction is healed on retry: the compaction
-        marker is written only after the cluster rewrite succeeds."""
+        marker is written only after the cluster rewrite succeeds.
+        ``num_centroids=None`` derives ~√n lists from the corpus size
+        (:func:`...operators.similarity.derive_ivf_params`)."""
+        if num_centroids is None:
+            num_centroids = derive_ivf_params(df.count())[0]
         batch_id = f"ivf:v0->{source_version}"
         already = batch_id in self.table.applied_batches()
         if not already:

@@ -93,6 +93,32 @@ def derive_num_planes(corpus_size: int, target_bucket_size: int = 64) -> int:
     return max(4, min(24, math.ceil(math.log2(corpus_size / target_bucket_size))))
 
 
+def derive_ivf_params(corpus_size: int, recall_target: float = 0.9) -> tuple[int, int]:
+    """Corpus-size-driven IVF defaults ``(num_centroids, nprobe)``.
+
+    ``num_centroids ≈ √n`` balances the two costs a probe pays —
+    scoring n/num_centroids list members per probed list vs scoring
+    num_centroids centroids to pick the lists — so total work per
+    query is ~2·nprobe·√n. ``nprobe`` starts where the measured
+    recall/scan-fraction curve (BENCH/ANN.md, `scripts/
+    ann_recall_probe.py`) crosses the target on clustered corpora:
+    nprobe=2 of 64 centroids reached recall@10 = 0.91 scanning 3.4 %
+    of a 20k corpus; each doubling of nprobe roughly halves the missed
+    mass (0.72 → 0.91 → 0.96 → 0.99). Clamped so tiny corpora still
+    get ≥8 lists and nprobe never exceeds the list count.
+    """
+    import math
+
+    num_centroids = max(8, min(4096, round(math.sqrt(max(corpus_size, 1)))))
+    # measured baseline: nprobe=2 misses ~0.1 of the true top-k; each
+    # nprobe doubling at least halves the missed mass on clustered data
+    missed_at_2 = 0.1
+    missed_target = max(1e-6, 1.0 - min(recall_target, 0.999))
+    doublings = max(0, math.ceil(math.log2(missed_at_2 / missed_target) - 1e-9))
+    nprobe = min(num_centroids, 2 * 2**doublings)
+    return num_centroids, nprobe
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -352,8 +378,8 @@ def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | None = 16,
+    nprobe: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -370,9 +396,17 @@ def ivf_topk(
     The probe set is chosen DRIVER-side over the collected centroid
     sample (tiny by construction) and embedded as literals, so the
     candidate filter is a plain ``isin`` the optimizer can push down.
+
+    ``num_centroids=None`` / ``nprobe=None`` derive the measured
+    defaults from the corpus size (:func:`derive_ivf_params` — one
+    extra count job, metadata-cheap on parquet).
     """
     import math
 
+    if num_centroids is None or nprobe is None:
+        dc, dp = derive_ivf_params(df.count())
+        num_centroids = num_centroids if num_centroids is not None else dc
+        nprobe = nprobe if nprobe is not None else dp
     cent_rows = (
         df.select(
             F.col(id_col).alias("_cid"),

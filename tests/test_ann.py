@@ -123,6 +123,26 @@ def test_unbuilt_index_raises(spark, tmp_path):
         idx.refresh(spark, src)
 
 
+def test_build_with_derived_params(spark, tmp_path):
+    """num_centroids=None derives ~sqrt(n) lists from the corpus size
+    (the measured BENCH/ANN.md default), and the derived-build index
+    answers exactly like the inline operator given the same knobs."""
+    df = _corpus(spark, n=200)
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    st = idx.build(spark, df, num_centroids=None)
+    assert st.applied
+    assert len(idx.centroids()) == 14  # round(sqrt(200))
+
+    want = {
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.ivf_topk(
+            df, QVEC, k=5, num_centroids=14, nprobe=3
+        ).collect()
+    }
+    got = {(r.vec_id, r.cosine_sim) for r in idx.topk(spark, QVEC, k=5, nprobe=3).collect()}
+    assert got == want
+
+
 def test_rebuild_noop_never_clobbers_frozen_quantizer(spark, tmp_path):
     """A re-build against a DRIFTED corpus (version not bumped) must hit
     the exactly-once no-op path WITHOUT resampling the quantizer: saved

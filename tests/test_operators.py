@@ -574,3 +574,27 @@ def test_derive_num_planes_scales_with_corpus():
         if p < 24:
             assert n / 2**p <= 64
     assert derive_num_planes(2**60) == 24  # clamp documents the recall floor
+
+
+def test_derive_ivf_params_tracks_measured_curve():
+    """The IVF defaults must encode the measured recall/scan-fraction
+    curve (BENCH/ANN.md): num_centroids ~ sqrt(n) balances centroid
+    scoring vs list scanning, and nprobe starts at the measured
+    0.9-recall point (nprobe=2) with one doubling per halving of the
+    allowed missed mass."""
+    from mex_extractors_spark.operators.similarity import derive_ivf_params
+
+    c, p = derive_ivf_params(20_000)
+    assert c == 141 and p == 2  # sqrt(20k), the 0.91-recall@3.4%-scan point
+    assert derive_ivf_params(1_000_000)[0] == 1000
+    assert derive_ivf_params(10)[0] == 8  # tiny-corpus floor
+    assert derive_ivf_params(10**12)[0] == 4096  # cap: lists stay scannable
+    # recall ladder: each halving of missed mass doubles nprobe
+    assert derive_ivf_params(20_000, recall_target=0.95)[1] == 4
+    assert derive_ivf_params(20_000, recall_target=0.975)[1] == 8
+    # nprobe can never exceed the list count (probe-all == exact)
+    c, p = derive_ivf_params(70, recall_target=0.999)
+    assert p <= c
+    # per-query work 2*nprobe*sqrt(n) stays sublinear at 10^10 rows
+    c, p = derive_ivf_params(10**10)
+    assert c * p < 10**10 / 100
