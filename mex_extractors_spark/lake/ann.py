@@ -53,6 +53,20 @@ from mex_extractors_spark.operators.similarity import (
 )
 
 
+def _atomic_json(path: str, obj) -> None:
+    """Durable atomic JSON write: fsync BEFORE rename, like
+    ``LakeTable._write_ref``. Without the fsync a crash can leave an
+    empty file at the final path (delayed allocation) even though the
+    ledger — which does fsync — already shows the batch applied,
+    wedging the index with no code path that rewrites the file."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".json")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
 @dataclass
 class IvfRefreshStats:
     from_version: int
@@ -102,10 +116,7 @@ class IvfIndex:
             return [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(fh)]
 
     def _save_centroids(self, cents: list[tuple[int, list[float]]]) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.table.ledger_dir, suffix=".json")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(cents, fh)
-        os.replace(tmp, self._centroids_file)  # atomic on POSIX
+        _atomic_json(self._centroids_file, cents)
 
     def _centroids_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
@@ -172,30 +183,49 @@ class IvfIndex:
         )
         st = self.table.apply_batch(spark, batch, batch_id)
         if st.applied or (already and not os.path.exists(self._clustered_file)):
-            # one file per centroid-range: probe reads should touch
-            # ~nprobe/num_centroids of the files, so split each bucket
-            # into ~num_centroids/num_buckets files by default.
-            # events_in from the apply stats is the batch row count —
-            # no second pass over the corpus-sized assignment pipeline
-            # (on the no-op retry path it is 0, so fall back to the
-            # converged table count, a metadata-cheap read)
-            if target_file_rows is None:
-                n = st.events_in or self.table.read(spark).count()
-                target_file_rows = max(
-                    64, math.ceil(n / max(num_centroids, self.table.num_buckets))
-                )
-            self.table.compact(
-                spark,
-                min_files=1,
-                cluster_by=["centroid_id"],
-                cluster_strategy="sort",
-                target_file_rows=target_file_rows,
-            )
-            fd, tmp = tempfile.mkstemp(dir=self.table.ledger_dir, suffix=".json")
-            with os.fdopen(fd, "w") as fh:
-                json.dump({"clustered_at_version": source_version}, fh)
-            os.replace(tmp, self._clustered_file)
+            # recluster counts the CONVERGED table (metadata-cheap), not
+            # the corpus-sized assignment pipeline — one count covers
+            # both the file-split target and the churn baseline
+            self.recluster(spark, target_file_rows=target_file_rows)
         return IvfRefreshStats(0, source_version, full_build=True, applied=st.applied)
+
+    # ---------------------------------------------------------- recluster
+
+    def _cluster_state(self) -> dict:
+        if not os.path.exists(self._clustered_file):
+            return {"rows_at_cluster": 0, "churn_since": 0}
+        with open(self._clustered_file) as fh:
+            state = json.load(fh)
+        state.setdefault("rows_at_cluster", 0)
+        state.setdefault("churn_since", 0)
+        return state
+
+    def recluster(
+        self, spark: SparkSession, target_file_rows: int | None = None
+    ) -> None:
+        """Sort-cluster the index files by ``centroid_id`` so probe
+        reads prune, and reset the churn counter. ``build`` calls this
+        once; ``refresh`` re-triggers it automatically when accumulated
+        churn passes ``recluster_fraction`` of the clustered rows —
+        refreshed rows land in hash-bucketed files whose centroid range
+        spans everything, so WITHOUT periodic reclustering the
+        files-pruned property silently decays toward a full scan."""
+        num_centroids = len(self.centroids())
+        rows = self.table.read(spark).count()
+        if target_file_rows is None:
+            target_file_rows = max(
+                64, math.ceil(rows / max(num_centroids, self.table.num_buckets))
+            )
+        self.table.compact(
+            spark,
+            min_files=1,
+            cluster_by=["centroid_id"],
+            cluster_strategy="sort",
+            target_file_rows=target_file_rows,
+        )
+        _atomic_json(
+            self._clustered_file, {"rows_at_cluster": rows, "churn_since": 0}
+        )
 
     # ------------------------------------------------------------- refresh
 
@@ -205,12 +235,20 @@ class IvfIndex:
         source: LakeTable,
         to_version: int | None = None,
         num_centroids: int = 16,
+        recluster_fraction: float = 0.2,
     ) -> IvfRefreshStats:
         """Absorb the source table's changes since the last refresh:
         re-assign inserted/updated vectors against the frozen
         quantizer, tombstone deleted ids — O(changed vectors), the
         lake/index.py maintenance shape. The source must carry
-        ``self.vec_col``; its key must be ``[self.id_col]``."""
+        ``self.vec_col``; its key must be ``[self.id_col]``.
+
+        Refreshed rows land in hash-bucketed files, so once accumulated
+        churn exceeds ``recluster_fraction`` of the rows present at the
+        last clustering, the index is automatically re-sort-clustered
+        by ``centroid_id`` (see :meth:`recluster`); pass ``0`` to
+        recluster on every applied refresh or ``math.inf`` to manage
+        clustering manually."""
         if list(source.key_cols) != [self.id_col]:
             raise ValueError(
                 f"source key_cols must be [{self.id_col!r}], got {source.key_cols}"
@@ -231,6 +269,15 @@ class IvfIndex:
             return self.build(
                 spark, state, num_centroids=num_centroids, source_version=to_version
             )
+        if source.snapshot_at(last) is None:
+            # the last-indexed source snapshot was expired by retention
+            # — the CDF can't be computed from it, and the watermark
+            # stays high so the last==0 bootstrap is unreachable. Same
+            # recovery as lake/index.py's _full_rebuild, EXCEPT the
+            # frozen quantizer is kept (resampling it would invalidate
+            # untouched assignments): re-assign every live vector, and
+            # tombstone index entries whose id is no longer live.
+            return self._rebuild_assignments(spark, source, last, to_version)
         changes = source.read_changes(
             spark, from_version=last, to_version=to_version
         )
@@ -261,7 +308,66 @@ class IvfIndex:
         st = self.table.apply_batch(
             spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}"
         )
+        if st.applied:
+            self._track_churn(spark, st.upserts + st.deletes, recluster_fraction)
         return IvfRefreshStats(last, to_version, full_build=False, applied=st.applied)
+
+    def _track_churn(
+        self, spark: SparkSession, churn: int, recluster_fraction: float
+    ) -> None:
+        state = self._cluster_state()
+        state["churn_since"] += churn
+        if state["churn_since"] >= recluster_fraction * max(
+            state["rows_at_cluster"], 1
+        ):
+            self.recluster(spark)  # also resets the counter durably
+        else:
+            _atomic_json(self._clustered_file, state)
+
+    def _rebuild_assignments(
+        self, spark: SparkSession, source: LakeTable, last: int, to_version: int
+    ) -> IvfRefreshStats:
+        """Retention-expiry recovery: upsert assignments for every live
+        vector against the FROZEN quantizer plus deletes for stale
+        index ids, committed under the standard ``ivf:`` batch id so
+        the watermark advances and later refreshes go back to
+        incremental. O(corpus) — the price of expiring the CDF base."""
+        state = source.read(spark, version=to_version)
+        upserts = assign_to_centroids(
+            state,
+            self._centroids_df(spark),
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            keep_vec=True,
+        ).select(
+            F.col(self.id_col),
+            F.col("centroid_id").cast("long"),
+            F.col("l2_dist"),
+            F.col(self.vec_col),
+            F.lit(to_version).cast("long").alias("_src_version"),
+            F.lit("U").alias("op"),
+        )
+        stale = (
+            self.table.read(spark)
+            .select(self.id_col)
+            .join(state.select(self.id_col), on=self.id_col, how="left_anti")
+            .select(
+                F.col(self.id_col),
+                F.lit(None).cast("long").alias("centroid_id"),
+                F.lit(None).cast("double").alias("l2_dist"),
+                F.lit(None).cast("array<double>").alias(self.vec_col),
+                F.lit(to_version).cast("long").alias("_src_version"),
+                F.lit("D").alias("op"),
+            )
+        )
+        st = self.table.apply_batch(
+            spark, upserts.unionByName(stale), f"ivf:v{last}->{to_version}"
+        )
+        if st.applied:
+            # a full re-assign rewrites ~every file; recluster so the
+            # rebuilt index prunes like a fresh build
+            self.recluster(spark)
+        return IvfRefreshStats(last, to_version, full_build=True, applied=st.applied)
 
     # --------------------------------------------------------------- query
 

@@ -120,6 +120,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     if w <= 0 or h == 0:
         raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     row_size = (w * 3 + 3) & ~3
+    # bound-check BEFORE frombuffer: a crafted header declaring huge
+    # dimensions makes count overflow C ssize_t (OverflowError, which
+    # is NOT a decode error and would leak past decode_features'
+    # fall-through contract) — a truncated buffer is a ValueError here
+    if pixel_off < 0 or pixel_off + row_size * h > len(payload):
+        raise ValueError(
+            f"BMP pixel data truncated (declared {w}x{h}, "
+            f"need {row_size * h} bytes at offset {pixel_off})"
+        )
     data = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=pixel_off
     ).reshape(h, row_size)

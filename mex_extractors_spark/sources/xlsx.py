@@ -286,6 +286,17 @@ def xlsx_bytes(sheets: Mapping[str, pd.DataFrame]) -> bytes:
         'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
         "</Relationships>"
     )
+    for name in names:
+        # sheet names flow in from group values (write_group_reports),
+        # the same untrusted source as cell text — the same fail-loudly
+        # guard applies: quoteattr escapes quotes but cannot represent
+        # XML-1.0-forbidden control characters at all
+        if _XML_INVALID_RE.search(name):
+            bad = _XML_INVALID_RE.search(name).group(0)
+            raise ValueError(
+                f"XML-invalid control character {bad!r} in sheet name "
+                f"{name!r}; strip control characters before writing"
+            )
     sheet_tags = "".join(
         # quoteattr, not escape: escape() leaves '"' alone, and sheet
         # names (entity names from write_group_reports) may contain one

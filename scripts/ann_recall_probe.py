@@ -148,8 +148,12 @@ def eval_corpus(
     ).repartition(32).cache()
     df.count()
 
-    # deterministic query set: every (n // n_queries)-th corpus vector
-    q_idx = (np.arange(n_queries) * (n // n_queries)).astype(int)
+    # deterministic query set: every (n // n_queries)-th corpus vector.
+    # stride floor of 1 + unique: a corpus smaller than --queries must
+    # shrink the query set, not silently measure vector 0 twenty times
+    stride = max(1, n // n_queries)
+    q_idx = np.unique((np.arange(min(n_queries, n)) * stride) % n)
+    n_queries = len(q_idx)
     queries = mat[q_idx]
     truth = [exact_topk_ids(mat, ids, q, K) for q in queries]
 

@@ -114,6 +114,91 @@ def test_refresh_incremental_with_frozen_quantizer(spark, tmp_path):
     assert idx.table.current_snapshot()["version"] == v
 
 
+def test_refresh_recovers_from_expired_cdf_base(spark, tmp_path):
+    """Retention expiring the last-indexed source snapshot must NOT
+    wedge the index: refresh falls back to a full re-assignment of the
+    current state against the FROZEN quantizer (the lake/index.py
+    _full_rebuild analog), tombstones stale ids, and advances the
+    watermark so later refreshes go back to incremental."""
+    src = LakeTable(str(tmp_path / "src"), key_cols=["vec_id"], num_buckets=2)
+    base = _corpus(spark, n=120).withColumn("seq", F.col("vec_id") + 1).withColumn(
+        "op", F.lit("U")
+    )
+    src.apply_batch(spark, base, "b1")
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    idx.refresh(spark, src, num_centroids=6)
+    cents_before = idx.centroids()
+
+    # source moves on: one update + one delete + one insert, then
+    # retention expires everything but the newest snapshot
+    ch = spark.createDataFrame(
+        [(3, [x + 1.0 for x in _vec(3)], 1003, "U"), (9, _vec(9), 1009, "D"),
+         (900, _vec(900), 1900, "U")],
+        "vec_id long, embedding array<double>, seq long, op string",
+    )
+    src.apply_batch(spark, ch, "b2")
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        src.read_changes(spark, from_version=1, to_version=2)  # CDF base gone
+
+    st = idx.refresh(spark, src)
+    assert st.applied and st.full_build
+    assert idx.centroids() == cents_before  # quantizer NEVER resampled
+
+    cent_df = spark.createDataFrame(cents_before, "_cid long, _cvec array<double>")
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.assign_to_centroids(src.read(spark), cent_df).collect()
+    }
+    got = {(r.vec_id, r.centroid_id) for r in idx.table.read(spark).collect()}
+    assert got == want
+    assert not any(v == 9 for v, _c in got)  # stale id tombstoned
+    assert any(v == 900 for v, _c in got)
+
+    # watermark advanced: replaying the same range is a fenced no-op
+    assert not idx.refresh(spark, src).applied
+
+
+def test_refresh_churn_triggers_recluster(spark, tmp_path):
+    """Refreshed rows land in hash-bucketed (unclustered) files; once
+    churn passes recluster_fraction the index must re-sort-cluster so
+    probe pruning doesn't silently decay toward a full scan."""
+    src = LakeTable(str(tmp_path / "src"), key_cols=["vec_id"], num_buckets=2)
+    base = _corpus(spark, n=200).withColumn("seq", F.col("vec_id") + 1).withColumn(
+        "op", F.lit("U")
+    )
+    src.apply_batch(spark, base, "b1")
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    idx.refresh(spark, src, num_centroids=8)
+
+    # churn 80/200 vectors (> the 0.2 default fraction): the refresh
+    # itself must trigger the recluster, restoring the pruning property
+    moved = spark.createDataFrame(
+        [(i, [x + 3.0 for x in _vec(i)], 1000 + i, "U") for i in range(80)],
+        "vec_id long, embedding array<double>, seq long, op string",
+    )
+    src.apply_batch(spark, moved, "b2")
+    st = idx.refresh(spark, src)
+    assert st.applied
+    assert idx._cluster_state()["churn_since"] == 0  # recluster ran
+
+    full = set(idx.table.read(spark).inputFiles())
+    probe_files = set(idx.probe_read(spark, idx.probe_ids(QVEC, 2)).inputFiles())
+    assert len(probe_files) <= len(full) / 2, (len(probe_files), len(full))
+
+    # below-threshold churn only accumulates (no rewrite storm)
+    small = spark.createDataFrame(
+        [(0, [x - 1.0 for x in _vec(0)], 5000, "U")],
+        "vec_id long, embedding array<double>, seq long, op string",
+    )
+    src.apply_batch(spark, small, "b3")
+    files_before = set(idx.table.read(spark).inputFiles())
+    idx.refresh(spark, src)
+    assert idx._cluster_state()["churn_since"] == 1
+    # the one churned row rewrote only its own bucket, not the table
+    assert len(files_before & set(idx.table.read(spark).inputFiles())) > 0
+
+
 def test_unbuilt_index_raises(spark, tmp_path):
     idx = IvfIndex(str(tmp_path / "ivf"))
     with pytest.raises(ValueError, match="never built"):

@@ -407,6 +407,17 @@ def test_real_codec_round_trip_and_dispatch():
         + b"data\x00\x00\x00\x00"
     )
     assert _is_hash_feat(decode_features(zero_sr, "audio"))
+    # crafted BMP declaring ~2^31 x 2^31 pixels: frombuffer's count
+    # would overflow C ssize_t (OverflowError — NOT a decode error, so
+    # it would leak past the fall-through) unless dimensions are
+    # bounds-checked against the actual payload first
+    huge = b"BM" + struct.pack("<IHHI", 60, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2**31 - 1, 2**31 - 1, 1, 24, 0, 4, 0, 0, 0, 0
+    ) + b"\x00" * 8
+    assert _is_hash_feat(decode_features(huge, "image"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(huge)
+
     # the direct decoders still fail loudly (callers that KNOW the
     # format keep the strict contract)
     with pytest.raises(ValueError, match="24-bit"):

@@ -88,6 +88,11 @@ def test_xml_invalid_control_char_fails_loudly():
     # \t \n \r are XML-legal and must still round-trip
     out = read_xlsx(xlsx_bytes({"s": pd.DataFrame({"a": ["tab\there"]})}))
     assert out.loc[0, "a"] == "tab\there"
+    # sheet NAMES come from the same untrusted group values as cells:
+    # quoteattr cannot represent XML-forbidden control chars, so the
+    # same fail-loudly guard must cover them (silent corruption class)
+    with pytest.raises(ValueError, match="sheet name"):
+        xlsx_bytes({"bad\x0bname": pd.DataFrame({"a": [1]})})
 
 
 def test_nonfinite_float_fails_loudly():
