@@ -106,6 +106,30 @@ class IvfIndex:
             self.table.ledger_dir, "ivf_clustered.json"
         )
 
+    @classmethod
+    def from_table(cls, table: LakeTable, vec_col: str = "embedding") -> "IvfIndex":
+        """Wrap an EXISTING LakeTable (e.g. one registered in a
+        LakeCatalog) as an IVF index, so catalog transactions can stage
+        ANN refreshes on the same table object whose branch refs and
+        pins the transaction manages."""
+        if (
+            len(table.key_cols) != 1
+            or table.seq_col != "_src_version"
+            or "centroid_id" not in table.stats_cols
+        ):
+            raise ValueError(
+                "ANN index table needs exactly one key column, "
+                "seq_col='_src_version' and centroid_id in stats_cols "
+                f"(got {table.key_cols}, {table.seq_col!r}, {table.stats_cols})"
+            )
+        self = cls.__new__(cls)
+        self.id_col = table.key_cols[0]
+        self.vec_col = vec_col
+        self.table = table
+        self._centroids_file = os.path.join(table.ledger_dir, "ivf_centroids.json")
+        self._clustered_file = os.path.join(table.ledger_dir, "ivf_clustered.json")
+        return self
+
     # ---------------------------------------------------------- centroids
 
     def centroids(self) -> list[tuple[int, list[float]]]:
@@ -123,10 +147,22 @@ class IvfIndex:
             self.centroids(), "_cid long, _cvec array<double>"
         )
 
-    def last_indexed_version(self) -> int:
+    def last_indexed_version(self, at_version: int | None = None) -> int:
         # shared with the inverted index: ONE parser for the
-        # `{prefix}:v{from}->{to}` exactly-once version window
-        return last_indexed_version(self.table, prefix="ivf")
+        # `{prefix}:v{from}->{to}` exactly-once version window;
+        # ``at_version`` evaluates at a branch head instead of main
+        # (transactions MUST pass their staged view — see lake/index.py)
+        return last_indexed_version(self.table, at_version=at_version, prefix="ivf")
+
+    def _applied_at(self, branch: str | None) -> set[str]:
+        """Applied batch ids at the branch head (main when no branch)."""
+        if branch is None:
+            return self.table.applied_batches()
+        head = self.table.resolve_ref(branch)
+        if not head:
+            return set()
+        snap = self.table.snapshot_at(head)
+        return set(snap["applied_batches"]) if snap else set()
 
     # --------------------------------------------------------------- build
 
@@ -137,6 +173,7 @@ class IvfIndex:
         num_centroids: int | None = 16,
         source_version: int = 1,
         target_file_rows: int | None = None,
+        branch: str | None = None,
     ) -> IvfRefreshStats:
         """One-shot index build from a static corpus DataFrame: freeze
         the quantizer (deterministic md5 sample — the same closed-form
@@ -152,11 +189,14 @@ class IvfIndex:
         the clustered compaction is healed on retry: the compaction
         marker is written only after the cluster rewrite succeeds.
         ``num_centroids=None`` derives ~√n lists from the corpus size
-        (:func:`...operators.similarity.derive_ivf_params`)."""
+        (:func:`...operators.similarity.derive_ivf_params`). ``branch``
+        stages the batch on a txn branch (catalog composition); the
+        physical clustering pass is skipped there — layout maintenance
+        runs on main, post-commit (see :meth:`recluster`)."""
         if num_centroids is None:
             num_centroids = derive_ivf_params(df.count())[0]
         batch_id = f"ivf:v0->{source_version}"
-        already = batch_id in self.table.applied_batches()
+        already = batch_id in self._applied_at(branch)
         if not already:
             # pre-apply persist is crash-safe: the sample is a pure
             # deterministic function of df, so a retry before the apply
@@ -181,8 +221,10 @@ class IvfIndex:
             F.lit(source_version).cast("long").alias("_src_version"),
             F.lit("U").alias("op"),
         )
-        st = self.table.apply_batch(spark, batch, batch_id)
-        if st.applied or (already and not os.path.exists(self._clustered_file)):
+        st = self.table.apply_batch(spark, batch, batch_id, branch=branch)
+        if branch is None and (
+            st.applied or (already and not os.path.exists(self._clustered_file))
+        ):
             # recluster counts the CONVERGED table (metadata-cheap), not
             # the corpus-sized assignment pipeline — one count covers
             # both the file-split target and the churn baseline
@@ -234,8 +276,9 @@ class IvfIndex:
         spark: SparkSession,
         source: LakeTable,
         to_version: int | None = None,
-        num_centroids: int = 16,
+        num_centroids: int | None = 16,
         recluster_fraction: float = 0.2,
+        branch: str | None = None,
     ) -> IvfRefreshStats:
         """Absorb the source table's changes since the last refresh:
         re-assign inserted/updated vectors against the frozen
@@ -248,17 +291,27 @@ class IvfIndex:
         last clustering, the index is automatically re-sort-clustered
         by ``centroid_id`` (see :meth:`recluster`); pass ``0`` to
         recluster on every applied refresh or ``math.inf`` to manage
-        clustering manually."""
+        clustering manually.
+
+        ``branch`` stages the index batch on a txn branch instead of
+        main, exactly like ``refresh_inverted_index`` — state apply and
+        ANN refresh become ONE atomic catalog commit (see
+        ``LakeCatalog.transaction().refresh_ann``). The watermark is
+        then read from the BRANCH head, never stale main, and churn
+        tracking / reclustering is deferred to main (physical layout is
+        not transactional state)."""
         if list(source.key_cols) != [self.id_col]:
             raise ValueError(
                 f"source key_cols must be [{self.id_col!r}], got {source.key_cols}"
             )
-        cur = source.current_snapshot()
-        if cur is None:
-            return IvfRefreshStats(0, 0, full_build=False, applied=False)
         if to_version is None:
+            cur = source.current_snapshot()
+            if cur is None:
+                return IvfRefreshStats(0, 0, full_build=False, applied=False)
             to_version = cur["version"]
-        last = self.last_indexed_version()
+        last = self.last_indexed_version(
+            at_version=self.table.resolve_ref(branch) if branch is not None else None
+        )
         if to_version <= last:
             return IvfRefreshStats(last, to_version, full_build=False, applied=False)
         if last == 0:
@@ -267,7 +320,11 @@ class IvfIndex:
             # quantizer is frozen in the centroids file)
             state = source.read(spark, version=to_version)
             return self.build(
-                spark, state, num_centroids=num_centroids, source_version=to_version
+                spark,
+                state,
+                num_centroids=num_centroids,
+                source_version=to_version,
+                branch=branch,
             )
         if source.snapshot_at(last) is None:
             # the last-indexed source snapshot was expired by retention
@@ -277,7 +334,9 @@ class IvfIndex:
             # frozen quantizer is kept (resampling it would invalidate
             # untouched assignments): re-assign every live vector, and
             # tombstone index entries whose id is no longer live.
-            return self._rebuild_assignments(spark, source, last, to_version)
+            return self._rebuild_assignments(
+                spark, source, last, to_version, branch=branch
+            )
         changes = source.read_changes(
             spark, from_version=last, to_version=to_version
         )
@@ -306,9 +365,10 @@ class IvfIndex:
             F.lit("D").alias("op"),
         )
         st = self.table.apply_batch(
-            spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}"
+            spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}",
+            branch=branch,
         )
-        if st.applied:
+        if st.applied and branch is None:
             self._track_churn(spark, st.upserts + st.deletes, recluster_fraction)
         return IvfRefreshStats(last, to_version, full_build=False, applied=st.applied)
 
@@ -325,7 +385,12 @@ class IvfIndex:
             _atomic_json(self._clustered_file, state)
 
     def _rebuild_assignments(
-        self, spark: SparkSession, source: LakeTable, last: int, to_version: int
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        last: int,
+        to_version: int,
+        branch: str | None = None,
     ) -> IvfRefreshStats:
         """Retention-expiry recovery: upsert assignments for every live
         vector against the FROZEN quantizer plus deletes for stale
@@ -348,7 +413,7 @@ class IvfIndex:
             F.lit("U").alias("op"),
         )
         stale = (
-            self.table.read(spark)
+            self.table.read(spark, ref=branch)  # ref=None reads main
             .select(self.id_col)
             .join(state.select(self.id_col), on=self.id_col, how="left_anti")
             .select(
@@ -361,9 +426,10 @@ class IvfIndex:
             )
         )
         st = self.table.apply_batch(
-            spark, upserts.unionByName(stale), f"ivf:v{last}->{to_version}"
+            spark, upserts.unionByName(stale), f"ivf:v{last}->{to_version}",
+            branch=branch,
         )
-        if st.applied:
+        if st.applied and branch is None:
             # a full re-assign rewrites ~every file; recluster so the
             # rebuilt index prunes like a fresh build
             self.recluster(spark)

@@ -425,6 +425,35 @@ class LakeTransaction:
             branch=self._branch_for(index_name),
         )
 
+    def refresh_ann(
+        self,
+        spark: SparkSession,
+        source_name: str,
+        index_name: str,
+        vec_col: str = "embedding",
+        num_centroids: int | None = 16,
+    ) -> "IvfRefreshStats":
+        """Stage an IVF ANN-index refresh INSIDE this transaction (the
+        :class:`~mex_extractors_spark.lake.ann.IvfIndex` analog of
+        :meth:`refresh_index`): assignments are brought up to the
+        transaction's view of the source on the index's txn branch, so
+        vector state and search index move in ONE atomic catalog
+        commit. Physical clustering is deferred — run
+        ``IvfIndex.from_table(...).recluster(spark)`` after commit, or
+        let the next non-transactional refresh's churn trigger it."""
+        from mex_extractors_spark.lake.ann import IvfIndex
+
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        idx = IvfIndex.from_table(self.catalog.table(index_name), vec_col=vec_col)
+        return idx.refresh(
+            spark,
+            self.catalog.table(source_name),
+            to_version=self.head(source_name),
+            num_centroids=num_centroids,
+            branch=self._branch_for(index_name),
+        )
+
     def refresh_view(self, spark: SparkSession, source_name: str,
                      derived_name: str, group_cols, **kwargs) -> "RefreshStats":
         """Stage a derived-aggregate refresh inside this transaction

@@ -652,3 +652,121 @@ def test_replay_commit_conflict_retries_on_new_head(spark, cat_idx):
     # retried transaction forked from the interloper's head: linear log
     hist = cat_idx.history()
     assert [h["parent"] for h in hist] == [None, *range(1, len(hist))]
+
+
+def _vec8(i, shift=0.0):
+    return [((i * 31 + j * 7) % 17 - 8) / 8.0 + shift for j in range(8)]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, seq long, op string"
+    )
+
+
+@pytest.fixture()
+def cat_ann(tmp_path):
+    c = LakeCatalog(str(tmp_path / "lake"))
+    c.register(
+        "vecs",
+        LakeTable(str(tmp_path / "lake/vecs"), key_cols=["vec_id"], num_buckets=2),
+    )
+    c.register(
+        "ann",
+        LakeTable(
+            str(tmp_path / "lake/ann"),
+            key_cols=["vec_id"],
+            seq_col="_src_version",
+            op_col="op",
+            num_buckets=2,
+            stats_cols=["centroid_id"],
+        ),
+    )
+    return c
+
+
+def test_txn_ann_refresh_moves_atomically(spark, cat_ann):
+    """Vector state apply + IVF index refresh in ONE transaction (the
+    refresh_index analog for the ANN index): after commit the persisted
+    assignments equal a fresh assignment of the committed state against
+    the frozen quantizer; an aborted follow-up touches neither table;
+    the re-staged commit lands the incremental diff with tombstones."""
+    from mex_extractors_spark.lake.ann import IvfIndex
+    from mex_extractors_spark.operators.similarity import assign_to_centroids
+
+    with cat_ann.transaction() as t1:
+        t1.apply_batch(
+            spark, "vecs",
+            _vecs(spark, [(i, _vec8(i), i + 1, "U") for i in range(60)]),
+            "b1",
+        )
+        st = t1.refresh_ann(spark, "vecs", "ann", num_centroids=6)
+        assert st.applied and st.full_build
+        t1.commit()
+
+    idx = IvfIndex.from_table(cat_ann.table("ann"))
+    cents = idx.centroids()
+    assert len(cents) == 6
+    cent_df = spark.createDataFrame(cents, "_cid long, _cvec array<double>")
+
+    def oracle():
+        return sorted(
+            (r.vec_id, r.centroid_id)
+            for r in assign_to_centroids(
+                cat_ann.read(spark, "vecs"), cent_df
+            ).collect()
+        )
+
+    def got():
+        return sorted(
+            (r.vec_id, r.centroid_id)
+            for r in cat_ann.read(spark, "ann").select(
+                "vec_id", "centroid_id"
+            ).collect()
+        )
+
+    committed = got()
+    assert committed == oracle() and len(committed) == 60
+
+    # staged move + delete + insert, then ABORT: both tables unchanged
+    txn = cat_ann.transaction()
+    txn.apply_batch(
+        spark, "vecs",
+        _vecs(spark, [(3, _vec8(3, 2.0), 103, "U"), (7, None, 107, "D"),
+                      (90, _vec8(90), 190, "U")]),
+        "b2",
+    )
+    st2 = txn.refresh_ann(spark, "vecs", "ann")
+    assert st2.applied and not st2.full_build  # incremental, on the branch
+    txn.abort()
+    assert got() == committed
+    assert cat_ann.read(spark, "vecs").count() == 60
+
+    # re-staged and committed: diff lands, quantizer still frozen
+    with cat_ann.transaction() as t3:
+        t3.apply_batch(
+            spark, "vecs",
+            _vecs(spark, [(3, _vec8(3, 2.0), 103, "U"), (7, None, 107, "D"),
+                          (90, _vec8(90), 190, "U")]),
+            "b2",
+        )
+        st3 = t3.refresh_ann(spark, "vecs", "ann")
+        assert st3.applied and not st3.full_build
+        t3.commit()
+    assert idx.centroids() == cents
+    after = got()
+    assert after == oracle() and len(after) == 60  # -1 delete +1 insert
+    assert not any(v == 7 for v, _c in after)
+    assert any(v == 90 for v, _c in after)
+
+    # replaying the SAME world is a fenced no-op inside a txn too
+    with cat_ann.transaction() as t4:
+        st4 = t4.refresh_ann(spark, "vecs", "ann")
+        assert not st4.applied
+        t4.abort()
+
+    # post-commit layout maintenance: recluster on main, probes prune
+    idx.recluster(spark, target_file_rows=16)
+    full = set(idx.table.read(spark).inputFiles())
+    probe = idx.probe_read(spark, idx.probe_ids(_vec8(3), 2)).inputFiles()
+    assert len(set(probe)) <= len(full)
