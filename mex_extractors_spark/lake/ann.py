@@ -229,6 +229,10 @@ class IvfIndex:
             # the corpus-sized assignment pipeline — one count covers
             # both the file-split target and the churn baseline
             self.recluster(spark, target_file_rows=target_file_rows)
+        elif branch is not None and st.applied:
+            # deferred: the whole bootstrap is pending churn, so the
+            # post-commit maybe_recluster fires unconditionally
+            self._track_churn(spark, st.events_in, 0.0, defer=True)
         return IvfRefreshStats(0, source_version, full_build=True, applied=st.applied)
 
     # ---------------------------------------------------------- recluster
@@ -297,9 +301,11 @@ class IvfIndex:
         main, exactly like ``refresh_inverted_index`` — state apply and
         ANN refresh become ONE atomic catalog commit (see
         ``LakeCatalog.transaction().refresh_ann``). The watermark is
-        then read from the BRANCH head, never stale main, and churn
-        tracking / reclustering is deferred to main (physical layout is
-        not transactional state)."""
+        then read from the BRANCH head, never stale main; churn still
+        COUNTS toward the recluster threshold but the rewrite itself is
+        deferred to main (physical layout is not transactional state) —
+        run :meth:`maybe_recluster` after commit, or let the next
+        non-transactional refresh trigger it."""
         if list(source.key_cols) != [self.id_col]:
             raise ValueError(
                 f"source key_cols must be [{self.id_col!r}], got {source.key_cols}"
@@ -368,21 +374,50 @@ class IvfIndex:
             spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}",
             branch=branch,
         )
-        if st.applied and branch is None:
-            self._track_churn(spark, st.upserts + st.deletes, recluster_fraction)
+        if st.applied:
+            self._track_churn(
+                spark,
+                st.upserts + st.deletes,
+                recluster_fraction,
+                # a BRANCH refresh counts its churn (an all-transactional
+                # workload must still accumulate toward the recluster
+                # threshold) but defers the rewrite itself to main — an
+                # abort then merely overcounts, which only ever triggers
+                # an EARLY recluster, never a missed one
+                defer=branch is not None,
+            )
         return IvfRefreshStats(last, to_version, full_build=False, applied=st.applied)
 
     def _track_churn(
-        self, spark: SparkSession, churn: int, recluster_fraction: float
+        self,
+        spark: SparkSession,
+        churn: int,
+        recluster_fraction: float,
+        defer: bool = False,
     ) -> None:
         state = self._cluster_state()
         state["churn_since"] += churn
-        if state["churn_since"] >= recluster_fraction * max(
+        if not defer and state["churn_since"] >= recluster_fraction * max(
             state["rows_at_cluster"], 1
         ):
             self.recluster(spark)  # also resets the counter durably
         else:
             _atomic_json(self._clustered_file, state)
+
+    def maybe_recluster(
+        self, spark: SparkSession, recluster_fraction: float = 0.2
+    ) -> bool:
+        """Post-commit maintenance hook: recluster only if accumulated
+        churn (including churn counted by transactional refreshes,
+        which defer the rewrite) has passed the threshold. Returns
+        whether a recluster ran. Cheap when it doesn't: one JSON read."""
+        state = self._cluster_state()
+        if state["churn_since"] >= recluster_fraction * max(
+            state["rows_at_cluster"], 1
+        ):
+            self.recluster(spark)
+            return True
+        return False
 
     def _rebuild_assignments(
         self,
@@ -429,10 +464,17 @@ class IvfIndex:
             spark, upserts.unionByName(stale), f"ivf:v{last}->{to_version}",
             branch=branch,
         )
-        if st.applied and branch is None:
-            # a full re-assign rewrites ~every file; recluster so the
-            # rebuilt index prunes like a fresh build
-            self.recluster(spark)
+        if st.applied:
+            if branch is None:
+                # a full re-assign rewrites ~every file; recluster so
+                # the rebuilt index prunes like a fresh build
+                self.recluster(spark)
+            else:
+                # deferred: count the full rewrite as churn so the
+                # post-commit maybe_recluster fires unconditionally
+                self._track_churn(
+                    spark, st.upserts + st.deletes, 0.0, defer=True
+                )
         return IvfRefreshStats(last, to_version, full_build=True, applied=st.applied)
 
     # --------------------------------------------------------------- query

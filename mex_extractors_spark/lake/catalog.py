@@ -438,9 +438,9 @@ class LakeTransaction:
         :meth:`refresh_index`): assignments are brought up to the
         transaction's view of the source on the index's txn branch, so
         vector state and search index move in ONE atomic catalog
-        commit. Physical clustering is deferred — run
-        ``IvfIndex.from_table(...).recluster(spark)`` after commit, or
-        let the next non-transactional refresh's churn trigger it."""
+        commit. Physical clustering is deferred (churn still counts) —
+        run ``IvfIndex.from_table(...).maybe_recluster(spark)`` after
+        commit, or let the next non-transactional refresh trigger it."""
         from mex_extractors_spark.lake.ann import IvfIndex
 
         if self._done:

@@ -728,6 +728,11 @@ def test_txn_ann_refresh_moves_atomically(spark, cat_ann):
     committed = got()
     assert committed == oracle() and len(committed) == 60
 
+    # the branch build deferred clustering; post-commit maintenance
+    # must see the full bootstrap as pending churn and fire immediately
+    assert idx.maybe_recluster(spark)
+    assert idx._cluster_state() == {"rows_at_cluster": 60, "churn_since": 0}
+
     # staged move + delete + insert, then ABORT: both tables unchanged
     txn = cat_ann.transaction()
     txn.apply_batch(
@@ -765,8 +770,17 @@ def test_txn_ann_refresh_moves_atomically(spark, cat_ann):
         assert not st4.applied
         t4.abort()
 
-    # post-commit layout maintenance: recluster on main, probes prune
-    idx.recluster(spark, target_file_rows=16)
+    # txn refreshes DEFER the recluster but still COUNT churn (an
+    # all-transactional workload must not silently decay pruning);
+    # the aborted txn's overcount is benign — early recluster only
+    churn = idx._cluster_state()["churn_since"]
+    assert churn >= 3  # t3's 2 upserts + 1 tombstone (+= abort overcount)
+
+    # post-commit maintenance: below threshold -> no-op, above -> rewrite
+    assert not idx.maybe_recluster(spark, recluster_fraction=0.5)
+    assert idx._cluster_state()["churn_since"] == churn
+    assert idx.maybe_recluster(spark, recluster_fraction=0.01)
+    assert idx._cluster_state()["churn_since"] == 0
     full = set(idx.table.read(spark).inputFiles())
     probe = idx.probe_read(spark, idx.probe_ids(_vec8(3), 2)).inputFiles()
     assert len(set(probe)) <= len(full)
