@@ -43,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mex_extractors_spark.lake.index import last_indexed_version
+from mex_extractors_spark.lake.index import applied_batches_at, last_indexed_version
 from mex_extractors_spark.lake.table import LakeTable
 from mex_extractors_spark.operators.similarity import (
     assign_to_centroids,
@@ -115,12 +115,17 @@ class IvfIndex:
         if (
             len(table.key_cols) != 1
             or table.seq_col != "_src_version"
+            or table.op_col != "op"
             or "centroid_id" not in table.stats_cols
         ):
+            # op_col matters: refresh emits literal 'op' columns whose
+            # 'D' markers a table with a different op_col would treat
+            # as payload — deletes would silently stop tombstoning
             raise ValueError(
                 "ANN index table needs exactly one key column, "
-                "seq_col='_src_version' and centroid_id in stats_cols "
-                f"(got {table.key_cols}, {table.seq_col!r}, {table.stats_cols})"
+                "seq_col='_src_version', op_col='op' and centroid_id in "
+                f"stats_cols (got {table.key_cols}, {table.seq_col!r}, "
+                f"{table.op_col!r}, {table.stats_cols})"
             )
         self = cls.__new__(cls)
         self.id_col = table.key_cols[0]
@@ -132,15 +137,57 @@ class IvfIndex:
 
     # ---------------------------------------------------------- centroids
 
-    def centroids(self) -> list[tuple[int, list[float]]]:
-        """The frozen coarse quantizer: [(centroid_id, vector)]."""
+    def _quantizer_doc(self) -> dict:
         if not os.path.exists(self._centroids_file):
             raise ValueError(f"IVF index at {self.table.path} was never built")
         with open(self._centroids_file) as fh:
-            return [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(fh)]
+            doc = json.load(fh)
+        if isinstance(doc, list):  # legacy format: bare centroid list
+            return {"built_at_version": None, "centroids": doc}
+        return doc
 
-    def _save_centroids(self, cents: list[tuple[int, list[float]]]) -> None:
-        _atomic_json(self._centroids_file, cents)
+    def centroids(self) -> list[tuple[int, list[float]]]:
+        """The frozen coarse quantizer: [(centroid_id, vector)]."""
+        return [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in self._quantizer_doc()["centroids"]
+        ]
+
+    def _save_centroids(
+        self, cents: list[tuple[int, list[float]]], built_at: int
+    ) -> None:
+        # built_at records WHICH bootstrap this quantizer belongs to —
+        # the provenance that makes a concurrent-bootstrap clobber
+        # detectable (see _check_quantizer)
+        _atomic_json(
+            self._centroids_file,
+            {"built_at_version": built_at, "centroids": cents},
+        )
+
+    def _check_quantizer(self, applied: set[str]) -> None:
+        """Fail LOUDLY if the saved quantizer's provenance disagrees
+        with the committed bootstrap batch. Two transactions racing to
+        bootstrap the same index at different source versions can leave
+        the loser's centroids file next to the winner's committed
+        assignments (the file write is outside the catalog CAS);
+        serving probes from the wrong quantizer would silently miss
+        true neighbors, so the mismatch must be an error."""
+        built_at = self._quantizer_doc()["built_at_version"]
+        if built_at is None:
+            return  # legacy file: no provenance to check
+        # parse the bootstrap version from the applied ivf:v0->X batch
+        boots = [
+            int(b.split("->", 1)[1])
+            for b in applied
+            if b.startswith("ivf:v0->")
+        ]
+        if boots and built_at not in boots:
+            raise ValueError(
+                f"IVF quantizer was built at source v{built_at} but the "
+                f"committed bootstrap is at v{boots[0]} — a concurrent "
+                "bootstrap clobbered the frozen quantizer; rebuild the "
+                "index (delete it and refresh from the source)"
+            )
 
     def _centroids_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
@@ -155,14 +202,13 @@ class IvfIndex:
         return last_indexed_version(self.table, at_version=at_version, prefix="ivf")
 
     def _applied_at(self, branch: str | None) -> set[str]:
-        """Applied batch ids at the branch head (main when no branch)."""
+        """Applied batch ids at the branch head (main when no branch) —
+        the shared index.py helper, so the exactly-once bookkeeping
+        cannot diverge between the two derived-table maintainers."""
         if branch is None:
-            return self.table.applied_batches()
-        head = self.table.resolve_ref(branch)
-        if not head:
-            return set()
-        snap = self.table.snapshot_at(head)
-        return set(snap["applied_batches"]) if snap else set()
+            return applied_batches_at(self.table, None)
+        # an unknown/empty branch head is an empty view, NOT main's
+        return applied_batches_at(self.table, self.table.resolve_ref(branch) or 0)
 
     # --------------------------------------------------------------- build
 
@@ -197,6 +243,7 @@ class IvfIndex:
             num_centroids = derive_ivf_params(df.count())[0]
         batch_id = f"ivf:v0->{source_version}"
         already = batch_id in self._applied_at(branch)
+        cents = None
         if not already:
             # pre-apply persist is crash-safe: the sample is a pure
             # deterministic function of df, so a retry before the apply
@@ -205,7 +252,9 @@ class IvfIndex:
                 df, num_centroids, vec_col=self.vec_col, id_col=self.id_col
             ).collect()
             cents = sorted((int(r["_cid"]), list(r["_cvec"])) for r in cent_rows)
-            self._save_centroids(cents)
+            self._save_centroids(cents, built_at=source_version)
+        else:
+            self._check_quantizer(self._applied_at(branch))
         assigned = assign_to_centroids(
             df,
             self._centroids_df(spark),
@@ -222,6 +271,13 @@ class IvfIndex:
             F.lit("U").alias("op"),
         )
         st = self.table.apply_batch(spark, batch, batch_id, branch=branch)
+        if st.applied and cents is not None:
+            # heal a pre-apply clobber: a concurrent bootstrap that
+            # overwrote the file between OUR save and OUR apply would
+            # pair our committed assignments with its quantizer — the
+            # winner re-asserts its centroids (byte-identical when
+            # nothing interfered; _check_quantizer catches later races)
+            self._save_centroids(cents, built_at=source_version)
         if branch is None and (
             st.applied or (already and not os.path.exists(self._clustered_file))
         ):
@@ -231,8 +287,11 @@ class IvfIndex:
             self.recluster(spark, target_file_rows=target_file_rows)
         elif branch is not None and st.applied:
             # deferred: the whole bootstrap is pending churn, so the
-            # post-commit maybe_recluster fires unconditionally
-            self._track_churn(spark, st.events_in, 0.0, defer=True)
+            # post-commit maybe_recluster fires unconditionally; same
+            # churn metric as refresh (rows actually written)
+            self._track_churn(
+                spark, st.upserts + st.deletes, 0.0, defer=True
+            )
         return IvfRefreshStats(0, source_version, full_build=True, applied=st.applied)
 
     # ---------------------------------------------------------- recluster
@@ -311,6 +370,16 @@ class IvfIndex:
                 f"source key_cols must be [{self.id_col!r}], got {source.key_cols}"
             )
         if to_version is None:
+            if branch is not None:
+                # only the transaction knows its staged view: defaulting
+                # to source MAIN here would read a target that can LAG
+                # the txn's world (post-commit fast-forward is
+                # best-effort) and silently skip the refresh — the exact
+                # atomicity hole the branch parameter exists to close
+                raise ValueError(
+                    "a branch refresh must pass to_version explicitly "
+                    "(the transaction's view of the source)"
+                )
             cur = source.current_snapshot()
             if cur is None:
                 return IvfRefreshStats(0, 0, full_build=False, applied=False)
@@ -343,6 +412,11 @@ class IvfIndex:
             return self._rebuild_assignments(
                 spark, source, last, to_version, branch=branch
             )
+        # incremental: new assignments are computed against the saved
+        # quantizer — verify its provenance against the committed
+        # bootstrap first (a clobbered quantizer must be loud, never
+        # silently mixed into the index)
+        self._check_quantizer(self._applied_at(branch))
         changes = source.read_changes(
             spark, from_version=last, to_version=to_version
         )
@@ -405,17 +479,26 @@ class IvfIndex:
             _atomic_json(self._clustered_file, state)
 
     def maybe_recluster(
-        self, spark: SparkSession, recluster_fraction: float = 0.2
+        self,
+        spark: SparkSession,
+        recluster_fraction: float = 0.2,
+        target_file_rows: int | None = None,
     ) -> bool:
         """Post-commit maintenance hook: recluster only if accumulated
         churn (including churn counted by transactional refreshes,
         which defer the rewrite) has passed the threshold. Returns
-        whether a recluster ran. Cheap when it doesn't: one JSON read."""
+        whether a recluster ran. Cheap when it doesn't: one JSON read.
+
+        On a CATALOG-managed index table, follow a ``True`` return with
+        ``catalog.absorb_main_advances()``: the recluster commits a
+        content-identical snapshot to the table's MAIN, and the catalog
+        pin must follow it or the next transaction forks from the stale
+        pin and its fast-forward diverges (orphaning this layout)."""
         state = self._cluster_state()
         if state["churn_since"] >= recluster_fraction * max(
             state["rows_at_cluster"], 1
         ):
-            self.recluster(spark)
+            self.recluster(spark, target_file_rows=target_file_rows)
             return True
         return False
 
@@ -495,7 +578,12 @@ class IvfIndex:
     def probe_read(self, spark: SparkSession, probe: list[int]) -> DataFrame:
         """Stats-pruned scan of the probed inverted lists: files whose
         ``centroid_id`` range excludes every probe are dropped before
-        the scan is planned (visible via ``DataFrame.inputFiles()``)."""
+        the scan is planned (visible via ``DataFrame.inputFiles()``).
+        Verifies quantizer provenance first — probing committed
+        assignments with a clobbered quantizer would silently miss true
+        neighbors (one cheap ledger read; the probe set itself came
+        from the same centroids file)."""
+        self._check_quantizer(self.table.applied_batches())
         return self.table.read(spark, where=[("centroid_id", "in", list(probe))])
 
     def topk(

@@ -308,6 +308,51 @@ class LakeCatalog:
                 pins.setdefault(name, set()).add(int(v))
         return pins
 
+    def absorb_main_advances(self, names: "Sequence[str] | None" = None) -> dict:
+        """Fold sanctioned out-of-band MAIN commits back into the
+        catalog. Table maintenance (compaction, ANN reclustering) is
+        content-preserving but commits new main versions the catalog
+        does not pin; the NEXT transaction forks from the stale pin and
+        its post-commit fast-forward then diverges — the reclustered
+        layout would be orphaned and main would serve stale data
+        forever. This publishes ONE CAS-protected catalog snapshot
+        re-pinning every table whose main head is a strict DESCENDANT
+        of its current pin (a true fast-forward of the pin). A main
+        that is NOT a descendant is left alone: that is real
+        divergence — rebase those batches through a transaction.
+        Returns ``{table: new_pin}`` for what was absorbed."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return {}
+        pins = dict(cur["tables"])
+        absorbed: dict[str, int] = {}
+        for name in names if names is not None else list(self.tables):
+            table = self.table(name)
+            head_snap = table.current_snapshot()
+            head = int(head_snap["version"]) if head_snap else 0
+            pinned = int(pins.get(name, 0))
+            if head <= pinned:
+                continue
+            v: int | None = head
+            while v is not None and v != pinned:
+                snap = table.snapshot_at(v)
+                v = snap.get("parent") if snap else None
+            if v == pinned or (pinned == 0 and v is None):
+                pins[name] = head
+                absorbed[name] = head
+        if not absorbed:
+            return {}
+        self._publish({
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "tables": pins,
+            "txn_id": f"absorb-{uuid.uuid4().hex[:12]}",
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        })
+        return absorbed
+
     def maintenance(
         self,
         spark: SparkSession,
@@ -333,7 +378,15 @@ class LakeCatalog:
             )
             for name, table in self.tables.items()
         }
-        return {"catalog_snapshots_expired": cat_expired, "tables": per_table}
+        # compactions committed new (content-identical) main versions;
+        # re-pin them so the next transaction forks from the compacted
+        # layout instead of diverging main (see absorb_main_advances)
+        absorbed = self.absorb_main_advances()
+        return {
+            "catalog_snapshots_expired": cat_expired,
+            "tables": per_table,
+            "absorbed": absorbed,
+        }
 
 
 class LakeTransaction:
@@ -439,8 +492,11 @@ class LakeTransaction:
         transaction's view of the source on the index's txn branch, so
         vector state and search index move in ONE atomic catalog
         commit. Physical clustering is deferred (churn still counts) —
-        run ``IvfIndex.from_table(...).maybe_recluster(spark)`` after
-        commit, or let the next non-transactional refresh trigger it."""
+        after commit run ``IvfIndex.from_table(...).maybe_recluster(
+        spark)`` FOLLOWED BY ``catalog.absorb_main_advances()`` (the
+        recluster commits a content-identical main version the catalog
+        must re-pin, or the next transaction's fast-forward diverges);
+        ``catalog.maintenance`` does the absorb automatically."""
         from mex_extractors_spark.lake.ann import IvfIndex
 
         if self._done:

@@ -78,13 +78,23 @@ def last_indexed_version(
     pat = _BATCH_RE if prefix == "idx" else re.compile(
         rf"^{re.escape(prefix)}:v(\d+)->(\d+)$"
     )
-    if at_version is not None:
-        snap = index.snapshot_at(at_version) if at_version else None
-        batches = snap["applied_batches"] if snap else []
-    else:
-        batches = index.applied_batches()
+    batches = applied_batches_at(index, at_version)
     versions = [int(m.group(2)) for b in batches if (m := pat.match(b))]
     return max(versions, default=0)
+
+
+def applied_batches_at(table: LakeTable, at_version: int | None = None) -> set[str]:
+    """Applied batch ids at a specific snapshot (``None`` = main).
+
+    The ONE place the "what has this derived table absorbed, as seen
+    from a ref" question is answered — shared by the inverted index's
+    watermark above and the ANN index's exactly-once checks
+    (lake/ann.py), so a change to snapshot applied-batch bookkeeping
+    (e.g. idempotency-window trimming) cannot desynchronize them."""
+    if at_version is None:
+        return table.applied_batches()
+    snap = table.snapshot_at(at_version) if at_version else None
+    return set(snap["applied_batches"]) if snap else set()
 
 
 def default_terms(col: str | Column) -> Column:

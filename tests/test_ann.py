@@ -267,3 +267,57 @@ def test_build_retry_recovers_missing_compaction(spark, tmp_path):
     full = set(idx.table.read(spark).inputFiles())
     probe_files = set(idx.probe_read(spark, idx.probe_ids(QVEC, 2)).inputFiles())
     assert len(probe_files) <= len(full) / 2
+
+
+def test_clobbered_quantizer_fails_loudly(spark, tmp_path):
+    """A concurrent bootstrap can overwrite the centroids file AFTER
+    another bootstrap committed (the file write is outside the catalog
+    CAS). Serving probes or refreshing against the wrong quantizer
+    would silently miss neighbors — provenance (built_at_version vs the
+    committed ivf:v0->X batch) must make it an error instead."""
+    src = LakeTable(str(tmp_path / "src"), key_cols=["vec_id"], num_buckets=2)
+    base = _corpus(spark, n=80).withColumn("seq", F.col("vec_id") + 1).withColumn(
+        "op", F.lit("U")
+    )
+    src.apply_batch(spark, base, "b1")
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    idx.refresh(spark, src, num_centroids=6)
+
+    # simulate the losing transaction's clobber: same centroids, wrong
+    # provenance (it bootstrapped at a different source version)
+    import json
+
+    with open(idx._centroids_file) as fh:
+        doc = json.load(fh)
+    doc["built_at_version"] = 999
+    with open(idx._centroids_file, "w") as fh:
+        json.dump(doc, fh)
+
+    with pytest.raises(ValueError, match="concurrent bootstrap"):
+        idx.probe_read(spark, [0])
+    src.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [(500, _vec(500), 5000, "U")],
+            "vec_id long, embedding array<double>, seq long, op string",
+        ),
+        "b2",
+    )
+    with pytest.raises(ValueError, match="concurrent bootstrap"):
+        idx.refresh(spark, src)
+
+    # restoring the right provenance restores service
+    doc["built_at_version"] = 1
+    with open(idx._centroids_file, "w") as fh:
+        json.dump(doc, fh)
+    assert idx.refresh(spark, src).applied
+
+
+def test_branch_refresh_requires_explicit_to_version(spark, tmp_path):
+    """Defaulting a branch refresh's target to source MAIN would read a
+    world that can lag the transaction's staged view and silently skip
+    the refresh — it must be an error instead."""
+    src = LakeTable(str(tmp_path / "src"), key_cols=["vec_id"], num_buckets=2)
+    idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
+    with pytest.raises(ValueError, match="to_version"):
+        idx.refresh(spark, src, branch="txn-x")

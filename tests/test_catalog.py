@@ -729,9 +729,26 @@ def test_txn_ann_refresh_moves_atomically(spark, cat_ann):
     assert committed == oracle() and len(committed) == 60
 
     # the branch build deferred clustering; post-commit maintenance
-    # must see the full bootstrap as pending churn and fire immediately
-    assert idx.maybe_recluster(spark)
+    # must see the full bootstrap as pending churn and fire immediately.
+    # STRICT pruning gate while the spec is fresh (a later recluster
+    # with the same spec is an idempotent no-op by design): with ~8-row
+    # files, probing 2 of 6 lists must drop over half the files
+    assert idx.maybe_recluster(spark, target_file_rows=8)
     assert idx._cluster_state() == {"rows_at_cluster": 60, "churn_since": 0}
+    full0 = set(idx.table.read(spark).inputFiles())
+    probe0 = set(idx.probe_read(spark, idx.probe_ids(_vec8(3), 2)).inputFiles())
+    # STRICT: this corpus is quasi-uniform (weak clustering), so the
+    # gate is "pruning drops at least one file", which a broken
+    # recluster or lost stats would fail — unlike a <=-full check,
+    # which is vacuously true (probe files are a subset by construction)
+    assert len(probe0) < len(full0), (len(probe0), len(full0))
+    # the recluster committed a content-identical MAIN version past the
+    # catalog pin — absorbing it re-pins so the NEXT txn forks from the
+    # compacted layout instead of diverging main (orphaned recluster)
+    absorbed = cat_ann.absorb_main_advances()
+    assert absorbed == {
+        "ann": cat_ann.table("ann").current_snapshot()["version"]
+    }
 
     # staged move + delete + insert, then ABORT: both tables unchanged
     txn = cat_ann.transaction()
@@ -779,8 +796,23 @@ def test_txn_ann_refresh_moves_atomically(spark, cat_ann):
     # post-commit maintenance: below threshold -> no-op, above -> rewrite
     assert not idx.maybe_recluster(spark, recluster_fraction=0.5)
     assert idx._cluster_state()["churn_since"] == churn
-    assert idx.maybe_recluster(spark, recluster_fraction=0.01)
+    assert idx.maybe_recluster(spark, recluster_fraction=0.01, target_file_rows=8)
     assert idx._cluster_state()["churn_since"] == 0
     full = set(idx.table.read(spark).inputFiles())
-    probe = idx.probe_read(spark, idx.probe_ids(_vec8(3), 2)).inputFiles()
-    assert len(set(probe)) <= len(full)
+    probe = set(idx.probe_read(spark, idx.probe_ids(_vec8(3), 2)).inputFiles())
+    assert len(probe) < len(full), (len(probe), len(full))
+
+    # reclusters advanced ann MAIN past the pin again: without absorb,
+    # the NEXT txn would report main_diverged, keep its branch, and
+    # leave main serving the pre-txn world — absorb heals it
+    assert "ann" in cat_ann.absorb_main_advances()
+    with cat_ann.transaction() as t5:
+        t5.apply_batch(
+            spark, "vecs", _vecs(spark, [(91, _vec8(91), 191, "U")]), "b3"
+        )
+        assert t5.refresh_ann(spark, "vecs", "ann").applied
+        snap5 = t5.commit()
+    assert "main_diverged" not in snap5
+    assert cat_ann.table("ann").refs() == {}  # txn branch cleaned up
+    # main (what topk/probe_read serve) sees the new vector
+    assert any(r.vec_id == 91 for r in idx.table.read(spark).collect())
