@@ -120,6 +120,18 @@ def _bench_spark(cores: int, app: str, aqe: bool = True):
             # without this the bench measures the disk, not the engine
             "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
             "spark.ui.showConsoleProgress": "false",
+            # probe-only writer knobs (scripts/codec_probe.py): unset in
+            # normal runs, so the bench measures the engine's defaults
+            **(
+                {"spark.sql.parquet.compression.codec": os.environ["BENCH_PARQUET_CODEC"]}
+                if os.environ.get("BENCH_PARQUET_CODEC")
+                else {}
+            ),
+            **(
+                {"spark.hadoop.parquet.enable.dictionary": os.environ["BENCH_PARQUET_DICT"]}
+                if os.environ.get("BENCH_PARQUET_DICT")
+                else {}
+            ),
         },
     )
 

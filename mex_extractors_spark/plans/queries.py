@@ -3020,17 +3020,237 @@ def k6_consent_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consent_emails(persons)
 
 
+# ------------------------------------------------- long-tail §2 rows (round 4)
+#
+# These give the last COVERAGE.md rows that were pytest-only a driver-checkable
+# oracle query each: A7, F13, S6, C10, C17, S13, S18.
+
+
+@q(
+    "a7_outbound_connections",
+    "A7 outbound-connection count: non-null reference fields per row "
+    "(utils.py:18-28), aggregated into a histogram",
+    """
+    SELECT CAST((CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+              + (CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+            AS INT) AS n_refs,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a7_outbound_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.aggregates import outbound_connection_count
+
+    o = _t(spark, sf_dir, "orders").withColumns(
+        {
+            # nullable "reference" fields derived from the testdata: the
+            # operator itself is the null-aware counting expression
+            "ref_cust": F.col("o_custkey").cast("string"),
+            "ref_status": F.nullif(F.col("o_orderstatus"), F.lit("F")),
+            "ref_prio": F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+        }
+    )
+    return (
+        o.select(
+            outbound_connection_count("ref_cust", "ref_status", "ref_prio").alias(
+                "n_refs"
+            )
+        )
+        .groupBy("n_refs")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f13_author_cutoff",
+    "F13 author-count cutoff: drop records with too many authors "
+    "(endnote/extract.py:36-44)",
+    """
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_authors
+    FROM documents WHERE len(string_split(text, ' ')) < 40
+    """,
+)
+def f13_author_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.filters import author_count_cutoff
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "authors", F.split(F.col("text"), " ")
+    )
+    return author_count_cutoff(d, "authors", 40).select(
+        "doc_id", F.size("authors").alias("n_authors")
+    )
+
+
+@q(
+    "s6_xml_roundtrip",
+    "S6 XML record parse (from_xml) proven as the inverse of a rendered "
+    "XML payload column (open_data/extract.py rowTag scan semantics)",
+    """
+    SELECT o_orderkey AS id, o_orderstatus AS status, o_orderpriority AS prio
+    FROM orders
+    """,
+)
+def s6_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.readers import parse_xml_column
+
+    raw = _t(spark, sf_dir, "orders").select(
+        F.format_string(
+            "<rec><id>%d</id><status>%s</status><prio>%s</prio></rec>",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ).alias("raw")
+    )
+    parsed = parse_xml_column(raw, "raw", "id BIGINT, status STRING, prio STRING")
+    return parsed.select("parsed.id", "parsed.status", "parsed.prio")
+
+
+@q(
+    "c10_path_to_uri",
+    "C10 windows-path → file URI normalization "
+    "(synopse/transform.py:617-625 PureWindowsPath.as_uri)",
+    """
+    SELECT doc_id,
+           'file:///C:/data/' || source || '/' || doc_id || '.txt' AS win_uri,
+           'file:///srv/' || source || '/' || doc_id || '.txt' AS posix_uri
+    FROM documents
+    """,
+)
+def c10_path_to_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.normalize import windows_path_to_uri
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    win = F.concat(F.lit("C:\\data\\"), F.col("source"), F.lit("\\"), sid, F.lit(".txt"))
+    posix = F.concat(F.lit("/srv/"), F.col("source"), F.lit("/"), sid, F.lit(".txt"))
+    return d.select(
+        "doc_id",
+        windows_path_to_uri(win).alias("win_uri"),
+        windows_path_to_uri(posix).alias("posix_uri"),
+    )
+
+
+@q(
+    "c17_person_parse",
+    "C17 analyse_person_string: vectorized pandas-UDF person-string "
+    "split into (surname, givenname) pairs (synopse/extract.py:118-124)",
+    """
+    SELECT c_custkey, 0 AS person_idx, c_name AS surname,
+           CAST('Ada' AS VARCHAR) AS givenname
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 1 AS person_idx, c_mktsegment AS surname,
+           CAST('' AS VARCHAR) AS givenname
+    FROM customer
+    """,
+)
+def c17_person_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.normalize import analyse_person_string
+
+    # controlled two-person strings: titles stripped, "given surname" and a
+    # bare single-token name — the irregular edge cases live in unit tests,
+    # this row proves the UDF's batch plumbing + parse on 2x corpus rows
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "person_str",
+        F.concat(
+            F.lit("Dr. Ada "), F.col("c_name"), F.lit(", Prof. "), F.col("c_mktsegment")
+        ),
+    )
+    return c.select(
+        "c_custkey", F.posexplode(analyse_person_string(F.col("person_str")))
+    ).select(
+        "c_custkey",
+        F.col("pos").cast("int").alias("person_idx"),
+        F.col("col.surname").alias("surname"),
+        # single-token names parse to a null givenname; projected to '' so
+        # the row set is totally ordered for the parity harness (the null
+        # contract itself is unit-tested in test_functions.py)
+        F.coalesce(F.col("col.givenname"), F.lit("")).alias("givenname"),
+    )
+
+
+_S13_SPEC = {
+    "components": {
+        "schemas": {
+            "Pathogen": {
+                "properties": {"id": {}, "name": {}, "family": {}},
+                "required": ["id", "name"],
+            },
+            "ReportStatus": {"enum": ["open", "closed", "pending"]},
+            "Untyped": {"description": "neither enum nor properties"},
+            "Mixed": {"enum": ["a"], "properties": {"x": {}}, "required": ["x"]},
+        }
+    }
+}
+
+
+@q(
+    "s13_openapi_classify",
+    "S13 OpenAPI components.schemas classification into enum vs "
+    "properties schema rows (igs/extract.py:31-46)",
+    """
+    SELECT * FROM (VALUES
+      ('Mixed', 'properties', ['x'], ['x'], []::VARCHAR[]),
+      ('Pathogen', 'properties', ['family', 'id', 'name'], ['id', 'name'],
+       []::VARCHAR[]),
+      ('ReportStatus', 'enum', []::VARCHAR[], []::VARCHAR[],
+       ['open', 'closed', 'pending'])
+    ) AS t(schema_name, kind, fields, required, enum_values)
+    """,
+)
+def s13_openapi_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.openapi import openapi_schemas_df
+
+    return openapi_schemas_df(spark, _S13_SPEC)
+
+
+@q(
+    "s18_mapping_rules",
+    "S18 YAML mapping-rule engine: forValues→setValues conditional map "
+    "with default, compiled to one codegen'd expression "
+    "(seq_repo/transform.py:93-118, utils.py:12-15)",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 'industrial'
+                WHEN c_mktsegment = 'AUTOMOBILE' THEN 'mobility'
+                ELSE 'general' END AS theme
+    FROM customer
+    """,
+)
+def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.sources.mapping_rules import apply_mapping
+
+    doc = {
+        "fields": {
+            "theme": {
+                "fieldInPrimarySource": "c_mktsegment",
+                "mappingRules": [
+                    {"forValues": ["BUILDING", "MACHINERY"], "setValues": "industrial"},
+                    {"forValues": ["AUTOMOBILE"], "setValues": "mobility"},
+                    {"setValues": "general"},
+                ],
+            }
+        }
+    }
+    return apply_mapping(_t(spark, sf_dir, "customer"), doc).select(
+        "c_custkey", "theme"
+    )
+
+
 # ---------------------------------------------------------------- driver window
 #
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # (dict iteration order), so ordering is the gate.  Round-robin coverage note:
 #   r1 window = first 43 in definition order; r2 window = first 50; r3 window
 #   = never-driver-green first (all 50 rows green, see CORRECTNESS_r03.json).
-#   r4 window (below): the 28 queries r3 rotated OUT plus the round-4
-#   additions (sim6_ivf_indexed_topk, m1b_real_codec_features) go first —
-#   after this round every registered query has a driver-green row within the
-#   last two rounds. The permanent canaries (w1_lww_latest_event,
-#   cdc_converged_state, f4_first_wins_dedup) stay in-window every round.
+#   r4 window (below): the queries r3 rotated OUT plus the round-4 additions
+#   (sim6_ivf_indexed_topk, m1b_real_codec_features, and the seven long-tail
+#   §2 rows a7/f13/s6/c10/c17/s13/s18) go first — after this round every
+#   registered query has a driver-green row, and all but seven untouched
+#   r1/r2-green rows have one within the last two rounds. The permanent
+#   canaries (w1_lww_latest_event, cdc_converged_state, f4_first_wins_dedup)
+#   stay in-window every round.
 #   The remaining slots re-verify r3-green queries whose implementation
 #   changed in round 4: the k-means recompute (sim3/sim4/sim5 share the
 #   refactored assignment), the real-codec dispatch (m1), the XLSX writer
@@ -3041,6 +3261,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
+    # round-4 long-tail §2 rows (A7/F13/S6/C10/C17/S13/S18) — never
+    # driver-checked; they displace seven rotated-back r1/r2-green entries
+    # whose code paths round 4 did not touch (those stay covered every run
+    # by tests/test_queries_parity.py)
+    "a7_outbound_connections",
+    "f13_author_cutoff",
+    "s6_xml_roundtrip",
+    "c10_path_to_uri",
+    "c17_person_parse",
+    "s13_openapi_classify",
+    "s18_mapping_rules",
     # permanent canaries
     "w1_lww_latest_event",
     "cdc_converged_state",
@@ -3049,7 +3280,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "a1_pricing_summary",
     "w2_topological_levels",
     "c_scalar_string_pack",
-    "j2_inner_skip_join",
     "j3_left_join_fallback",
     "j6_self_join_link",
     "anti_join_missing_dim",
@@ -3057,18 +3287,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "f3_keep_singletons",
     "w6_rank_topn_per_group",
     "a3_distinct_value_set",
-    "a1_group_minmax",
     "a5_union_key_sets",
-    "u5_except_values",
-    "c8_year_extract",
-    "c_json_extract",
     "s8_columnar_pivot",
-    "s4_style_scan",
     "a2_group_collect_nested",
     "c7_date_parse_fallback",
     "j4_synonym_lookup",
     "f8_exactly_one_gate",
-    "u34_array_intersect_except",
     "t1_token_stats",
     "t2_quality_scores",
     "t4_fingerprint",

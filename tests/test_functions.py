@@ -115,7 +115,8 @@ def test_quality_score_bounds(spark):
 
 def test_person_string_udf(spark):
     df = spark.createDataFrame(
-        [("Dr. Ada Lovelace, Charles Babbage",), ("",), (None,)], ["names"]
+        [("Dr. Ada Lovelace, Charles Babbage",), ("",), (None,), ("Prof. Curie",)],
+        ["names"],
     )
     rows = df.select(analyse_person_string("names").alias("p")).collect()
     assert [(p.surname, p.givenname) for p in rows[0].p] == [
@@ -123,6 +124,8 @@ def test_person_string_udf(spark):
         ("Babbage", "Charles"),
     ]
     assert rows[1].p == [] and rows[2].p == []
+    # single-token name: surname only, givenname stays null
+    assert [(p.surname, p.givenname) for p in rows[3].p] == [("Curie", None)]
 
 
 def test_windows_path_to_uri(spark):
