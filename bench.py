@@ -132,6 +132,13 @@ def _bench_spark(cores: int, app: str, aqe: bool = True):
                 if os.environ.get("BENCH_PARQUET_DICT")
                 else {}
             ),
+            # per-column dictionary disable (parquet.enable.dictionary#col),
+            # comma-separated column names
+            **{
+                f"spark.hadoop.parquet.enable.dictionary#{c}": "false"
+                for c in os.environ.get("BENCH_PARQUET_NODICT_COLS", "").split(",")
+                if c
+            },
         },
     )
 

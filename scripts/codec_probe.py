@@ -39,14 +39,18 @@ EVENTS = 16_000_000
 BATCHES = 2
 CORES = 8
 
-# variant -> (BENCH_PARQUET_CODEC, BENCH_PARQUET_DICT) env values
-VARIANTS: dict[str, tuple[str | None, str | None]] = {
-    "baseline_snappy_dict": (None, None),
-    "lz4": ("lz4", None),
-    "zstd": ("zstd", None),
-    "uncompressed": ("uncompressed", None),
-    "snappy_nodict": (None, "false"),
-    "lz4_nodict": ("lz4", "false"),
+# variant -> (BENCH_PARQUET_CODEC, BENCH_PARQUET_DICT, BENCH_PARQUET_NODICT_COLS)
+VARIANTS: dict[str, tuple[str | None, str | None, str | None]] = {
+    "baseline_snappy_dict": (None, None, None),
+    "lz4": ("lz4", None, None),
+    "zstd": ("zstd", None, None),
+    "uncompressed": ("uncompressed", None, None),
+    "snappy_nodict": (None, "false", None),
+    "lz4_nodict": ("lz4", "false", None),
+    # targeted: dictionaries stay ON for the low-cardinality columns
+    # (repo/path/op/lang dictionarize well — bytes matter on real storage)
+    # and OFF only where they always overflow and get abandoned
+    "snappy_nodict_hicard": (None, None, "content,commit,seq"),
 }
 
 
@@ -65,12 +69,14 @@ def gen_corpus() -> None:
 
 
 def run_one(variant: str) -> dict:
-    codec, dic = VARIANTS[variant]
+    codec, dic, nodict_cols = VARIANTS[variant]
     env = dict(os.environ)
     if codec:
         env["BENCH_PARQUET_CODEC"] = codec
     if dic:
         env["BENCH_PARQUET_DICT"] = dic
+    if nodict_cols:
+        env["BENCH_PARQUET_NODICT_COLS"] = nodict_cols
     cmd = [
         "taskset", "-c", f"0-{CORES - 1}",
         sys.executable, "bench.py", "--replay-only",
