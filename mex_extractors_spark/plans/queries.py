@@ -1940,6 +1940,128 @@ def m1b_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m1c_oracle() -> str:
+    """Closed-form restatement of the PNG codec features: pixel values
+    are integer functions of the id (synth_png_media), filters never
+    change decoded pixels, and integer channel sums are exact in
+    float64 — so DuckDB's avg() over the generated lattice matches the
+    engine's inflate + unfilter + numpy mean bit-for-bit."""
+    return """
+    WITH ids AS (SELECT doc_id::BIGINT AS media_id FROM documents),
+    img AS (
+      SELECT media_id, 4 + media_id % 6 AS w, 3 + media_id % 5 AS h
+      FROM ids
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM img
+    )
+    SELECT media_id, 'image' AS kind,
+           round(max(w)::DOUBLE, 6) AS f0,
+           round(max(h)::DOUBLE, 6) AS f1,
+           round(avg((5 * media_id + 2 * (i % w) + 3 * (i // w)) % 256), 6) AS f2,
+           round(avg((media_id + 7 * (i % w) + 2 * (i // w)) % 256), 6) AS f3,
+           round(avg((3 * media_id + (i % w) + (i // w) + 23) % 256), 6) AS f4,
+           4.0 AS f5
+    FROM px GROUP BY media_id
+    """
+
+
+@q(
+    "m1c_png_codec_features",
+    "REAL compressed-image decode, stdlib only: zlib-inflated 8-bit RGB "
+    "PNG with genuine scanline unfiltering (the encoder cycles all five "
+    "filter types — None/Sub/Up/Average/Paeth — so the decoder's spec "
+    "reconstruction is load-bearing), chunk CRCs verified, zip-bomb "
+    "bounded; payloads synthesized AND decoded executor-side in Arrow "
+    "batches (operators/multimodal.py); oracle states every feature in "
+    "closed form from the id",
+    _m1c_oracle(),
+)
+def m1c_png_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.multimodal import (
+        extract_features,
+        synth_png_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synth_png_media(d.select(F.col("doc_id").alias("media_id")))
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(6)
+        ],
+    )
+
+
+def _m2b_oracle() -> str:
+    """Closed-form restatement of the AVI per-frame channel means:
+    geometry, frame count, and every pixel are integer functions of
+    (id, frame, x, y) (synth_avi_media, fps=2 with every_ms=500 → every
+    frame sampled, ts = frame * 500 ms)."""
+    return """
+    WITH ids AS (SELECT doc_id::BIGINT AS media_id FROM documents),
+    geo AS (
+      SELECT media_id, 4 + media_id % 4 AS w, 3 + media_id % 3 AS h,
+             2 + media_id % 4 AS nf
+      FROM ids
+    ),
+    fr AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, nf - 1)) AS f
+      FROM geo
+    ),
+    px AS (
+      SELECT media_id, w, h, f,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM fr
+    )
+    SELECT media_id,
+           f::INT AS frame_idx,
+           (f * 500)::BIGINT AS ts_ms,
+           round(avg((media_id + 2 * f + 3 * (i % w) + 5 * (i // w)) % 256), 6)
+             AS mean_r,
+           round(avg((2 * media_id + f + (i % w) + 7 * (i // w) + 3) % 256), 6)
+             AS mean_g,
+           round(avg((media_id + 4 * f + 5 * (i % w) + (i // w) + 9) % 256), 6)
+             AS mean_b
+    FROM px GROUP BY media_id, f
+    """
+
+
+@q(
+    "m2b_avi_frame_means",
+    "REAL video frame extraction, stdlib only: uncompressed 24-bit AVI "
+    "(RIFF walk: avih/strh/strf + movi 00db DIB frames) parsed and "
+    "frame-sampled executor-side in Arrow batches — the frame-sample "
+    "plan's decode step made real (operators/multimodal.py "
+    "extract_frame_features); oracle states per-frame channel means in "
+    "closed form from (id, frame)",
+    _m2b_oracle(),
+)
+def m2b_avi_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.multimodal import (
+        extract_frame_features,
+        synth_avi_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synth_avi_media(d.select(F.col("doc_id").alias("media_id")))
+    out = extract_frame_features(media, every_ms=500)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 # ------------------------------------------------- J7 publisher rewrite
 
 
@@ -3261,6 +3383,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
+    # round-4 continuation: real PNG (zlib inflate + scanline unfilter)
+    # and real AVI video frame decode — they displace cdc_inverted_index
+    # and k2_ndjson_export past slot 50 (both r3-green, untouched this
+    # round, still parity-tested every run)
+    "m1c_png_codec_features",
+    "m2b_avi_frame_means",
     # round-4 long-tail §2 rows (A7/F13/S6/C10/C17/S13/S18) — never
     # driver-checked; they displace seven rotated-back r1/r2-green entries
     # whose code paths round 4 did not touch (those stay covered every run

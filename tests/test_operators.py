@@ -424,6 +424,118 @@ def test_real_codec_round_trip_and_dispatch():
         decode_bmp(bogus_8bpp)
 
 
+def test_png_codec_round_trip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mex_extractors_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_features,
+        decode_png,
+        png_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    # heights >= 5 cycle through ALL five scanline filters on encode,
+    # so a passing decode proves Sub/Up/Average/Paeth reconstruction
+    for h, w in [(1, 1), (3, 4), (7, 5), (16, 33), (5, 1)]:
+        r, g, b = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+        w_, h_, mr, mg, mb = decode_png(png_bytes(r, g, b))
+        assert (w_, h_) == (w, h)
+        assert (mr, mg, mb) == (float(r.mean()), float(g.mean()), float(b.mean()))
+
+    r, g, b = (rng.randint(0, 256, (11, 9)).astype(np.uint8) for _ in range(3))
+    good = png_bytes(r, g, b)
+
+    # dispatch: PNG magic -> real decode, tagged 4.0
+    feat = decode_features(good, "image")
+    assert feat[:2] == [9.0, 11.0] and feat[5] == 4.0
+
+    # corrupted chunk CRC fails loudly in the strict decoder and falls
+    # through to the hash feature in the corpus-safe dispatch
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    fallback = decode_features(bytes(bad), "image")
+    assert len(fallback) == 8 and all(0.0 <= v <= 1.0 for v in fallback)
+
+    # truncation, unsupported color type, and zip-bomb headers all die
+    # as ValueError (never an allocation or OverflowError)
+    with pytest.raises(ValueError):
+        decode_png(good[:40])
+    gray = PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(gray)
+    bomb = PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2**20, 2**20, 8, 2, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_png(bomb)
+
+
+def test_avi_codec_round_trip_and_frame_features(spark):
+    import numpy as np
+
+    from mex_extractors_spark.operators.multimodal import (
+        avi_bytes,
+        decode_avi,
+        decode_features,
+        extract_frame_features,
+        synth_avi_media,
+        synth_png_media,
+    )
+
+    rng = np.random.RandomState(13)
+    frames = [rng.randint(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(4)]
+    w, h, fps, out = decode_avi(avi_bytes(frames, fps=2))
+    assert (w, h, fps) == (5, 6, 2.0)
+    assert len(out) == 4 and all((a == b).all() for a, b in zip(frames, out))
+
+    feat = decode_features(avi_bytes(frames, fps=2), "video")
+    assert feat[:6] == [4.0, 2.0, 5.0, 6.0, 2.0, 2.0]
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="at least one frame"):
+        avi_bytes([], fps=2)
+    # truncated mid-frame: strict decode raises, dispatch falls through
+    cut = avi_bytes(frames, fps=2)[:-20]
+    with pytest.raises(ValueError):
+        decode_avi(cut)
+    fallback = decode_features(cut, "video")
+    assert len(fallback) == 8 and all(0.0 <= v <= 1.0 for v in fallback)
+
+    # Spark plumbing: synth -> real frame decode, means match numpy
+    ids = spark.range(6).withColumnRenamed("id", "media_id")
+    rows = extract_frame_features(synth_avi_media(ids), every_ms=500).collect()
+    mid = 4  # w = 4 + 4%4 = 4, h = 3 + 4%3 = 4, nf = 2 + 4%4 = 2
+    got = {r.frame_idx: r for r in rows if r.media_id == mid}
+    assert set(got) == {0, 1}
+    y, x = np.mgrid[0:4, 0:4]
+    for f in (0, 1):
+        assert got[f].ts_ms == f * 500
+        assert got[f].mean_r == float(((mid + 2 * f + 3 * x + 5 * y) % 256).mean())
+        assert got[f].mean_g == float(
+            ((2 * mid + f + x + 7 * y + 3) % 256).mean()
+        )
+        assert got[f].mean_b == float(
+            ((mid + 4 * f + 5 * x + y + 9) % 256).mean()
+        )
+
+    # PNG synth path end-to-end through the Arrow-batched extractor
+    from mex_extractors_spark.operators.multimodal import extract_features
+
+    png_media = synth_png_media(ids)
+    feats = {r.media_id: r.feature for r in extract_features(png_media).collect()}
+    assert feats[3][:2] == [4.0 + 3 % 6, 3.0 + 3 % 5] and feats[3][5] == 4.0
+
+
 def test_synth_real_media_features(spark):
     from mex_extractors_spark.operators.multimodal import (
         extract_features,
