@@ -1,5 +1,6 @@
 """Corpus curation operators: PII redaction, deterministic sampling,
-token-budget shard packing.
+exact-quota stratified sampling, vocabulary building, token-budget
+shard packing.
 
 Training-data pipelines need reproducibility above all: a re-run over
 100 TB must redact, sample, and shard IDENTICALLY, or downstream
@@ -55,6 +56,143 @@ def hash_sample_keep(col: str | Column, keep_below_hex: str) -> Column:
 
 def hash_sample(df: DataFrame, id_col: str, keep_below_hex: str) -> DataFrame:
     return df.where(hash_sample_keep(id_col, keep_below_hex))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quota: int,
+    margin: float = 4.0,
+) -> DataFrame:
+    """Exactly ``quota`` rows per stratum (or the whole stratum when it
+    has fewer), selected deterministically as the first ``quota`` ids in
+    md5-hash order — the stratified analog of hash_sample, with the same
+    reproducibility contract: a document's fate is a pure function of
+    its id, never of partitioning, corpus growth, or a seed.
+
+    The naive plan — ``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(id))`` over the full corpus — shuffles and sorts ALL 100 TB to
+    keep a few thousand rows. Instead:
+
+    1. one aggregate pass counts each stratum (tiny result, broadcast);
+    2. a prefilter keeps rows whose 8-hex-digit md5 prefix falls below
+       ``margin * quota / n`` — a superset of the winners, ~margin*quota
+       rows per stratum, because prefix order is consistent with full
+       md5 order (ties at the cut always sort AFTER strict-below rows);
+    3. strata whose prefilter came up short (a binomial tail event at
+       margin=4, but exactness is the contract, not a probability) are
+       flagged and fall back to all their rows;
+    4. the rank window runs over the surviving ~margin*quota*strata
+       rows only.
+
+    The oracle can state the selection as the naive window because the
+    prefilter is result-invariant.
+    """
+    if quota <= 0 or margin <= 1.0:
+        raise ValueError("quota must be positive and margin > 1")
+    idc = _c(id_col).cast("string")
+    frac = F.conv(F.substring(F.md5(idc), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    src = df.withColumn("_frac", frac)
+    counts = src.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_thresh",
+        F.least(F.lit(1.01), F.lit(float(margin) * quota) / F.col("_n")),
+    )
+    cand = src.join(F.broadcast(counts), on=stratum_col).where(
+        F.col("_frac") < F.col("_thresh")
+    )
+    # left join FROM counts: a stratum with ZERO prefilter survivors has
+    # no candidate row at all and must still be flagged short
+    short = (
+        counts.join(
+            cand.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c")),
+            on=stratum_col,
+            how="left",
+        )
+        .where(
+            F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(quota), F.col("_n"))
+        )
+        .select(stratum_col, F.lit(True).alias("_short"))
+    )
+    pool = (
+        src.join(F.broadcast(counts), on=stratum_col)
+        .join(F.broadcast(short), on=stratum_col, how="left")
+        .where((F.col("_frac") < F.col("_thresh")) | F.coalesce("_short", F.lit(False)))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.md5(idc), _c(id_col))
+    return (
+        pool.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_frac", "_n", "_thresh", "_short", "_rk")
+    )
+
+
+# portable tokenizer: Java regex (Spark) and RE2 (DuckDB) agree on this
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def vocab_build(
+    docs: DataFrame,
+    text_col: str,
+    doc_id_col: str,
+    n_docs: int,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    top_k: int = 1000,
+    ngram: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer/BPE training: lowercase, split on
+    non-alphanumerics (``ngram=2`` counts adjacent pairs — the unit a
+    BPE merge step ranks), then per-token term frequency (tf) and
+    document frequency (df); keep tokens inside the df band [min_df,
+    max_df_frac * n_docs] (drop hapaxes and stop-word-like ubiquity) and
+    return the top_k by tf with a total (tf desc, token) order.
+
+    Scale shape: explode → groupBy(token) rides map-side partial
+    aggregation, which pre-collapses the zipf head on each partition
+    before the one shuffle; df = count_distinct(doc_id) is the standard
+    two-phase distinct expansion; the final orderBy+limit compiles to
+    TakeOrdered (per-partition top-k, no global sort). ``n_docs`` is a
+    caller-supplied scalar (one count aggregate) so the plan stays a
+    single pipeline. Bigrams use zip_with over two shifted slices (the
+    bigram_array idiom — per-element element_at would re-split the text
+    per bigram).
+    """
+    if min_df < 1 or not 0 < max_df_frac <= 1 or top_k <= 0:
+        raise ValueError("min_df >= 1, 0 < max_df_frac <= 1, top_k > 0 required")
+    arr = F.filter(
+        F.split(F.lower(_c(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    if ngram == 1:
+        unit = F.explode(arr)
+    elif ngram == 2:
+        n = F.size(arr)
+        unit = F.explode(
+            F.when(n < 2, F.array().cast("array<string>")).otherwise(
+                F.zip_with(
+                    F.slice(arr, 1, n - 1),
+                    F.slice(arr, 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    toks = docs.select(_c(doc_id_col).alias("_doc"), unit.alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("_doc").alias("df"),
+    )
+    return (
+        stats.where(
+            (F.col("df") >= min_df) & (F.col("df") <= float(max_df_frac) * n_docs)
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(top_k)
+    )
 
 
 def pack_shards(
