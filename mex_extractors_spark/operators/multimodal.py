@@ -94,6 +94,31 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 # ------------------------------------------------------- real codecs
 
 
+def _dib_pack_rows(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB, top-down → DIB pixel array bytes: bottom-up
+    BGR rows padded to 4 bytes — the layout shared by 24-bit BMP bodies
+    and uncompressed AVI '00db' frames (one packer so the two container
+    writers can never diverge)."""
+    h, w = rgb.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)
+    return rows[::-1].tobytes()
+
+
+def _dib_unpack_rows(
+    buf: bytes, offset: int, w: int, h: int, bottom_up: bool
+) -> np.ndarray:
+    """Inverse of _dib_pack_rows: DIB pixel array at ``offset`` →
+    (h, w, 3) uint8 RGB, top-down. Caller bound-checks the buffer."""
+    row_size = (w * 3 + 3) & ~3
+    data = np.frombuffer(buf, dtype=np.uint8, count=row_size * h, offset=offset)
+    data = data.reshape(h, row_size)
+    if bottom_up:
+        data = data[::-1]
+    return data[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+
+
 def bmp_bytes(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> bytes:
     """Serialize (h, w) uint8 channel planes as a 24-bit uncompressed
     BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded
@@ -104,9 +129,7 @@ def bmp_bytes(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> bytes:
     img_size = row_size * h
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    rows = np.zeros((h, row_size), dtype=np.uint8)
-    rows[:, : w * 3] = np.stack([b, g, r], axis=-1).reshape(h, w * 3)
-    return header + info + rows[::-1].tobytes()
+    return header + info + _dib_pack_rows(np.stack([r, g, b], axis=-1))
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
@@ -136,18 +159,13 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
             f"BMP pixel data truncated (declared {w}x{h}, "
             f"need {row_size * h} bytes at offset {pixel_off})"
         )
-    data = np.frombuffer(
-        payload, dtype=np.uint8, count=row_size * h, offset=pixel_off
-    ).reshape(h, row_size)
-    if bottom_up:
-        data = data[::-1]
-    px = data[:, : w * 3].reshape(h, w, 3)  # file order is BGR
+    px = _dib_unpack_rows(payload, pixel_off, w, h, bottom_up)
     return (
         w,
         h,
-        float(px[..., 2].mean()),
-        float(px[..., 1].mean()),
         float(px[..., 0].mean()),
+        float(px[..., 1].mean()),
+        float(px[..., 2].mean()),
     )
 
 
@@ -368,16 +386,6 @@ def _riff_list(list_type: bytes, payload: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + payload)
 
 
-def _dib_frame_bytes(frame: np.ndarray) -> bytes:
-    """One uncompressed DIB frame: bottom-up BGR rows padded to 4 bytes
-    (identical pixel-array layout to a 24-bit BMP, sans file header)."""
-    h, w = frame.shape[:2]
-    row_size = (w * 3 + 3) & ~3
-    rows = np.zeros((h, row_size), dtype=np.uint8)
-    rows[:, : w * 3] = frame[..., ::-1].reshape(h, w * 3)  # RGB -> BGR
-    return rows[::-1].tobytes()
-
-
 def avi_bytes(frames: list[np.ndarray], fps: int = 5) -> bytes:
     """Serialize (h, w, 3) uint8 RGB frames as an uncompressed 24-bit
     AVI (RIFF 'AVI ': avih + strl(strh 'vids'/'DIB ' + strf
@@ -395,7 +403,7 @@ def avi_bytes(frames: list[np.ndarray], fps: int = 5) -> bytes:
         1_000_000 // fps,  # dwMicroSecPerFrame
         frame_size * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flag set low
+        0,  # dwFlags: no AVIF_HASINDEX — this writer emits no idx1 chunk
         len(frames),
         0,  # dwInitialFrames
         1,  # dwStreams
@@ -427,28 +435,10 @@ def avi_bytes(frames: list[np.ndarray], fps: int = 5) -> bytes:
         + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
     )
     movi = _riff_list(
-        b"movi", b"".join(_riff_chunk(b"00db", _dib_frame_bytes(f)) for f in frames)
+        b"movi", b"".join(_riff_chunk(b"00db", _dib_pack_rows(f)) for f in frames)
     )
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
-
-
-def _riff_walk(buf: bytes, pos: int, end: int):
-    """Yield (tag, list_type_or_None, data_start, data_len) for each
-    chunk between pos and end; callers recurse into LIST chunks."""
-    while pos + 8 <= end:
-        tag = buf[pos : pos + 4]
-        (length,) = struct.unpack_from("<I", buf, pos + 4)
-        data_start = pos + 8
-        if data_start + length > end:
-            raise ValueError(f"truncated RIFF chunk {tag!r}")
-        if tag == b"LIST":
-            if length < 4:
-                raise ValueError("RIFF LIST shorter than its type tag")
-            yield tag, buf[data_start : data_start + 4], data_start + 4, length - 4
-        else:
-            yield tag, None, data_start, length
-        pos = data_start + length + (length % 2)
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, float, list[np.ndarray]]:
@@ -462,47 +452,60 @@ def decode_avi(payload: bytes) -> tuple[int, int, float, list[np.ndarray]]:
     (riff_len,) = struct.unpack_from("<I", raw, 4)
     end = min(len(raw), 8 + riff_len)
     w = h = None
+    bottom_up = True
     fps = 0.0
     frames: list[np.ndarray] = []
 
-    def walk(pos: int, stop: int) -> None:
-        nonlocal w, h, fps
-        for tag, ltype, start, length in _riff_walk(raw, pos, stop):
-            if tag == b"LIST":
-                walk(start, start + length)
-            elif tag == b"strh" and length >= 56:
-                fcc_type, _, _, _, _, _, scale, rate = struct.unpack_from(
-                    "<4s4sIHHIII", raw, start
+    # iterative document-order LIST descent (explicit stack of resume
+    # points): a crafted payload of thousands of nested LISTs must die
+    # in the bounds checks as a ValueError, never as a RecursionError
+    # escaping the dispatch fall-through contract in decode_features.
+    # Document order matters: strf must be seen before the first frame.
+    stack: list[tuple[int, int]] = [(12, end)]
+    while stack:
+        pos, stop = stack.pop()
+        if pos + 8 > stop:
+            continue
+        tag = raw[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", raw, pos + 4)
+        start = pos + 8
+        if start + length > stop:
+            raise ValueError(f"truncated RIFF chunk {tag!r}")
+        # resume this level after the current chunk (pushed first so the
+        # LIST descent below is popped — and fully walked — before it)
+        stack.append((start + length + (length % 2), stop))
+        if tag == b"LIST":
+            if length < 4:
+                raise ValueError("RIFF LIST shorter than its type tag")
+            stack.append((start + 4, start + length))
+        elif tag == b"strh" and length >= 56:
+            fcc_type, _, _, _, _, _, scale, rate = struct.unpack_from(
+                "<4s4sIHHIII", raw, start
+            )
+            if fcc_type == b"vids":
+                if scale == 0 or rate == 0:
+                    raise ValueError("AVI video stream has zero rate/scale")
+                fps = rate / scale
+        elif tag == b"strf" and length >= 40 and w is None:
+            _, bw, bh, _, bpp = struct.unpack_from("<IiiHH", raw, start)
+            (compression,) = struct.unpack_from("<I", raw, start + 16)
+            if bpp != 24 or compression != 0:
+                raise ValueError(
+                    f"only 24-bit uncompressed AVI supported (bpp={bpp})"
                 )
-                if fcc_type == b"vids":
-                    if scale == 0 or rate == 0:
-                        raise ValueError("AVI video stream has zero rate/scale")
-                    fps = rate / scale
-            elif tag == b"strf" and length >= 40 and w is None:
-                _, bw, bh, _, bpp = struct.unpack_from("<IiiHH", raw, start)
-                (compression,) = struct.unpack_from("<I", raw, start + 16)
-                if bpp != 24 or compression != 0:
-                    raise ValueError(
-                        f"only 24-bit uncompressed AVI supported (bpp={bpp})"
-                    )
-                if bw <= 0 or abs(bh) == 0 or bw * abs(bh) > _AVI_MAX_PIXELS:
-                    raise ValueError(f"AVI dimensions {bw}x{bh} out of bounds")
-                w, h = bw, abs(bh)
-            elif tag in (b"00db", b"00dc"):
-                if w is None:
-                    raise ValueError("AVI frame chunk before strf header")
-                if len(frames) >= _AVI_MAX_FRAMES:
-                    raise ValueError("AVI frame count out of bounds")
-                row_size = (w * 3 + 3) & ~3
-                if length < row_size * h:
-                    raise ValueError("AVI frame chunk shorter than one frame")
-                data = np.frombuffer(
-                    raw, dtype=np.uint8, count=row_size * h, offset=start
-                ).reshape(h, row_size)
-                # bottom-up BGR -> top-down RGB
-                frames.append(data[::-1, : w * 3].reshape(h, w, 3)[..., ::-1])
-
-    walk(12, end)
+            if bw <= 0 or bh == 0 or bw * abs(bh) > _AVI_MAX_PIXELS:
+                raise ValueError(f"AVI dimensions {bw}x{bh} out of bounds")
+            # negative biHeight = top-down DIB, same as BMP
+            w, h, bottom_up = bw, abs(bh), bh > 0
+        elif tag in (b"00db", b"00dc"):
+            if w is None:
+                raise ValueError("AVI frame chunk before strf header")
+            if len(frames) >= _AVI_MAX_FRAMES:
+                raise ValueError("AVI frame count out of bounds")
+            row_size = (w * 3 + 3) & ~3
+            if length < row_size * h:
+                raise ValueError("AVI frame chunk shorter than one frame")
+            frames.append(_dib_unpack_rows(raw, start, w, h, bottom_up))
     if w is None or not frames:
         raise ValueError("AVI missing video stream or frames")
     if fps <= 0:
@@ -533,13 +536,23 @@ def extract_frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
     split. Compose with frame_sample_plan when the fan-out must happen
     BEFORE the decode (seekable codecs); uncompressed AVI decodes the
     container once per payload, so sampling after parse is the cheaper
-    plan here."""
+    plan here.
+
+    Same corpus-safe contract as decode_features: a payload that is not
+    a parseable 24-bit uncompressed AVI (or is NULL) yields zero rows
+    for that media_id instead of raising — one adversarial byte string
+    must never kill a corpus-scale job on every task retry."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in FRAME_FEATURE_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, fps, frames = decode_avi(bytes(payload))
+                if payload is None:
+                    continue
+                try:
+                    _, _, fps, frames = decode_avi(bytes(payload))
+                except (ValueError, struct.error):
+                    continue  # not a decodable AVI — skip, never raise
                 stride = max(1, int(round(every_ms * fps / 1000.0)))
                 for idx in range(0, len(frames), stride):
                     px = frames[idx].astype(np.float64)

@@ -75,19 +75,27 @@ def stratified_sample_exact(
     md5(id))`` over the full corpus — shuffles and sorts ALL 100 TB to
     keep a few thousand rows. Instead:
 
-    1. one aggregate pass counts each stratum (tiny result, broadcast);
-    2. a prefilter keeps rows whose 8-hex-digit md5 prefix falls below
+    1. one aggregate pass counts each stratum (tiny result, broadcast,
+       eagerly localCheckpoint-ed so no later plan rescans for it);
+    2. a second pass keeps rows whose 8-hex-digit md5 prefix falls below
        ``margin * quota / n`` — a superset of the winners, ~margin*quota
        rows per stratum, because prefix order is consistent with full
        md5 order (ties at the cut always sort AFTER strict-below rows);
+       the surviving sliver is localCheckpoint-ed too;
     3. strata whose prefilter came up short (a binomial tail event at
        margin=4, but exactness is the contract, not a probability) are
-       flagged and fall back to all their rows;
+       detected from the two tiny checkpoints; ONLY when one exists does
+       a third corpus pass pull that stratum's full row set — the common
+       case is exactly two scans;
     4. the rank window runs over the surviving ~margin*quota*strata
        rows only.
 
-    The oracle can state the selection as the naive window because the
-    prefilter is result-invariant.
+    NULL is a stratum like any other (all joins are null-safe), matching
+    the naive window's NULL partition. The two eager checkpoints make
+    this an algorithm operator (it runs jobs when invoked), like
+    dedup_components — not a lazily-composable view. The oracle can
+    state the selection as the naive window because the prefilter is
+    result-invariant.
     """
     if quota <= 0 or margin <= 1.0:
         raise ValueError("quota must be positive and margin > 1")
@@ -96,37 +104,53 @@ def stratified_sample_exact(
         4294967296.0
     )
     src = df.withColumn("_frac", frac)
-    counts = src.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    counts = counts.withColumn(
-        "_thresh",
-        F.least(F.lit(1.01), F.lit(float(margin) * quota) / F.col("_n")),
+    skey = _c(stratum_col)
+    counts = (
+        src.groupBy(skey.alias("_stratum"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_thresh",
+            F.least(F.lit(1.01), F.lit(float(margin) * quota) / F.col("_n")),
+        )
+        .localCheckpoint(eager=True)  # scan 1 of the corpus, runs now
     )
-    cand = src.join(F.broadcast(counts), on=stratum_col).where(
-        F.col("_frac") < F.col("_thresh")
+    cand = (
+        src.join(F.broadcast(counts), on=skey.eqNullSafe(F.col("_stratum")))
+        .where(F.col("_frac") < F.col("_thresh"))
+        .localCheckpoint(eager=True)  # scan 2, runs now; ~margin*quota*strata rows
     )
     # left join FROM counts: a stratum with ZERO prefilter survivors has
     # no candidate row at all and must still be flagged short
+    cand_counts = cand.groupBy(F.col("_stratum").alias("_cs")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     short = (
         counts.join(
-            cand.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c")),
-            on=stratum_col,
-            how="left",
+            cand_counts, on=F.col("_stratum").eqNullSafe(F.col("_cs")), how="left"
         )
-        .where(
-            F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(quota), F.col("_n"))
+        .where(F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(quota), F.col("_n")))
+        .select(F.col("_stratum").alias("_ss"))
+    )
+    pool_cols = [*df.columns, "_frac", "_stratum"]
+    pool = cand.select(*pool_cols)
+    if short.limit(1).count():  # tiny: both inputs are checkpointed
+        # rare third corpus pass: short strata contribute ALL their rows
+        # (replacing, via anti-join, the partial slice cand held for them)
+        fallback = (
+            src.join(F.broadcast(short), on=skey.eqNullSafe(F.col("_ss")))
+            .withColumn("_stratum", F.col("_ss"))
+            .select(*pool_cols)
         )
-        .select(stratum_col, F.lit(True).alias("_short"))
-    )
-    pool = (
-        src.join(F.broadcast(counts), on=stratum_col)
-        .join(F.broadcast(short), on=stratum_col, how="left")
-        .where((F.col("_frac") < F.col("_thresh")) | F.coalesce("_short", F.lit(False)))
-    )
-    w = Window.partitionBy(stratum_col).orderBy(F.md5(idc), _c(id_col))
+        pool = pool.join(
+            F.broadcast(short),
+            on=F.col("_stratum").eqNullSafe(F.col("_ss")),
+            how="left_anti",
+        ).unionByName(fallback)
+    w = Window.partitionBy("_stratum").orderBy(F.md5(idc), _c(id_col))
     return (
         pool.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= quota)
-        .drop("_frac", "_n", "_thresh", "_short", "_rk")
+        .drop("_frac", "_stratum", "_rk")
     )
 
 

@@ -511,6 +511,30 @@ def test_avi_codec_round_trip_and_frame_features(spark):
     fallback = decode_features(cut, "video")
     assert len(fallback) == 8 and all(0.0 <= v <= 1.0 for v in fallback)
 
+    # nested-LIST bomb: thousands of nested LISTs must die as ValueError
+    # in the iterative walk (a recursive walk raised RecursionError,
+    # which escaped decode_features' fall-through contract)
+    import struct as _s
+
+    inner = b""
+    for _ in range(3000):
+        inner = b"LIST" + _s.pack("<I", len(inner) + 4) + b"bomb" + inner
+    bomb = b"RIFF" + _s.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        decode_avi(bomb)
+    fallback = decode_features(bomb, "video")
+    assert len(fallback) == 8 and all(0.0 <= v <= 1.0 for v in fallback)
+
+    # negative biHeight = top-down DIB: same pixel bytes, opposite row
+    # order — the decoder must NOT flip them
+    good = avi_bytes(frames, fps=2)
+    strf_data = good.index(b"strf") + 8
+    assert _s.unpack_from("<i", good, strf_data + 8)[0] == 6  # biHeight
+    patched = bytearray(good)
+    _s.pack_into("<i", patched, strf_data + 8, -6)
+    _, _, _, flipped = decode_avi(bytes(patched))
+    assert all((a == b[::-1]).all() for a, b in zip(flipped, frames))
+
     # Spark plumbing: synth -> real frame decode, means match numpy
     ids = spark.range(6).withColumnRenamed("id", "media_id")
     rows = extract_frame_features(synth_avi_media(ids), every_ms=500).collect()
@@ -534,6 +558,14 @@ def test_avi_codec_round_trip_and_frame_features(spark):
     png_media = synth_png_media(ids)
     feats = {r.media_id: r.feature for r in extract_features(png_media).collect()}
     assert feats[3][:2] == [4.0 + 3 % 6, 3.0 + 3 % 5] and feats[3][5] == 4.0
+
+    # corpus-safe contract: undecodable 'video' payloads (synth_media's
+    # hash stubs) yield zero rows instead of killing the job
+    from mex_extractors_spark.operators.multimodal import synth_media
+
+    junk = synth_media(spark, 30).where(F.col("kind") == "video")
+    assert junk.count() > 0
+    assert extract_frame_features(junk, every_ms=500).count() == 0
 
 
 def test_synth_real_media_features(spark):

@@ -135,6 +135,21 @@ def test_stratified_sample_exact_matches_naive_window(spark, margin):
     assert len(tiny) == 3  # stratum smaller than quota kept whole
 
 
+def test_stratified_sample_null_stratum_is_a_partition(spark):
+    from mex_extractors_spark.operators.sampling import stratified_sample_exact
+
+    # NULL lang is a stratum like any other (the naive window keeps a
+    # NULL partition; a null-rejecting equi-join would silently drop it)
+    rows = [(i, "a" if i % 3 == 0 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample_exact(df, "lang", "doc_id", quota=4).collect()
+    }
+    assert got == _naive_stratified(rows, 4)
+    assert sum(1 for _, s in got if s is None) == 4
+
+
 def test_stratified_sample_rejects_bad_params(spark):
     from mex_extractors_spark.operators.sampling import stratified_sample_exact
 
