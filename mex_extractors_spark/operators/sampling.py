@@ -62,7 +62,7 @@ def stratified_sample_exact(
     df: DataFrame,
     stratum_col: str,
     id_col: str,
-    quota: int,
+    quota: int | dict[str, int],
     margin: float = 4.0,
 ) -> DataFrame:
     """Exactly ``quota`` rows per stratum (or the whole stratum when it
@@ -70,6 +70,11 @@ def stratified_sample_exact(
     md5-hash order — the stratified analog of hash_sample, with the same
     reproducibility contract: a document's fate is a pure function of
     its id, never of partitioning, corpus growth, or a seed.
+
+    ``quota`` may be a per-stratum dict (the corpus_mix building block):
+    strata absent from the dict are excluded entirely, and — since a map
+    literal cannot key NULL — dict mode ignores NULL-stratum rows; use
+    the uniform-int mode when NULL must be sampled as its own stratum.
 
     The naive plan — ``row_number() OVER (PARTITION BY stratum ORDER BY
     md5(id))`` over the full corpus — shuffles and sorts ALL 100 TB to
@@ -97,20 +102,33 @@ def stratified_sample_exact(
     state the selection as the naive window because the prefilter is
     result-invariant.
     """
-    if quota <= 0 or margin <= 1.0:
-        raise ValueError("quota must be positive and margin > 1")
+    if margin <= 1.0:
+        raise ValueError("margin must be > 1")
+    skey = _c(stratum_col)
+    if isinstance(quota, dict):
+        if not quota or any(v <= 0 for v in quota.values()):
+            raise ValueError("per-stratum quotas must be a non-empty dict of > 0")
+        df = df.where(skey.isin(list(quota)))
+        qmap = F.create_map(
+            *[F.lit(x) for kv in quota.items() for x in kv]
+        )
+        q_of = lambda stratum: F.element_at(qmap, stratum)  # noqa: E731
+    else:
+        if quota <= 0:
+            raise ValueError("quota must be positive")
+        q_of = lambda stratum: F.lit(quota)  # noqa: E731
     idc = _c(id_col).cast("string")
     frac = F.conv(F.substring(F.md5(idc), 1, 8), 16, 10).cast("double") / F.lit(
         4294967296.0
     )
     src = df.withColumn("_frac", frac)
-    skey = _c(stratum_col)
     counts = (
         src.groupBy(skey.alias("_stratum"))
         .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_q", q_of(F.col("_stratum")))
         .withColumn(
             "_thresh",
-            F.least(F.lit(1.01), F.lit(float(margin) * quota) / F.col("_n")),
+            F.least(F.lit(1.01), F.lit(float(margin)) * F.col("_q") / F.col("_n")),
         )
         .localCheckpoint(eager=True)  # scan 1 of the corpus, runs now
     )
@@ -128,10 +146,12 @@ def stratified_sample_exact(
         counts.join(
             cand_counts, on=F.col("_stratum").eqNullSafe(F.col("_cs")), how="left"
         )
-        .where(F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(quota), F.col("_n")))
+        .where(
+            F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.col("_q"), F.col("_n"))
+        )
         .select(F.col("_stratum").alias("_ss"))
     )
-    pool_cols = [*df.columns, "_frac", "_stratum"]
+    pool_cols = [*df.columns, "_frac", "_stratum", "_q"]
     pool = cand.select(*pool_cols)
     if short.limit(1).count():  # tiny: both inputs are checkpointed
         # rare third corpus pass: short strata contribute ALL their rows
@@ -139,6 +159,7 @@ def stratified_sample_exact(
         fallback = (
             src.join(F.broadcast(short), on=skey.eqNullSafe(F.col("_ss")))
             .withColumn("_stratum", F.col("_ss"))
+            .withColumn("_q", q_of(F.col("_ss")))
             .select(*pool_cols)
         )
         pool = pool.join(
@@ -149,9 +170,48 @@ def stratified_sample_exact(
     w = Window.partitionBy("_stratum").orderBy(F.md5(idc), _c(id_col))
     return (
         pool.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= quota)
-        .drop("_frac", "_stratum", "_rk")
+        .where(F.col("_rk") <= F.col("_q"))
+        .drop("_frac", "_stratum", "_q", "_rk")
     )
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    margin: float = 4.0,
+) -> DataFrame:
+    """Training-data mixture sampling: split a ``target_rows`` budget
+    across sources by weight (the 'books 2×, web 1×' recipe every LLM
+    data pipeline encodes), then take each source's allocation
+    deterministically in md5(id) order. A source smaller than its
+    allocation contributes everything it has (capped, not re-balanced —
+    re-balancing would make every document's fate depend on OTHER
+    sources' sizes, breaking the pure-function-of-id reproducibility
+    contract). Sources absent from ``weights`` are excluded.
+
+    Allocations are largest-remainder rounded so they sum to exactly
+    ``target_rows`` (when every source is large enough). The selection
+    itself is stratified_sample_exact with per-source quotas — same
+    two-scan plan, same naive-window oracle form.
+    """
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of > 0")
+    total = float(sum(weights.values()))
+    raw = {s: target_rows * w / total for s, w in weights.items()}
+    alloc = {s: int(v) for s, v in raw.items()}
+    leftover = target_rows - sum(alloc.values())
+    # largest remainder, ties broken by source name for determinism
+    for s in sorted(raw, key=lambda s: (-(raw[s] - alloc[s]), s))[:leftover]:
+        alloc[s] += 1
+    quotas = {s: q for s, q in alloc.items() if q > 0}
+    if not quotas:
+        raise ValueError("target_rows too small: every allocation rounded to 0")
+    return stratified_sample_exact(df, source_col, id_col, quotas, margin=margin)
 
 
 # portable tokenizer: Java regex (Spark) and RE2 (DuckDB) agree on this

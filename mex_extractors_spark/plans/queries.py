@@ -2563,6 +2563,38 @@ def t12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "t13_corpus_mix",
+    "training-data mixture sampling: a 60-row budget split 4:2:1:1 "
+    "across four sources (largest-remainder rounding), each source's "
+    "allocation taken deterministically in md5(id) order and capped at "
+    "its population (src0's 30-row allocation meets only 25 docs) — "
+    "per-source quotas ride the stratified two-scan prefilter plan; the "
+    "oracle states the equivalent naive window with a CASE quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ) WHERE rk <= CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 15
+                              WHEN 'src2' THEN 8 ELSE 7 END
+    """,
+)
+def t13_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.sampling import corpus_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_mix(
+        d,
+        "source",
+        "doc_id",
+        weights={"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0},
+        target_rows=60,
+    ).select("doc_id", "source")
+
+
+@q(
     "t6_repetition_signals",
     "Gopher-style repetition quality signals: duplicate-token fraction "
     "(pure expression) + top-bigram occupancy (explode → two partial-"
@@ -3463,6 +3495,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # past slot 50 (r3-green, parity-tested every run)
     "t11_vocab_build",
     "t12_stratified_sample",
+    "t13_corpus_mix",  # displaces cdc_inverted_index (r3-green)
     # round-4 long-tail §2 rows (A7/F13/S6/C10/C17/S13/S18) — never
     # driver-checked; they displace seven rotated-back r1/r2-green entries
     # whose code paths round 4 did not touch (those stay covered every run

@@ -187,13 +187,81 @@ def test_vocab_build_tf_df_band_and_ngrams(spark):
             top_k=10, ngram=2,
         ).collect()
     }
-    # bigrams: 'the cat' appears twice in doc 1 (case-folded), df=1 ->
-    # out at min_df=2; shared across docs: none except... check 'the'
-    # bigrams: doc1 'the cat','cat sat','sat the','the cat'; doc2
-    # 'the dog','dog sat'; doc3 'the bird' -> no bigram reaches df=2
+    # bigrams per doc (case-folded): doc1 'the cat','cat sat','sat the',
+    # 'the cat'; doc2 'the dog','dog sat'; doc3 'the bird' — no bigram
+    # is shared across documents, so min_df=2 keeps nothing
     assert got2 == {}
 
     with pytest.raises(ValueError):
         vocab_build(df, "text", "doc_id", n_docs=4, ngram=3)
     with pytest.raises(ValueError):
         vocab_build(df, "text", "doc_id", n_docs=4, min_df=0)
+
+
+def test_stratified_sample_quota_dict_mode(spark):
+    from mex_extractors_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, f"s{i % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = [
+        (r.doc_id, r.src)
+        for r in stratified_sample_exact(
+            df, "src", "doc_id", quota={"s0": 3, "s1": 7}
+        ).collect()
+    ]
+    # strata absent from the dict are excluded entirely
+    assert {s for _, s in got} == {"s0", "s1"}
+    assert sum(1 for _, s in got if s == "s0") == 3
+    assert sum(1 for _, s in got if s == "s1") == 7
+    # selection matches the naive per-stratum window at each quota
+    expect = {
+        (i, s)
+        for i, s in _naive_stratified(rows, 3)
+        if s == "s0"
+    } | {(i, s) for i, s in _naive_stratified(rows, 7) if s == "s1"}
+    assert set(got) == expect
+
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, "src", "doc_id", quota={})
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, "src", "doc_id", quota={"s0": 0})
+
+
+def test_corpus_mix_allocation_and_caps(spark):
+    from mex_extractors_spark.operators.sampling import corpus_mix
+
+    # s0 has only 5 rows: its 12-row allocation is capped, not rebalanced
+    rows = [(i, "s0") for i in range(5)]
+    rows += [(100 + i, "s1") for i in range(50)]
+    rows += [(200 + i, "s2") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = corpus_mix(
+        df, "src", "doc_id", weights={"s0": 2.0, "s1": 1.0, "s2": 1.0},
+        target_rows=24,
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src[r.src] = by_src.get(r.src, 0) + 1
+    # raw: s0 12, s1 6, s2 6 -> s0 capped at 5
+    assert by_src == {"s0": 5, "s1": 6, "s2": 6}
+
+    # largest-remainder rounding sums exactly to target when no cap hits
+    got2 = corpus_mix(
+        df, "src", "doc_id", weights={"s1": 1.0, "s2": 2.0}, target_rows=25
+    ).collect()
+    by2 = {}
+    for r in got2:
+        by2[r.src] = by2.get(r.src, 0) + 1
+    # raw: s1 8.33 -> 8, s2 16.67 -> 17
+    assert by2 == {"s1": 8, "s2": 17}
+
+    # deterministic: identical selection on re-run
+    again = corpus_mix(
+        df, "src", "doc_id", weights={"s1": 1.0, "s2": 2.0}, target_rows=25
+    ).collect()
+    assert sorted(map(str, got2)) == sorted(map(str, again))
+
+    with pytest.raises(ValueError):
+        corpus_mix(df, "src", "doc_id", weights={}, target_rows=10)
+    with pytest.raises(ValueError):
+        corpus_mix(df, "src", "doc_id", weights={"s1": 1.0}, target_rows=0)
