@@ -285,6 +285,28 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "t12 exact-quota stratified sample (prefilter + rank window)",
+            "The `Window [row_number(...)]` input is a `Scan ExistingRDD` — "
+            "the eagerly localCheckpoint-ed ~margin×quota-per-stratum sliver "
+            "— NOT the parquet scan: the corpus is touched only by the two "
+            "checkpointed passes (counts, prefilter), and no full-data sort "
+            "appears anywhere in the plan.",
+            formatted(REGISTRY["t12_stratified_sample"].fn(spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "t11 vocabulary build (bigram tf/df + top-k)",
+            "`partial_count` / partial `count(distinct ...)` above the "
+            "explode (map-side combine pre-collapses the zipf head before "
+            "the one token shuffle); the final top-k compiles to "
+            "`TakeOrderedAndProject`, never a global sort.",
+            formatted(REGISTRY["t11_vocab_build"].fn(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence\n"]
     out.append(
         "Captured with `.explain('formatted')` on PySpark "
