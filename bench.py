@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "t8_pii_redaction",
     "t9_hash_sample",
     "t10_shard_packing",
+    "m1b_real_codec_features",
+    "m1c_png_codec_features",
+    "m2b_avi_frame_means",
+    "t11_vocab_build",
+    "t12_stratified_sample",
+    "t13_corpus_mix",
     # NOT benched: cdc_changes_feed / cdc_incremental_agg / cdc_mor_* /
     # t7_decontamination rebuild a full lake (or broadcast a 10%-of-
     # corpus "eval set") per call — end-to-end correctness demos gated
