@@ -215,3 +215,99 @@ def test_schema_evolution_any_column_order_converges(
         }
     assert got == state
     shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- codecs
+
+GEOM = st.tuples(
+    st.integers(min_value=1, max_value=12),  # h
+    st.integers(min_value=1, max_value=12),  # w
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+
+
+@given(geom=GEOM)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_png_round_trip_law(geom):
+    """decode(encode(img)) recovers dims and exact channel means for ANY
+    image — heights >= 5 cycle through all five scanline filters, so the
+    law covers every reconstruction path."""
+    import numpy as np
+
+    from mex_extractors_spark.operators.multimodal import decode_png, png_bytes
+
+    h, w, seed = geom
+    rng = np.random.RandomState(seed % 2**32)
+    r, g, b = (rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(3))
+    w_, h_, mr, mg, mb = decode_png(png_bytes(r, g, b))
+    assert (w_, h_) == (w, h)
+    assert (mr, mg, mb) == (float(r.mean()), float(g.mean()), float(b.mean()))
+
+
+@given(
+    geom=GEOM,
+    n_frames=st.integers(min_value=1, max_value=6),
+    fps=st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_avi_round_trip_law(geom, n_frames, fps):
+    """decode(encode(frames)) recovers fps and EXACT pixel arrays for
+    any frame stack (bit-level container law, stronger than means)."""
+    import numpy as np
+
+    from mex_extractors_spark.operators.multimodal import avi_bytes, decode_avi
+
+    h, w, seed = geom
+    rng = np.random.RandomState(seed % 2**32)
+    frames = [
+        rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    w_, h_, fps_, out = decode_avi(avi_bytes(frames, fps=fps))
+    assert (w_, h_, fps_) == (w, h, float(fps))
+    assert len(out) == n_frames
+    assert all((a == b).all() for a, b in zip(frames, out))
+
+
+# --------------------------------------------------- stratified sampling
+
+STRATA_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # id
+        st.sampled_from(["a", "b", "c", None]),  # stratum (few, incl. NULL)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    rows=STRATA_ROWS,
+    quota=st.integers(min_value=1, max_value=6),
+    margin=st.sampled_from([1.05, 4.0]),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_law(spark, rows, quota, margin):
+    """For ANY id/stratum multiset, quota, and margin — including tight
+    margins where the short-stratum fallback carries the result — the
+    selection equals the naive per-stratum window (first `quota` ids in
+    md5 order, whole stratum when smaller)."""
+    import hashlib
+
+    from mex_extractors_spark.operators.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample_exact(
+            df, "lang", "doc_id", quota=quota, margin=margin
+        ).collect()
+    }
+    by_stratum: dict = {}
+    for i, s in rows:
+        by_stratum.setdefault(s, []).append(i)
+    expect = set()
+    for s, ids in by_stratum.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect.update((i, s) for i in ids[:quota])
+    assert got == expect
