@@ -213,6 +213,145 @@ def minhash_near_duplicates(
     )
 
 
+# ----------------------------------------------- incremental near-dup
+
+
+def minhash_band_terms(
+    text_col: str | Column,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> Column:
+    """Band-bucket LSH keys as ``'band:bucket'`` strings — the TERMS of
+    a persistent near-dup index: feed this to
+    ``lake.index.refresh_inverted_index`` and the corpus's band keys are
+    maintained incrementally over the change-data-feed (O(changed docs)
+    per refresh) instead of re-LSHing 100 TB per dedup run.
+
+    Row-local HOF formulation (the terms_fn contract is one
+    array<string> Column per row) — fine for CDF-diff-sized refresh
+    inputs; the batch-side probe uses the explode+agg formulation
+    (``banded_lsh_keys``), and both compute identical xxhash64 buckets,
+    matching ``minhash_lsh_candidates`` exactly."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, k)
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def banded_lsh_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(_id, term) band keys via the fast explode+agg signature path —
+    the probe-side counterpart of ``minhash_band_terms`` (same buckets,
+    an order of magnitude faster on large batches)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("term"),
+    )
+
+
+def probe_near_duplicates(
+    spark,
+    index,
+    corpus,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an indexed lake corpus,
+    without re-LSHing the corpus: batch band keys (explode+agg) →
+    equi-join the persistent ``(term, key)`` band index → distinct
+    candidate (batch, corpus) pairs → exact k-gram jaccard verify.
+
+    Scale shape: the corpus contributes (a) the index join, keyed on
+    ``term`` (the index table's leading key — bucket-aligned), and (b)
+    ONE read restricted to candidate docs via a broadcast join before
+    any shingling — the corpus is never exploded wholesale. Everything
+    that scales with corpus size is index-shaped; everything exploded
+    is batch- or candidate-sized. Returns (id_a = batch id, id_b =
+    corpus key, jaccard ≥ threshold); identical pairs verify at 1.0.
+
+    ``index`` / ``corpus`` are LakeTables: index keyed
+    ``("term", <corpus key>)`` maintained by refresh_inverted_index
+    with ``minhash_band_terms``; corpus single-key with ``text_col``.
+    """
+    ckey = corpus.key_cols[0]
+    keys = banded_lsh_keys(batch, text_col, id_col, num_hashes, bands, k)
+    idx = index.read(spark).select("term", F.col(ckey).alias("_cid"))
+    cands = (
+        keys.join(idx, "term")
+        .select(F.col("_id").alias("_bid"), "_cid")
+        .distinct()
+    )
+    bsets = (
+        _exploded_shingles(batch, text_col, id_col, k)
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sa"))
+        .withColumnRenamed("_id", "_bid")
+    )
+    cand_ids = cands.select("_cid").distinct()
+    ctext = (
+        corpus.read(spark)
+        .select(F.col(ckey).alias("_cid"), F.col(text_col))
+        .join(F.broadcast(cand_ids), "_cid")  # shingle ONLY candidate docs
+    )
+    csets = (
+        _exploded_shingles(ctext, text_col, "_cid", k)
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sb"))
+        .withColumnRenamed("_id", "_cid")
+    )
+    joined = cands.join(bsets, "_bid").join(csets, "_cid")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return joined.select(
+        F.col("_bid").alias("id_a"),
+        F.col("_cid").alias("id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
 # --------------------------------------------------------------- simhash
 
 

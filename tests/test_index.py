@@ -187,3 +187,61 @@ def test_term_lookup_prunes_to_term_bucket(spark, tables):
     hits = index.read(spark, where=[("term", "=", "word7")])
     assert {r["term"] for r in hits.collect()} == {"word7"}
     assert len(hits.inputFiles()) <= len(index.read(spark).inputFiles())
+
+
+def test_incremental_neardup_probe_tracks_updates(spark, tmp_path):
+    """The band-key index + probe pipeline: a probe batch finds its
+    identical twin in the indexed corpus at jaccard 1.0; after an
+    UPDATE rewrites a corpus doc's text, the CDF refresh retracts the
+    old band keys and the probe reflects the NEW corpus state only."""
+    from mex_extractors_spark.operators.dedup import (
+        minhash_band_terms,
+        probe_near_duplicates,
+    )
+
+    corpus = LakeTable(str(tmp_path / "src"), key_cols=["doc_id"], num_buckets=2)
+    index = LakeTable(
+        str(tmp_path / "idx"),
+        key_cols=["term", "doc_id"],
+        seq_col="_src_version",
+        num_buckets=2,
+    )
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a completely different document about spark physical plans",
+        3: "yet another unrelated text concerning parquet row groups",
+    }
+    rows = [(i, t, i, "U") for i, t in texts.items()]
+    corpus.apply_batch(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string, seq long, op string"),
+        "b1",
+    )
+
+    def terms(df):
+        return minhash_band_terms("text", num_hashes=16, bands=4, k=5)
+
+    refresh_inverted_index(spark, corpus, index, terms)
+
+    batch = spark.createDataFrame([(101, texts[1])], "doc_id long, text string")
+    got = probe_near_duplicates(
+        spark, index, corpus, batch, threshold=0.5, num_hashes=16, bands=4, k=5
+    ).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in got} == {(101, 1, 1.0)}
+
+    # UPDATE doc 1 to unrelated text: the diff refresh must RETRACT its
+    # old band keys — the same probe now finds nothing
+    corpus.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "totally new content nothing like before at all", 10, "U")],
+            "doc_id long, text string, seq long, op string",
+        ),
+        "b2",
+    )
+    st = refresh_inverted_index(spark, corpus, index, terms)
+    assert st.applied and not st.full_build
+    got2 = probe_near_duplicates(
+        spark, index, corpus, batch, threshold=0.5, num_hashes=16, bands=4, k=5
+    ).collect()
+    assert got2 == []
