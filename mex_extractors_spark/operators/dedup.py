@@ -144,23 +144,19 @@ def minhash_lsh_candidates(
     is the shuffle key — never a cross join. Returns (id_a, id_b,
     n_shared_bands) with id_a < id_b.
     """
-    if bands < 1 or num_hashes % bands != 0:
-        # a non-dividing split silently discards signature hashes, and
-        # bands > num_hashes degenerates every band to a CONSTANT bucket
-        # (rows=0 -> xxhash64(lit(b)) alone) — the all-pairs join this
-        # function exists to avoid
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes})"
-        )
-    rows = num_hashes // bands
+    # a non-dividing split silently discards signature hashes, and
+    # bands > num_hashes degenerates every band to a CONSTANT bucket
+    # (rows=0 -> xxhash64(lit(b)) alone) — the all-pairs join this
+    # function exists to avoid
+    rows = _check_bands(num_hashes, bands)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     banded = sigs.select(
         "_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    _band_hash(
+                        b, [F.col(f"h{b * rows + r}") for r in range(rows)]
                     )
                     for b in range(bands)
                 ]
@@ -216,6 +212,28 @@ def minhash_near_duplicates(
 # ----------------------------------------------- incremental near-dup
 
 
+def _check_bands(num_hashes: int, bands: int) -> int:
+    """Validate the band split and return rows-per-band (shared by every
+    band-key formulation so the guard can't drift)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    return num_hashes // bands
+
+
+def _band_hash(b: int, row_hashes: list[Column]) -> Column:
+    """Bucket hash of band ``b`` over its signature rows — THE band
+    bucket definition. Every producer (minhash_lsh_candidates,
+    minhash_band_terms, banded_lsh_keys) must build buckets through this
+    one expression: an index persisted with one formulation is probed
+    with another, so drift would be a silent, durable total recall loss."""
+    return F.xxhash64(F.lit(b), *row_hashes)
+
+
+def _band_term(b: int, row_hashes: list[Column]) -> Column:
+    """String form ``'band:bucket'`` used as inverted-index terms."""
+    return F.concat_ws(":", F.lit(b), _band_hash(b, row_hashes))
+
+
 def minhash_band_terms(
     text_col: str | Column,
     num_hashes: int = 16,
@@ -233,19 +251,12 @@ def minhash_band_terms(
     inputs; the batch-side probe uses the explode+agg formulation
     (``banded_lsh_keys``), and both compute identical xxhash64 buckets,
     matching ``minhash_lsh_candidates`` exactly."""
-    if bands < 1 or num_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows = num_hashes // bands
+    rows = _check_bands(num_hashes, bands)
     sig = minhash_signature(text_col, num_hashes, k)
     return F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(b),
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
-                ),
+            _band_term(
+                b, [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
             )
             for b in range(bands)
         ]
@@ -263,22 +274,15 @@ def banded_lsh_keys(
     """(_id, term) band keys via the fast explode+agg signature path —
     the probe-side counterpart of ``minhash_band_terms`` (same buckets,
     an order of magnitude faster on large batches)."""
-    if bands < 1 or num_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows = num_hashes // bands
+    rows = _check_bands(num_hashes, bands)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     return sigs.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(b),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"h{b * rows + r}") for r in range(rows)],
-                        ),
+                    _band_term(
+                        b, [F.col(f"h{b * rows + r}") for r in range(rows)]
                     )
                     for b in range(bands)
                 ]
@@ -316,13 +320,30 @@ def probe_near_duplicates(
     ``("term", <corpus key>)`` maintained by refresh_inverted_index
     with ``minhash_band_terms``; corpus single-key with ``text_col``.
     """
+    if len(corpus.key_cols) != 1:
+        # keying ctext on key_cols[0] alone would merge distinct docs'
+        # shingle sets — fail loudly like refresh_inverted_index does
+        raise ValueError(
+            f"probe_near_duplicates needs a single-key corpus "
+            f"(got key_cols={list(corpus.key_cols)})"
+        )
     ckey = corpus.key_cols[0]
+    if list(index.key_cols) != ["term", ckey]:
+        raise ValueError(
+            f"index table must have key_cols=['term', {ckey!r}] "
+            f"(got {list(index.key_cols)})"
+        )
     keys = banded_lsh_keys(batch, text_col, id_col, num_hashes, bands, k)
     idx = index.read(spark).select("term", F.col(ckey).alias("_cid"))
     cands = (
         keys.join(idx, "term")
         .select(F.col("_id").alias("_bid"), "_cid")
         .distinct()
+        # eager: cands feeds both the broadcast prune and the final join —
+        # without this the corpus-scale index join could execute twice if
+        # the optimizer defeats exchange reuse (same pattern as
+        # dedup_components / stratified_sample_exact for reused frames)
+        .localCheckpoint(eager=True)
     )
     bsets = (
         _exploded_shingles(batch, text_col, id_col, k)

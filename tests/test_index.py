@@ -245,3 +245,47 @@ def test_incremental_neardup_probe_tracks_updates(spark, tmp_path):
         spark, index, corpus, batch, threshold=0.5, num_hashes=16, bands=4, k=5
     ).collect()
     assert got2 == []
+
+
+def test_band_terms_formulations_agree(spark):
+    """minhash_band_terms (row-local HOF, the index side) and
+    banded_lsh_keys (explode+agg, the probe side) must emit IDENTICAL
+    term sets — a probe against a persisted index silently loses all
+    recall if the formulations ever drift."""
+    from pyspark.sql import functions as F
+
+    from mex_extractors_spark.operators.dedup import (
+        banded_lsh_keys,
+        minhash_band_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    hof = df.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(minhash_band_terms("text", num_hashes=16, bands=4, k=5)).alias(
+            "term"
+        ),
+    )
+    agg = banded_lsh_keys(df, "text", "doc_id", num_hashes=16, bands=4, k=5)
+    assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_probe_near_duplicates_validates_table_shapes(spark, tmp_path):
+    from mex_extractors_spark.operators.dedup import probe_near_duplicates
+
+    batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    two_key = LakeTable(str(tmp_path / "tk"), key_cols=["repo", "path"])
+    idx = LakeTable(
+        str(tmp_path / "i"), key_cols=["term", "doc_id"], seq_col="_src_version"
+    )
+    with pytest.raises(ValueError, match="single-key corpus"):
+        probe_near_duplicates(spark, idx, two_key, batch)
+    corpus = LakeTable(str(tmp_path / "c"), key_cols=["doc_id"])
+    bad_idx = LakeTable(
+        str(tmp_path / "bi"), key_cols=["term", "user_id"], seq_col="_src_version"
+    )
+    with pytest.raises(ValueError, match="key_cols="):
+        probe_near_duplicates(spark, bad_idx, corpus, batch)
