@@ -6,10 +6,16 @@ The reference's text handling is regex/string munging in row loops
 (SURVEY.md §2.8 C1-C6); these are the scaled-up equivalents plus the
 pipeline ops a 100 TB corpus needs: language-ID, quality scoring,
 token counting, fingerprinting.
+
+One exception to expression-only: Unicode NFC normalization
+(``nfc_normalize``) has no Spark builtin, so it is an Arrow-batched
+pandas UDF — the sanctioned vectorized escape hatch (§2.10), with
+DuckDB's native ``nfc_normalize`` as its oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -27,6 +33,23 @@ TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def nfc_normalize(col: str | Column) -> Column:
+    """Unicode NFC normalization — canonically-equivalent byte forms
+    ('e' + U+0301 vs precomposed 'é') must collapse BEFORE hashing,
+    dedup, or fingerprinting, or visually identical documents hash
+    apart. No Spark builtin exists, so this is a vectorized pandas UDF
+    (pandas ``Series.str.normalize`` over Arrow batches — never per-row
+    over py4j); defined lazily per call so importing the module needs no
+    active session. Oracle: DuckDB's native ``nfc_normalize``."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc(_c(col))
 
 
 def ws_tokens(col: str | Column) -> Column:

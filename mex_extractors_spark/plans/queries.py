@@ -2595,6 +2595,44 @@ def t13_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "t14_unicode_nfc",
+    "Unicode NFC normalization before hashing/dedup (no Spark builtin: "
+    "Arrow-batched pandas UDF over Series.str.normalize — §2.10's "
+    "sanctioned vectorized escape hatch); the corpus text is ASCII, so "
+    "both sides append the same decomposed combining sequences "
+    "(e+U+0301, o+U+0302, u+U+0308) and must collapse them identically "
+    "— lengths shrink by exactly 3 code points",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || 'e' || chr(769) || 'o' || chr(770)
+               || 'u' || chr(776) AS decomposed
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(decomposed) AS norm,
+           length(decomposed)::BIGINT AS len_raw,
+           length(nfc_normalize(decomposed))::BIGINT AS len_norm
+    FROM raw
+    """,
+)
+def t14_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.functions.text import nfc_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    decomposed = F.concat(
+        F.substring("text", 1, 40), F.lit("e\u0301o\u0302u\u0308")  # decomposed e/o/u + combining marks
+    )
+    raw = d.select("doc_id", decomposed.alias("decomposed"))
+    return raw.select(
+        "doc_id",
+        nfc_normalize("decomposed").alias("norm"),
+        F.length("decomposed").cast("long").alias("len_raw"),
+        F.length(nfc_normalize("decomposed")).cast("long").alias("len_norm"),
+    )
+
+
+@q(
     "t6_repetition_signals",
     "Gopher-style repetition quality signals: duplicate-token fraction "
     "(pure expression) + top-bigram occupancy (explode → two partial-"
@@ -3556,30 +3594,27 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (s5/k3), and the file-stats pruning change in lake/stats.py (the whole
 #   cdc read/skipping family). Queries outside the window stay covered every
 #   run by tests/test_queries_parity.py at sf0.001.
-#   Round-4 continuation: seven new never-checked queries (m1c/m2b real
-#   PNG+AVI codecs, t11-t13 curation, d7 incremental near-dup) take the
-#   head slots and displace six r3-green insurance re-checks past 50
-#   (cdc_changes_feed, cdc_incremental_agg, cdc_inverted_index,
-#   k2_ndjson_export, cdc_catalog_txn, cdc_mor_converged_state) — each
-#   keeps its r3 driver row + per-run pytest parity, so the "driver row
-#   within the last two rounds" invariant holds for every registry entry.
+#   Round-4 continuation: eight new never-checked queries (m1c/m2b real
+#   PNG+AVI codecs, t11-t14 curation/normalization, d7 incremental
+#   near-dup) take the head slots and displace seven r3-green insurance
+#   re-checks past 50 (cdc_wap_guarded_publish, cdc_catalog_txn,
+#   cdc_mor_converged_state, cdc_changes_feed, cdc_incremental_agg,
+#   cdc_inverted_index, k2_ndjson_export) — each keeps its r3 driver row
+#   + per-run pytest parity, so the "driver row within the last two
+#   rounds" invariant holds for every registry entry.
 _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
-    # round-4 continuation: real PNG (zlib inflate + scanline unfilter)
-    # and real AVI video frame decode — they displace cdc_inverted_index
-    # and k2_ndjson_export past slot 50 (both r3-green, untouched this
-    # round, still parity-tested every run)
+    # round-4 continuation additions (never driver-checked; see the
+    # displacement note in the block comment above)
     "m1c_png_codec_features",
     "m2b_avi_frame_means",
-    # round-4 continuation: exact-quota stratified sampling and BPE-style
-    # vocabulary building — displace cdc_changes_feed/cdc_incremental_agg
-    # past slot 50 (r3-green, parity-tested every run)
     "t11_vocab_build",
     "t12_stratified_sample",
-    "t13_corpus_mix",  # displaces cdc_inverted_index (r3-green)
-    "d7_incremental_neardup",  # displaces k2_ndjson_export (r3-green)
+    "t13_corpus_mix",
+    "d7_incremental_neardup",
+    "t14_unicode_nfc",
     # round-4 long-tail §2 rows (A7/F13/S6/C10/C17/S13/S18) — never
     # driver-checked; they displace seven rotated-back r1/r2-green entries
     # whose code paths round 4 did not touch (those stay covered every run

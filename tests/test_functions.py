@@ -278,3 +278,20 @@ def test_xml_record_scan_with_author_cutoff(spark, tmp_path):
     parsed = parse_xml_column(sdf, "payload", "t STRING, n INT")
     row = parsed.select("parsed.t", "parsed.n").first()
     assert (row["t"], row["n"]) == ("hi", 2)
+
+
+def test_nfc_normalize_collapses_decomposed_forms(spark):
+    from mex_extractors_spark.functions.text import nfc_normalize
+
+    rows = [
+        (1, "café"),  # cafe + combining acute -> café
+        (2, "café"),  # already composed
+        (3, ""),
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.n for r in df.select("id", nfc_normalize("s").alias("n")).collect()}
+    assert got[1] == got[2] == "café"
+    assert len(got[1]) == 4
+    assert got[3] == "" and got[4] is None and got[5] == "plain ascii"
