@@ -18,6 +18,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 # tiny per-language stopword marker sets (n-gram heuristic language-ID)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -35,21 +36,21 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@F.pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    return s.str.normalize("NFC")
+
+
 def nfc_normalize(col: str | Column) -> Column:
     """Unicode NFC normalization — canonically-equivalent byte forms
     ('e' + U+0301 vs precomposed 'é') must collapse BEFORE hashing,
     dedup, or fingerprinting, or visually identical documents hash
     apart. No Spark builtin exists, so this is a vectorized pandas UDF
     (pandas ``Series.str.normalize`` over Arrow batches — never per-row
-    over py4j); defined lazily per call so importing the module needs no
-    active session. Oracle: DuckDB's native ``nfc_normalize``."""
-    from pyspark.sql.types import StringType
-
-    @F.pandas_udf(StringType())
-    def _nfc(s: pd.Series) -> pd.Series:
-        return s.str.normalize("NFC")
-
-    return _nfc(_c(col))
+    over py4j). ONE module-level UDF instance (creation needs no active
+    session), so repeated uses share a resultId and a plan can
+    deduplicate them. Oracle: DuckDB's native ``nfc_normalize``."""
+    return _nfc_udf(_c(col))
 
 
 def ws_tokens(col: str | Column) -> Column:

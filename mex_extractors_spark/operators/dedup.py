@@ -319,6 +319,13 @@ def probe_near_duplicates(
     ``index`` / ``corpus`` are LakeTables: index keyed
     ``("term", <corpus key>)`` maintained by refresh_inverted_index
     with ``minhash_band_terms``; corpus single-key with ``text_col``.
+
+    Snapshot semantics: this is an ALGORITHM operator (like
+    dedup_components) — the candidate set is materialized eagerly AT
+    CALL TIME from the index's then-current snapshot, while the verify
+    step reads corpus text when the returned frame is acted on. Collect
+    the result before refreshing the corpus/index, or pairs would mix
+    old-index candidates with new-corpus text.
     """
     if len(corpus.key_cols) != 1:
         # keying ctext on key_cols[0] alone would merge distinct docs'

@@ -2624,11 +2624,14 @@ def t14_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 40), F.lit("e\u0301o\u0302u\u0308")  # decomposed e/o/u + combining marks
     )
     raw = d.select("doc_id", decomposed.alias("decomposed"))
+    # normalize ONCE, derive len_norm from the result: two nfc_normalize
+    # expressions would cross the Arrow boundary twice per row
     return raw.select(
         "doc_id",
         nfc_normalize("decomposed").alias("norm"),
         F.length("decomposed").cast("long").alias("len_raw"),
-        F.length(nfc_normalize("decomposed")).cast("long").alias("len_norm"),
+    ).select(
+        "doc_id", "norm", "len_raw", F.length("norm").cast("long").alias("len_norm")
     )
 
 
