@@ -298,6 +298,18 @@ def main() -> None:
     )
     sections.append(
         (
+            "d7 incremental near-dup probe (band index join + pruned verify)",
+            "The batch side is explode+agg band keys; the corpus appears "
+            "only as (a) the persistent band-index join and (b) a text read "
+            "joined against `BroadcastExchange` of the candidate ids BEFORE "
+            "any shingle explode — the corpus is never exploded wholesale, "
+            "and the candidate frame is a checkpointed `Scan ExistingRDD` "
+            "(materialized once, reused by both consumers).",
+            formatted(REGISTRY["d7_incremental_neardup"].fn(spark, SF)),
+        )
+    )
+    sections.append(
+        (
             "t11 vocabulary build (bigram tf/df + top-k)",
             "`partial_count` / partial `count(distinct ...)` above the "
             "explode (map-side combine pre-collapses the zipf head before "
