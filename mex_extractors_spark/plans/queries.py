@@ -533,6 +533,185 @@ def cdc_mor_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_time_travel",
+    "Iceberg time travel: tag pinned at the first commit, read back "
+    "through ref= after a second batch advanced MAIN — the tagged "
+    "snapshot reproduces the mid-replay LWW state exactly",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events
+          WHERE event_id <= (SELECT max(event_id) // 2 FROM events))
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay in two batches, pin a tag at v1, read through the tag
+    after MAIN has moved past it. Covers tag ref resolution, version
+    pinning (``resolve_ref`` -> ``snapshot_at``), and the snapshot-
+    immutability guarantee: batch 2's copy-on-write rewrites publish
+    NEW bucket files, so v1's manifest still points at the originals
+    and the time-travel read is byte-stable no matter how far MAIN has
+    advanced. Iceberg semantics per lake/table.py (reference analog:
+    mex-extractors keeps only the latest backend state — time travel
+    is a capability the lake adds on top)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_tt_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "tt-b1")
+    table.create_tag("after-b1", 1)
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "tt-b2")
+    return table.read(spark, ref="after-b1").select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
+    "cdc_schema_evolution",
+    "schema evolution on apply: batch 2 adds a column and widens "
+    "int->bigint; old rows read back as typed nulls / losslessly "
+    "widened values through the evolved schema, version history kept",
+    """
+    WITH m AS (SELECT max(event_id) // 2 AS mid FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(floor(value * 100) AS BIGINT) AS last_v100,
+           CASE WHEN event_id <= (SELECT mid FROM m) THEN NULL
+                ELSE props END AS last_props,
+           2 AS schema_version
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's schema-evolution clause as a driver row: batch 1
+    writes (user_id, seq, event_type, v100:int); batch 2 arrives with
+    v100 WIDENED to bigint plus a brand-new props column. The merge step
+    (lake/schema_evolution.py) widens int->bigint (lossless, Iceberg
+    promotion rules) and appends props nullable; the final read presents
+    EVERY row through the evolved schema — batch-1 winners carry exact
+    widened v100 and a typed-null props. floor() (not a bare cast) on
+    both sides because Spark truncates double->int while DuckDB rounds.
+    The lit schema_version column pins that evolution actually recorded
+    a second schema version (v1 rows reread through v2)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100).alias("_v100l"),
+        "props",
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    b1 = ev.where(F.col("seq") <= mid).select(
+        "user_id", "seq", "event_type", "op",
+        F.col("_v100l").cast("int").alias("v100"),
+    )
+    b2 = ev.where(F.col("seq") > mid).select(
+        "user_id", "seq", "event_type", "op",
+        F.col("_v100l").cast("long").alias("v100"), "props",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_sev_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, b1, "sev-b1")
+    table.apply_batch(spark, b2, "sev-b2")
+    version = int(table.current_snapshot()["schema_version"])
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("v100").alias("last_v100"),
+        F.col("props").alias("last_props"),
+        F.lit(version).alias("schema_version"),
+    )
+
+
+@q(
+    "cdc_expire_vacuum",
+    "snapshot expiry + orphan vacuum: expire all but the head after a "
+    "3-batch replay; current state untouched, expired version reads "
+    "fail loudly instead of resurrecting vacuumed files",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           2 AS expired, TRUE AS v1_unreadable
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``expire_snapshots`` + orphan cleanup as a driver row:
+    after a 3-commit replay, keep only the head snapshot. The converged
+    state must be bit-identical to an unexpired table (the oracle is the
+    plain LWW law), exactly 2 of the 3 versions expire, and a time-travel
+    read of the vacuumed v1 raises (never silently returns partial data
+    from whatever files happen to survive)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    hi = ev.agg(F.max("seq")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_vac_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= cut1), "vac-b1")
+    table.apply_batch(
+        spark, ev.where((F.col("seq") > cut1) & (F.col("seq") <= cut2)), "vac-b2"
+    )
+    table.apply_batch(spark, ev.where(F.col("seq") > cut2), "vac-b3")
+    expired = table.expire_snapshots(keep_last=1)
+    try:
+        table.read(spark, version=1)
+        v1_unreadable = False
+    except ValueError:
+        v1_unreadable = True
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.lit(int(expired)).alias("expired"),
+        F.lit(bool(v1_unreadable)).alias("v1_unreadable"),
+    )
+
+
+@q(
     "cdc_incremental_agg",
     "incremental materialized-view maintenance: derived per-group "
     "aggregates kept in sync by consuming the CDF (preimage retraction),"
@@ -3607,6 +3786,9 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   rounds" invariant holds for every registry entry.
 _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked
+    "cdc_time_travel",
+    "cdc_schema_evolution",
+    "cdc_expire_vacuum",
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
     # round-4 continuation additions (never driver-checked; see the
