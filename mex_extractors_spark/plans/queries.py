@@ -1953,6 +1953,82 @@ def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "t5b_session_windows",
+    "session windows (F.session_window — native stateful sessionization "
+    "on streams; same plan is a merge-agg on a static frame). Oracle is "
+    "the classic gaps-and-islands rewrite",
+    """
+    WITH brk AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ), isl AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def t5b_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the engine's streaming-shaped operator.
+    Boundary semantics verified empirically: Spark MERGES two events
+    exactly ``gap`` apart (session end = last ts + gap, and an event
+    landing on a session's end extends it), so the islands oracle
+    breaks on ``diff > gap``, inclusive merge on equality."""
+    from mex_extractors_spark.streaming.windows import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_windows(ev, ts_col="ts", key_col="user_id", gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+@q(
+    "t5c_sliding_rates",
+    "sliding event-time windows (1h window, 15m slide): each event "
+    "lands in exactly window/slide overlapping windows. Oracle explodes "
+    "each event into its 4 slide-aligned window starts",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - (g.i * INTERVAL 15 MINUTE) AS ws
+      FROM events, generate_series(0, 3) g(i)
+    )
+    GROUP BY ws
+    """,
+)
+def t5c_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sliding-window event rate via F.window(ts, '1 hour',
+    '15 minutes'). Spark assigns each event to the 4 slide-aligned
+    windows covering it; the oracle derives the same 4 starts as
+    time_bucket(15m, ts) - i*15m for i in 0..3 (every one satisfies
+    ws <= ts < ws + 1h by construction, so no filter is needed)."""
+    from mex_extractors_spark.streaming.windows import sliding_rates
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_rates(ev, ts_col="ts", window="1 hour", slide="15 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
 def _m1_oracle(dim: int = 8) -> str:
     feats = ",\n           ".join(
         f"round(('0x' || substr(sha256(hexp || kind), {1 + 2 * i}, 2))::INT / 255.0, 6) AS f{i}"
@@ -3789,6 +3865,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_time_travel",
     "cdc_schema_evolution",
     "cdc_expire_vacuum",
+    "t5b_session_windows",
+    "t5c_sliding_rates",
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
     # round-4 continuation additions (never driver-checked; see the
