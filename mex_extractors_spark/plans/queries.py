@@ -3852,14 +3852,16 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (s5/k3), and the file-stats pruning change in lake/stats.py (the whole
 #   cdc read/skipping family). Queries outside the window stay covered every
 #   run by tests/test_queries_parity.py at sf0.001.
-#   Round-4 continuation: eight new never-checked queries (m1c/m2b real
-#   PNG+AVI codecs, t11-t14 curation/normalization, d7 incremental
-#   near-dup) take the head slots and displace seven r3-green insurance
-#   re-checks past 50 (cdc_wap_guarded_publish, cdc_catalog_txn,
-#   cdc_mor_converged_state, cdc_changes_feed, cdc_incremental_agg,
-#   cdc_inverted_index, k2_ndjson_export) — each keeps its r3 driver row
+#   Round-4 continuation: thirteen new never-checked queries (m1c/m2b
+#   real PNG+AVI codecs, t11-t14 curation/normalization, d7 incremental
+#   near-dup, cdc time-travel/schema-evolution/expire-vacuum, t5b/t5c
+#   session+sliding windows) take the head slots and displace twelve
+#   r3-green insurance re-checks past 50 (s5, k3, and the cdc_* rows
+#   from cdc_stats_skipping_read onward) — each keeps its r3 driver row
 #   + per-run pytest parity, so the "driver row within the last two
-#   rounds" invariant holds for every registry entry.
+#   rounds" invariant holds for every registry entry. Every rotated
+#   r1/r2-green entry (which NEEDS an r4 row for that invariant) sits
+#   inside the first 50.
 _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked
     "cdc_time_travel",

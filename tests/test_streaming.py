@@ -218,6 +218,31 @@ def test_session_windows_static(spark, sf001):
     assert sum(r["n_events"] for r in rows) == ev.count()
 
 
+def test_session_window_gap_boundary_is_inclusive(spark):
+    """Pins the merge semantics the t5b oracle depends on: two events
+    EXACTLY one gap apart merge into one session (session end = last
+    ts + gap); one microsecond past the gap splits them."""
+    import datetime as dt
+
+    from mex_extractors_spark.streaming.windows import session_windows
+
+    base = dt.datetime(2020, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    eps = dt.timedelta(microseconds=1)
+    ev = spark.createDataFrame(
+        [(1, base), (1, base + gap), (2, base), (2, base + gap + eps)],
+        "user_id long, ts timestamp",
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_windows(ev, ts_col="ts", key_col="user_id").collect()
+    )
+    # user 1: ONE merged session ending at last-ts + gap
+    assert rows[0] == (1, base, base + gap + gap, 2)
+    # user 2: TWO sessions — eps past the gap does not merge
+    assert [r[3] for r in rows[1:]] == [1, 1] and rows[1][0] == rows[2][0] == 2
+
+
 def test_running_totals_stateful_stream(spark, tmp_path):
     """applyInPandasWithState custom stateful op: per-key totals carry
     across micro-batches; final state equals the batch ground truth."""
