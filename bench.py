@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "t4_fingerprint",
     "t6_repetition_signals",
     "t5_tumbling_window_counts",
+    "t5b_session_windows",
+    "t5c_sliding_rates",
     "t8_pii_redaction",
     "t9_hash_sample",
     "t10_shard_packing",
