@@ -310,6 +310,19 @@ def main() -> None:
     )
     sections.append(
         (
+            "t5b session windows (MergingSessions, one exchange)",
+            "The canonical sessionization plan: 2-column pruned scan with "
+            "`PushedFilters: [IsNotNull(ts)]`, a PARTIAL HashAggregate over "
+            "per-event `session_window` structs (map-side combine before "
+            "any shuffle), ONE `Exchange hashpartitioning(user_id)`, then "
+            "`Sort` + `MergingSessions` + the final HashAggregate. On a "
+            "stream the identical shape runs stateful with watermark "
+            "eviction; nothing about the plan is batch-only.",
+            formatted(REGISTRY["t5b_session_windows"].fn(spark, SF)),
+        )
+    )
+    sections.append(
+        (
             "t11 vocabulary build (bigram tf/df + top-k)",
             "`partial_count` / partial `count(distinct ...)` above the "
             "explode (map-side combine pre-collapses the zipf head before "
