@@ -101,6 +101,16 @@ def run(spark, ev, variant: str, tag: str) -> tuple[LakeTable, float, list[float
 
 def main() -> None:
     spark = bench._bench_spark(CORES, "evolution-probe", aqe=False)
+    try:
+        _run_probe(spark)
+    finally:
+        # never leave a 4M-event corpus + three lakes in tmpfs RAM or a
+        # local[8] JVM running to skew later interleaved measurements
+        spark.stop()
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _run_probe(spark) -> None:
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(BASE, exist_ok=True)
     ev_dir = os.path.join(BASE, "events")
@@ -124,13 +134,25 @@ def main() -> None:
             print(f"round {r} {variant}: {total}s  batches={per_batch}", flush=True)
 
     # read-path cost: a converged scan through 4 schema versions (per-
-    # file-group align_to_schema projections) vs the 1-version control
+    # file-group align_to_schema projections) vs the 1-version control.
+    # Full-width action on purpose: a bare count() lets Catalyst prune
+    # every aligned column out of the scan, measuring nothing — this
+    # aggregate references EVERY column, including the widened
+    # content_len and the null-filled lang/tokens of pre-evolution
+    # file groups, so the alignment projections actually execute.
     read_times: dict[str, float] = {}
     for variant, t in tables.items():
         best = None
         for _ in range(3):
             t0 = time.monotonic()
-            t.read(spark).count()
+            t.read(spark).agg(
+                F.max("seq"),
+                F.count("content"),
+                F.sum(F.length("content")),
+                F.sum("content_len"),
+                F.count("lang"),
+                F.count("tokens"),
+            ).collect()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         read_times[variant] = round(best, 3)
@@ -176,8 +198,6 @@ def main() -> None:
     print(json.dumps(out, indent=1))
     assert diff == 0, "evolution must not change converged state"
     assert schema_versions == 4, schema_versions
-    spark.stop()
-    shutil.rmtree(BASE, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -113,19 +113,14 @@ def test_lake_random_walk_matches_model(spark, tmp_path, seed):
 
     def make_rows(n: int, fenced: bool) -> list[tuple]:
         nonlocal next_seq
+        if fenced:
+            # reuse already-applied rows verbatim (same key+seq): every
+            # event lands at-or-below its bucket watermark
+            pool = [r for _b, rs, _e in applied for r in rs]
+            return [rng.choice(pool) for _ in range(n)]
         rows = []
         for _ in range(n):
             repo, path = rng.choice(KEYS)
-            if fenced:
-                # reuse an already-applied seq for THIS key space: take a
-                # random previously applied row verbatim (same key+seq)
-                if not applied:
-                    return []
-                src = rng.choice([r for _b, rs, _e in applied for r in rs] or [None])
-                if src is None:
-                    return []
-                rows.append(src)
-                continue
             op = rng.choices(["I", "U", "D"], weights=[5, 3, 2])[0]
             content = None if op == "D" else f"body-{next_seq}"
             extra = None if op == "D" else next_seq * 2
