@@ -712,6 +712,55 @@ def cdc_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_point_lookup",
+    "point lookup (read_key): one key's state from the one bucket it "
+    "hashes to, equality pushed to the scan; driver row for K2h",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM state WHERE user_id = (SELECT min(user_id) FROM state)
+    """,
+)
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay into a lake, then ``read_key`` the smallest live key: the
+    lookup plans a 1-row local bucket probe plus a single-bucket scan
+    (1/num_buckets of the table at any size) with the key equality
+    pushed down — never a full-table scan. The oracle restates the
+    lookup as LWW-state-filtered-to-that-key."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_pl_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "pl-b1")
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "pl-b2")
+    key = table.read(spark).agg(F.min("user_id")).first()[0]
+    return table.read_key(spark, user_id=int(key)).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "cdc_incremental_agg",
     "incremental materialized-view maintenance: derived per-group "
     "aggregates kept in sync by consuming the CDF (preimage retraction),"
@@ -3869,6 +3918,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_expire_vacuum",
     "t5b_session_windows",
     "t5c_sliding_rates",
+    "cdc_point_lookup",
     "sim6_ivf_indexed_topk",
     "m1b_real_codec_features",
     # round-4 continuation additions (never driver-checked; see the
