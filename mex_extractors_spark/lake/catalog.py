@@ -112,7 +112,12 @@ class LakeCatalog:
                 cur = int(fh.read().strip())
         mx = self._max_ledger_version()
         if mx > cur:
-            self._write_current(mx)
+            # heal IN MEMORY only: every reader lists the ledger, so a
+            # lagging CURRENT never misleads anyone, and the read path
+            # stays write-free (read-only filesystem consumers work; no
+            # racing healers transiently regressing CURRENT). The
+            # persistent pointer is repaired by the next _publish, which
+            # rewrites CURRENT after its CAS anyway.
             cur = mx
         return self.snapshot_at(cur) if cur else None
 
@@ -217,14 +222,18 @@ class LakeCatalog:
                 *table.key_cols, *payload, change_type.alias("_change_type")
             )
 
-        if from_pin == to_pin:  # pin did not move: nothing changed
-            return _cdf_shape(
-                table.read(spark, version=to_pin).limit(0), F.lit("")
-            )
-        if from_pin is None:  # first pinned inside the window: bootstrap
-            return _cdf_shape(
-                table.read(spark, version=to_pin), F.lit("insert")
-            )
+        if from_pin == to_pin or from_pin is None:
+            to_df = table.read(spark, version=to_pin)
+            if not to_df.columns:
+                # the pin is a bootstrap no-op snapshot (schema_version
+                # 0, no data yet): same empty CDF shape the table-level
+                # read_changes returns — selecting key columns on a
+                # zero-column frame would crash instead
+                return to_df.withColumn("_change_type", F.lit(""))
+            if from_pin == to_pin:  # pin did not move: nothing changed
+                return _cdf_shape(to_df.limit(0), F.lit(""))
+            # first pinned inside the window: bootstrap as inserts
+            return _cdf_shape(to_df, F.lit("insert"))
         return table.read_changes(
             spark, from_pin, to_pin, include_preimages=include_preimages
         )
@@ -404,7 +413,14 @@ class LakeTransaction:
         self.txn_id = uuid.uuid4().hex[:12]
         base = catalog.current_snapshot()
         self.base_version = int(base["version"]) if base else 0
-        self._base_pins = catalog.pins() if base else {}
+        # derive pins from the snapshot already in hand: a second
+        # catalog.pins() call re-reads the head, and a commit landing
+        # between the two reads would pair base_version N with N+1's
+        # pins — staging against a world this txn's commit() cannot
+        # publish (guaranteed CommitConflict, wasted staging work)
+        self._base_pins = (
+            {k: int(v) for k, v in base["tables"].items()} if base else {}
+        )
         self._branches: dict[str, str] = {}  # table name -> branch name
         self._stats: list[ApplyStats] = []
         self._done = False

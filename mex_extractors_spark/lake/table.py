@@ -1264,13 +1264,26 @@ class LakeTable:
                 f"read_key needs every key column (missing {missing}): "
                 "the bucket function hashes all of them"
             )
+        extra = sorted(set(key_values) - set(self.key_cols))
+        if extra:
+            # silently dropping a non-key filter would hand back rows
+            # the caller did not ask for (a typo'd extra filter must
+            # fail loudly, not pretend to match)
+            raise ValueError(
+                f"read_key accepts only key columns {list(self.key_cols)}; "
+                f"unexpected: {extra} — filter other columns on the result"
+            )
+        schema = self.current_schema()
+        if schema is None:
+            # no committed data schema yet (brand-new table or a no-op
+            # bootstrap head): a point lookup is empty, same as read()
+            return spark.createDataFrame([], StructType([]))
         # same murmur3-pmod the layout uses, evaluated on a literal row
         # (no table scan — a 1-row local plan). Literals are CAST to the
         # stored column types first: murmur3 hashes ints and longs
         # differently, so an uncast Python int probing a LongType key
         # would hash to the wrong bucket and silently return empty.
-        schema = self.current_schema()
-        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        types = {f.name: f.dataType for f in schema.fields}
         lits = [
             F.lit(key_values[c]).cast(types[c]) if c in types else F.lit(key_values[c])
             for c in self.key_cols
@@ -1826,72 +1839,85 @@ class LakeTable:
         order-independent checksum from the files on disk and compare to
         the snapshot manifest. Returns the list of mismatching buckets
         (empty = table verified) — the sha256-after-serialize contract
-        (sinks/s3.py:106-133) as an on-demand integrity scan. Base files
-        and delta files are audited separately — each manifest entry
-        certifies the bytes of its own file group."""
+        (sinks/s3.py:106-133) as an on-demand integrity scan.
+
+        Each manifest entry certifies the bytes of its own file group
+        UNDER THE SCHEMA IT WAS WRITTEN WITH: every group is hashed with
+        its stored schema version's canonical JSON, mirroring the
+        write-time computation exactly. Recomputing under the CURRENT
+        schema would false-flag healthy buckets not rewritten since a
+        float-involved type widening (int 5 renders "5" before an
+        int→double widen but "5.0" through the evolved read; float→
+        double extends the mantissa repr) — the same reason compact()
+        only compares checksums for groups already at the current
+        version. One tagged union + one aggregate job covers all base
+        and delta groups regardless of how many schema versions exist."""
         snap = self.current_snapshot()
         if snap is None or not snap["buckets"]:
             return []
-        schema = self.current_schema()
-        df = self._read_base(spark, snap, None, schema).withColumn(
-            _BUCKET, self._bucket_expr()
-        )
-        canonical = F.to_json(F.struct(*sorted(schema.fieldNames())))
-        actual = {
-            int(r[_BUCKET]): (int(r["rows"]), str(r["checksum"]))
-            for r in df.groupBy(_BUCKET)
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.coalesce(
-                    F.sum(F.xxhash64(canonical).cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("checksum"),
-            )
-            .collect()
-        }
-        bad = []
-        for b, meta in snap["buckets"].items():
-            got = actual.get(int(b), (0, "0"))
-            if meta["rows"] and (got[0] != meta["rows"] or got[1] != str(meta["checksum"])):
-                bad.append(int(b))
-        # delta groups: one tagged union, one aggregate job for them all
-        delta_target = StructType(
-            [*schema.fields, StructField(self.op_col, StringType())]
-        )
-        dcanon = F.to_json(F.struct(*sorted(delta_target.fieldNames())))
-        parts = []
+        dec = "decimal(38,0)"
+        parts: list[DataFrame] = []
         expected: dict[str, tuple[int, str]] = {}
+        # base groups, bucketed by their written schema version; rows are
+        # tagged with the RECOMPUTED bucket id so a row sitting in the
+        # wrong bucket's file still surfaces as a mismatch on both sides
+        by_sv: dict[int, list[str]] = {}
+        for b, meta in snap["buckets"].items():
+            if not meta["rows"]:
+                continue
+            expected[f"b:{int(b)}"] = (int(meta["rows"]), str(meta["checksum"]))
+            by_sv.setdefault(int(meta["schema_version"]), []).extend(
+                os.path.join(self.path, f) for f in meta["files"]
+            )
+        for sv, files in sorted(by_sv.items()):
+            if not files:
+                continue
+            schema_sv = StructType.fromJson(snap["schemas"][str(sv)])
+            canonical = F.to_json(F.struct(*sorted(schema_sv.fieldNames())))
+            parts.append(
+                spark.read.schema(schema_sv)
+                .parquet(*files)
+                .select(
+                    F.concat(
+                        F.lit("b:"), self._bucket_expr().cast("string")
+                    ).alias("_tag"),
+                    F.xxhash64(canonical).cast(dec).alias("_h"),
+                )
+            )
         for b, meta in snap["buckets"].items():
             for i, d in enumerate(meta.get("deltas", [])):
                 if not d["files"]:
                     continue
-                did = f"{b}:{i}"
+                did = f"d:{int(b)}:{i}"
                 expected[did] = (int(d["rows"]), str(d["checksum"]))
-                part = spark.read.schema(
-                    self._delta_schema(snap, int(d["schema_version"]))
-                ).parquet(*[os.path.join(self.path, f) for f in d["files"]])
+                dschema = self._delta_schema(snap, int(d["schema_version"]))
+                dcanon = F.to_json(F.struct(*sorted(dschema.fieldNames())))
                 parts.append(
-                    align_to_schema(part, delta_target).withColumn("_did", F.lit(did))
+                    spark.read.schema(dschema)
+                    .parquet(*[os.path.join(self.path, f) for f in d["files"]])
+                    .select(
+                        F.lit(did).alias("_tag"),
+                        F.xxhash64(dcanon).cast(dec).alias("_h"),
+                    )
                 )
+        actual: dict[str, tuple[int, str]] = {}
         if parts:
             allp = parts[0]
             for p in parts[1:]:
                 allp = allp.unionByName(p)
-            dactual = {
-                str(r["_did"]): (int(r["rows"]), str(r["checksum"]))
-                for r in allp.groupBy("_did")
+            actual = {
+                str(r["_tag"]): (int(r["rows"]), str(r["checksum"]))
+                for r in allp.groupBy("_tag")
                 .agg(
                     F.count(F.lit(1)).alias("rows"),
-                    F.coalesce(
-                        F.sum(F.xxhash64(dcanon).cast("decimal(38,0)")),
-                        F.lit(0).cast("decimal(38,0)"),
-                    ).alias("checksum"),
+                    F.coalesce(F.sum("_h"), F.lit(0).cast(dec)).alias("checksum"),
                 )
                 .collect()
             }
-            for did, want in expected.items():
-                if dactual.get(did, (0, "0")) != want:
-                    bad.append(int(did.split(":")[0]))
+        bad = []
+        for tag, want in expected.items():
+            if actual.get(tag, (0, "0")) != want:
+                bad.append(int(tag.split(":")[1]))
         return sorted(set(bad))
 
     def incremental_read(
@@ -2151,9 +2177,36 @@ class LakeTable:
             raise
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        try:
+            return self._rebucket_publish(
+                spark, snap, version, rel_out, out_dir, schema,
+                bucket_stats, value_sets, expected_rows, new_num_buckets,
+            )
+        except BaseException:
+            # the committed layout is still the OLD one: a caller that
+            # catches (drift, ENOSPC on sidecars, CommitConflict) and
+            # keeps the handle must not bucket future batches with the
+            # NEW count over OLD-layout metadata — that would be silent
+            # fencing/merge corruption. Only after _rebucket_publish's
+            # CAS lands may the handle keep the new count.
+            self.num_buckets = old_num
+            raise
+
+    def _rebucket_publish(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        version: int,
+        rel_out: str,
+        out_dir: str,
+        schema: StructType,
+        bucket_stats: dict,
+        value_sets: dict,
+        expected_rows: int,
+        new_num_buckets: int,
+    ) -> int:
         total = sum(rows for rows, _c in bucket_stats.values())
         if total != expected_rows:
-            self.num_buckets = old_num
             raise RuntimeError(
                 f"rebucket row-count drift: {total} != {expected_rows}"
             )

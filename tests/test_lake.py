@@ -1249,3 +1249,97 @@ def test_relative_table_path_resolves_against_cwd(spark, tmp_path, monkeypatch):
     assert st.applied
     assert not (tmp_path / "spark-warehouse").exists()  # nothing strayed
     assert t.read(spark).count() == 1
+
+
+def test_verify_checksums_survive_float_widening(spark, tmp_path):
+    """Buckets NOT rewritten since an int->double widening must verify
+    clean: each manifest checksum certifies its file group under the
+    schema it was WRITTEN with (int 5 renders "5" pre-widen but "5.0"
+    through the evolved read — recomputing under the current schema
+    false-flags every stale-schema bucket on a healthy table)."""
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=8)
+    b1 = spark.createDataFrame(
+        [(f"r{i}", "a", i + 1, "U", i * 10) for i in range(24)],
+        "repo string, path string, seq long, op string, v int",
+    )
+    t.apply_batch(spark, b1, "w1")
+    # batch 2 touches ONE key but widens v to double for the whole table
+    b2 = spark.createDataFrame(
+        [("r0", "a", 100, "U", 3.5)],
+        "repo string, path string, seq long, op string, v double",
+    )
+    t.apply_batch(spark, b2, "w2")
+    snap = t.current_snapshot()
+    assert snap["schema_version"] == 2
+    stale = [
+        b for b, m in snap["buckets"].items()
+        if m["files"] and int(m["schema_version"]) == 1
+    ]
+    assert stale, "widening batch must leave some buckets un-rewritten"
+    assert t.verify_bucket_checksums(spark) == []
+    # and the audit still detects real corruption on a stale-schema bucket
+    assert len(stale) >= 2
+    victim_meta = snap["buckets"][stale[0]]
+    victim = os.path.join(t.path, victim_meta["files"][0])
+    donor_b = stale[1]  # same schema version: the read stays typed-valid
+    import shutil as _sh
+
+    donor = os.path.join(t.path, snap["buckets"][donor_b]["files"][0])
+    crc = lambda p: os.path.join(  # noqa: E731
+        os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+    )
+    _sh.copyfile(donor, victim)
+    if os.path.exists(crc(donor)):
+        _sh.copyfile(crc(donor), crc(victim))
+    assert t.verify_bucket_checksums(spark) != []
+
+
+def test_rebucket_failure_restores_bucket_count(spark, tmp_path, monkeypatch):
+    """A failure AFTER the rewrite but BEFORE the snapshot CAS must put
+    self.num_buckets back: the committed layout is still the old one,
+    and a caller that catches and continues would otherwise bucket
+    future batches with the new count over old-layout metadata."""
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    df = spark.createDataFrame(
+        [(f"r{i}", "a", i + 1, "U", "x") for i in range(12)],
+        "repo string, path string, seq long, op string, content string",
+    )
+    t.apply_batch(spark, df, "b1")
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(t, "_persist_file_stats", boom)
+    with pytest.raises(OSError):
+        t.rebucket(spark, 16)
+    monkeypatch.undo()
+    assert t.num_buckets == 4
+    assert t.current_snapshot()["num_buckets"] == 4
+    # the handle still works against the committed layout
+    st = t.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r0", "a", 100, "U", "y")],
+            "repo string, path string, seq long, op string, content string",
+        ),
+        "b2",
+    )
+    assert st.applied and t.read(spark).where("seq = 100").count() == 1
+
+
+def test_read_key_empty_table_and_unknown_kwargs(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    # schemaless table: empty frame, not an AnalysisException
+    assert t.read_key(spark, repo="a", path="b").count() == 0
+    t.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("a", "b", 1, "U", "x")],
+            "repo string, path string, seq long, op string, content string",
+        ),
+        "b1",
+    )
+    # a non-key filter must fail loudly, never be silently dropped
+    with pytest.raises(ValueError, match="unexpected"):
+        t.read_key(spark, repo="a", path="b", content="x")
+    assert t.read_key(spark, repo="a", path="b").count() == 1
