@@ -57,7 +57,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mex_extractors_spark.lake.table import ApplyStats, CommitConflict, LakeTable
+from mex_extractors_spark.lake.table import (
+    ApplyStats,
+    CommitConflict,
+    LakeTable,
+    atomic_write_ref,
+    cas_publish_document,
+)
 
 
 class LakeCatalog:
@@ -239,33 +245,20 @@ class LakeCatalog:
         )
 
     def _publish(self, snapshot: dict) -> None:
-        """Same atomic create-if-absent CAS as LakeTable._publish."""
+        """The same atomic commit protocol as LakeTable._publish, via
+        the shared helpers (one implementation of the crash-safety-
+        critical path to keep in sync, not two)."""
         version = snapshot["version"]
-        snap_path = os.path.join(self.cat_dir, f"c{version:08d}.json")
-        tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(snapshot, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, snap_path)
-        except FileExistsError:
-            os.remove(tmp)
-            raise CommitConflict(
-                f"catalog snapshot c{version} was published by another "
-                "transaction — re-open a transaction on the new head"
-            ) from None
-        os.remove(tmp)
+        cas_publish_document(
+            os.path.join(self.cat_dir, f"c{version:08d}.json"),
+            snapshot,
+            f"catalog snapshot c{version} was published by another "
+            "transaction — re-open a transaction on the new head",
+        )
         self._write_current(version)
 
     def _write_current(self, version: int) -> None:
-        cur = os.path.join(self.cat_dir, "CURRENT")
-        ctmp = cur + f".tmp-{uuid.uuid4().hex}"
-        with open(ctmp, "w") as fh:
-            fh.write(str(version))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(ctmp, cur)
+        atomic_write_ref(os.path.join(self.cat_dir, "CURRENT"), version)
 
     def transaction(self) -> "LakeTransaction":
         return LakeTransaction(self)

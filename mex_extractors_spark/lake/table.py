@@ -138,6 +138,39 @@ class CommitConflict(RuntimeError):
     single-writer by contract — treat this as a deployment error."""
 
 
+def atomic_write_ref(path: str, version: int) -> None:
+    """Crash-safe pointer swap: fsync'd tmp file + ``os.replace``. The
+    ONE implementation of the ref write (table CURRENT, branch/tag refs,
+    catalog CURRENT) — a durability fix here reaches every pointer."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def cas_publish_document(path: str, doc: dict, conflict_msg: str) -> None:
+    """Atomic create-if-absent commit of a JSON document: fsync'd tmp
+    file + ``os.link``, which FAILS if ``path`` already exists — the
+    optimistic-concurrency CAS both the table ledger and the catalog
+    commit log publish through (Iceberg's atomic snapshot commit). Two
+    writers that both computed the same next version race; exactly one
+    wins, the loser gets :class:`CommitConflict` instead of silently
+    clobbering the winner with a stale parent."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflict(conflict_msg) from None
+    os.remove(tmp)
+
+
 @dataclass
 class ApplyStats:
     batch_id: str
@@ -393,12 +426,7 @@ class LakeTable:
         return self.refs().get(name, self.tags().get(name))
 
     def _write_ref(self, path: str, version: int) -> None:
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
+        atomic_write_ref(path, version)
 
     def create_branch(self, name: str, at_version: int | None = None) -> int:
         """Point a new branch at ``at_version`` (default: the current
@@ -587,20 +615,12 @@ class LakeTable:
         lost updates into a loud error."""
         version = snapshot["version"]
         snap_path = os.path.join(self.ledger_dir, f"v{version:08d}.json")
-        tmp = snap_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(snapshot, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, snap_path)  # atomic create-if-absent (CAS)
-        except FileExistsError:
-            os.remove(tmp)
-            raise CommitConflict(
-                f"snapshot v{version} was published by another writer — "
-                "this table is single-writer; re-read the ledger and retry"
-            ) from None
-        os.remove(tmp)
+        cas_publish_document(
+            snap_path,
+            snapshot,
+            f"snapshot v{version} was published by another writer — "
+            "this table is single-writer; re-read the ledger and retry",
+        )
         pointer = (
             os.path.join(self.ledger_dir, "CURRENT")
             if ref is None
