@@ -979,6 +979,48 @@ class LakeTable:
         are still honored by the pruner directly)."""
         return self._load_stats_sidecar(rel)
 
+    def _assemble_manifest_stats(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        rel_out: str,
+        schema: StructType,
+        bucket_stats: dict,
+        value_sets: dict,
+        with_blooms: bool = True,
+        extra_cols: "Sequence[str] | None" = None,
+    ) -> dict[int, list[str]]:
+        """Shared post-write manifest assembly (apply_batch / rebucket /
+        compact): map just-written files to their buckets, build the
+        per-file blooms when this write carries them, and persist the
+        immutable stats sidecars. ONE implementation on purpose — the
+        file-naming regex and sidecar policy must not drift between the
+        three writers. Returns files_by_bucket (repo-relative paths)."""
+        files_by_bucket: dict[int, list[str]] = {}
+        for f in os.listdir(out_dir):
+            m = _BUCKET_NAME_RE.search(f)
+            if m:
+                files_by_bucket.setdefault(int(m.group(1)), []).append(
+                    os.path.join(rel_out, f)
+                )
+        blooms = (
+            self._bloom_bucket_stats(
+                spark,
+                out_dir,
+                schema,
+                rows_hint=max(
+                    (r for r, _c in bucket_stats.values()), default=0
+                ),
+            )
+            if self.bloom_cols and with_blooms
+            else None
+        )
+        file_stats = self._collect_file_stats(
+            files_by_bucket, value_sets, blooms, extra_cols=extra_cols
+        )
+        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
+        return files_by_bucket
+
     def _collect_file_stats(
         self,
         files_by_bucket: dict[int, list[str]],
@@ -1708,32 +1750,15 @@ class LakeTable:
             )
         t_checksum = time.monotonic() - t_phase
 
-        # --- assemble + publish snapshot
-        files_by_bucket: dict[int, list[str]] = {}
-        for f in os.listdir(out_dir):
-            m = _BUCKET_NAME_RE.search(f)
-            if m:
-                files_by_bucket.setdefault(int(m.group(1)), []).append(
-                    os.path.join(rel_out, f)
-                )
-        # blooms ride BASE entries only: _prune_base_files never prunes
-        # delta files (they must always reach the MOR merge), so a mor
-        # batch skips the bloom job — compaction regenerates blooms when
-        # the deltas fold into a fresh base.
-        blooms = (
-            self._bloom_bucket_stats(
-                spark,
-                out_dir,
-                written_schema,
-                rows_hint=max(
-                    (r for r, _c in bucket_stats.values()), default=0
-                ),
-            )
-            if self.bloom_cols and not use_mor
-            else None
+        # --- assemble + publish snapshot. Blooms ride BASE entries
+        # only: _prune_base_files never prunes delta files (they must
+        # always reach the MOR merge), so a mor batch skips the bloom
+        # job — compaction regenerates blooms when the deltas fold into
+        # a fresh base.
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, written_schema, bucket_stats,
+            value_sets, with_blooms=not use_mor,
         )
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
-        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = dict(snap["buckets"]) if snap else {}
         for b in touched:
             rows, checksum = bucket_stats.get(b, (0, "0"))
@@ -2230,28 +2255,10 @@ class LakeTable:
             raise RuntimeError(
                 f"rebucket row-count drift: {total} != {expected_rows}"
             )
-        files_by_bucket: dict[int, list[str]] = {}
-        for f in os.listdir(out_dir):
-            m = _BUCKET_NAME_RE.search(f)
-            if m:
-                files_by_bucket.setdefault(int(m.group(1)), []).append(
-                    os.path.join(rel_out, f)
-                )
-        schema_version = snap["schema_version"]
-        blooms = (
-            self._bloom_bucket_stats(
-                spark,
-                out_dir,
-                schema,
-                rows_hint=max(
-                    (r for r, _c in bucket_stats.values()), default=0
-                ),
-            )
-            if self.bloom_cols
-            else None
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, schema, bucket_stats, value_sets
         )
-        file_stats = self._collect_file_stats(files_by_bucket, value_sets, blooms)
-        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
+        schema_version = snap["schema_version"]
         buckets_meta = {}
         for b, (rows, checksum) in bucket_stats.items():
             entry = {
@@ -2472,32 +2479,10 @@ class LakeTable:
                 drift.append((b, (want_rows, want_ck), got))
         if drift:
             raise RuntimeError(f"compaction content drift: {drift}")
-        files_by_bucket: dict[int, list[str]] = {}
-        for f in os.listdir(out_dir):
-            m = _BUCKET_NAME_RE.search(f)
-            if m:
-                files_by_bucket.setdefault(int(m.group(1)), []).append(
-                    os.path.join(rel_out, f)
-                )
-        blooms = (
-            self._bloom_bucket_stats(
-                spark,
-                out_dir,
-                schema,
-                rows_hint=max(
-                    (r for r, _c in new_stats.values()), default=0
-                ),
-            )
-            if self.bloom_cols
-            else None
-        )
-        file_stats = self._collect_file_stats(
-            files_by_bucket,
-            value_sets,
-            blooms,
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, schema, new_stats, value_sets,
             extra_cols=cluster_spec["by"] if cluster_spec else None,
         )
-        self._persist_file_stats(file_stats)  # sidecars, not manifest bloat
         buckets_meta = dict(snap["buckets"])
         for b in candidates:
             entry = {
