@@ -194,6 +194,18 @@ class ApplyStats:
     t_checksum: float = 0.0
 
 
+@dataclass
+class DmlStats:
+    """Outcome of a predicate DML commit (``delete_where`` /
+    ``update_where``)."""
+
+    commit_id: str
+    applied: bool
+    matched: int = 0  # state rows the predicate selected
+    buckets_rewritten: int = 0
+    version: int = 0  # snapshot the commit published (or found applied)
+
+
 class LakeTable:
     """A single converged lake table keyed on ``key_cols`` with LWW by
     ``seq_col``. One writer per table (the replay driver), many readers.
@@ -514,6 +526,38 @@ class LakeTable:
             )
         self._write_ref(os.path.join(self.ledger_dir, "CURRENT"), head)
         return head
+
+    def rollback_to(self, version: int) -> int:
+        """Move main's CURRENT back to ancestor snapshot ``version``
+        (Iceberg ``rollback_to_snapshot``). Pure metadata — no data
+        files move. The rolled-over snapshots stay readable by version
+        until ``expire_snapshots`` reclaims them (they are no longer on
+        main's parent chain), and because watermarks and applied-batch
+        ids live IN the snapshot, the table's fencing state reverts with
+        it: events the rolled-back commits had consumed re-apply
+        cleanly, which is exactly what a replay-from-known-good-point
+        recovery needs. The target must be an ancestor of the current
+        head (same proof as :meth:`fast_forward`) — rolling "back" to an
+        unrelated branch snapshot would silently adopt its watermarks.
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot roll back an empty table")
+        if version == cur["version"]:
+            return version
+        if self.snapshot_at(version) is None:
+            raise ValueError(f"snapshot v{version} not found (expired or never published)")
+        v: int | None = cur["version"]
+        while v is not None and v != version:
+            snap = self.snapshot_at(v)
+            v = snap["parent"] if snap else None
+        if v != version:
+            raise ValueError(
+                f"v{version} is not an ancestor of main head v{cur['version']} — "
+                "not a rollback (use fast_forward for branch heads)"
+            )
+        self._write_ref(os.path.join(self.ledger_dir, "CURRENT"), version)
+        return version
 
     def write_audit_publish(
         self,
@@ -1869,6 +1913,7 @@ class LakeTable:
             }
         else:
             snapshot = dict(snap)
+            snapshot.pop("dml", None)  # DML provenance is per-commit
             snapshot["version"] = self._next_version()
             snapshot["parent"] = snap["version"]
             snapshot["applied_batches"] = self._trim_batches(
@@ -2193,6 +2238,7 @@ class LakeTable:
         if schema is None or not snap["buckets"]:
             # only bookkeeping no-op snapshots so far: commit the layout
             snapshot = dict(snap)
+            snapshot.pop("dml", None)  # DML provenance is per-commit
             snapshot.update(
                 version=version, parent=snap["version"],
                 num_buckets=new_num_buckets,
@@ -2495,6 +2541,7 @@ class LakeTable:
                 entry["cluster"] = dict(cluster_spec)
             buckets_meta[str(b)] = entry
         snapshot = dict(snap)
+        snapshot.pop("dml", None)  # DML provenance is per-commit
         snapshot.update(
             version=version,
             parent=snap["version"],
@@ -2507,6 +2554,164 @@ class LakeTable:
         )
         self._publish(snapshot)
         return version
+
+    # ---------------------------------------------------------- row DML
+
+    def delete_where(
+        self, spark: SparkSession, where: Sequence[tuple], commit_id: str
+    ) -> DmlStats:
+        """Row-level DELETE by predicate (Iceberg/Delta ``DELETE FROM …
+        WHERE`` — the compliance-purge shape the CDC feed cannot
+        express, e.g. "drop every row of a revoked repo" regardless of
+        key or sequence). ``where`` is the same conjunctive
+        ``(col, op, value)`` list as ``read(where=…)``.
+
+        Scale shape (copy-on-write, maintenance-grade): manifest stats
+        prune the candidate buckets first (a file provably excluded by
+        the predicate never plans a scan), then ONE pruned+filtered
+        aggregate counts matches per bucket (≤ ``num_buckets`` rows to
+        the driver), and only buckets with >0 matches are rewritten —
+        untouched buckets keep their manifest entries (and files)
+        verbatim. Pending MoR deltas in a rewritten bucket fold in, same
+        as ``compact``. Idempotent via ``commit_id`` against the same
+        applied-batch window as ingest; a zero-match predicate still
+        commits a bookkeeping snapshot so the commit_id is recorded.
+        Older snapshots keep reading the pre-delete files (time travel
+        is why DELETE alone is not yet a physical purge — follow with
+        ``expire_snapshots`` to reclaim them, the GDPR two-step).
+        """
+        return self._dml_rewrite(spark, where, commit_id, set_exprs=None)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: "dict[str, Column]",
+        where: Sequence[tuple],
+        commit_id: str,
+    ) -> DmlStats:
+        """Row-level UPDATE by predicate (Iceberg/Delta ``UPDATE … SET …
+        WHERE`` — in-place correction/redaction of converged state).
+        ``set_exprs`` maps payload columns to replacement expressions
+        (evaluated against the row; cast to the column's table type so
+        the schema cannot drift). Key, and sequence columns are
+        immutable — changing a key is a delete+insert, which belongs to
+        the CDC feed where it carries a sequence number. Same pruning,
+        idempotency, and snapshot semantics as :meth:`delete_where`.
+        """
+        return self._dml_rewrite(spark, where, commit_id, set_exprs=dict(set_exprs))
+
+    def _dml_rewrite(
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        commit_id: str,
+        set_exprs: "dict[str, Column] | None",
+    ) -> DmlStats:
+        preds = validate_predicates(where)
+        if not preds:
+            raise ValueError("DML needs at least one (col, op, value) predicate")
+        snap = self.current_snapshot()
+        if snap is None or not snap.get("schema_version"):
+            return DmlStats(commit_id=commit_id, applied=False, version=0)
+        if commit_id in snap["applied_batches"]:
+            return DmlStats(
+                commit_id=commit_id, applied=False, version=snap["version"]
+            )
+        current_sv = int(snap["schema_version"])
+        schema = StructType.fromJson(snap["schemas"][str(current_sv)])
+        if set_exprs is not None:
+            immutable = {*self.key_cols, self.seq_col}
+            if bad := set(set_exprs) & immutable:
+                raise ValueError(f"key/seq columns are immutable: {sorted(bad)}")
+            if unknown := set(set_exprs) - set(schema.fieldNames()):
+                raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+        # --- candidates: buckets the predicate cannot be proven absent
+        #     from (stats pruning); a bucket with pending deltas is
+        #     always a candidate (deltas are never pruned — see read())
+        skip = self._prune_base_files(snap, None, preds)
+        candidates = sorted(
+            int(b)
+            for b, meta in snap["buckets"].items()
+            if meta.get("deltas")
+            or any(
+                os.path.join(self.path, rel) not in skip for rel in meta["files"]
+            )
+        )
+        where_expr = self._where_expr(preds)
+        touched: list[int] = []
+        matched = 0
+        if candidates:
+            counts = (
+                self.read(spark, buckets=candidates, where=preds)
+                .groupBy(self._bucket_expr().alias("_b"))
+                .count()
+                .collect()
+            )
+            touched = sorted(int(r["_b"]) for r in counts if r["count"] > 0)
+            matched = sum(int(r["count"]) for r in counts)
+        if not touched:
+            self._commit_noop(snap, commit_id)
+            cur = self.current_snapshot()
+            return DmlStats(
+                commit_id=commit_id, applied=True, version=cur["version"]
+            )
+        version = self._next_version()
+        rel_out, out_dir = self._new_data_dir(version)
+        rows = self.read(spark, buckets=touched)
+        if set_exprs is None:
+            new_rows = rows.where(~where_expr)
+        else:
+            new_rows = rows
+            for c, expr in set_exprs.items():
+                new_rows = new_rows.withColumn(
+                    c,
+                    F.when(where_expr, expr.cast(schema[c].dataType)).otherwise(
+                        F.col(c)
+                    ),
+                )
+            new_rows = new_rows.select(*schema.fieldNames())
+        new_rows = new_rows.repartition(
+            self.num_buckets, *[F.col(c) for c in self.key_cols]
+        )
+        self._write_bucketed(spark, new_rows, out_dir)
+        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, schema, new_stats, value_sets
+        )
+        buckets_meta = dict(snap["buckets"])
+        for b in touched:
+            buckets_meta[str(b)] = {
+                "files": sorted(files_by_bucket.get(b, [])),
+                "schema_version": current_sv,
+                "rows": new_stats.get(b, (0, "0"))[0],
+                "checksum": new_stats.get(b, (0, "0"))[1],
+            }
+        snapshot = {k: v for k, v in snap.items() if k != "dml"}
+        snapshot.update(
+            version=version,
+            parent=snap["version"],
+            buckets=buckets_meta,
+            applied_batches=self._trim_batches(snap["applied_batches"], commit_id),
+            total_rows=sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in buckets_meta.values()
+            ),
+            dml={
+                "op": "delete" if set_exprs is None else "update",
+                "where": [list(p) for p in preds],
+                "matched": matched,
+                "buckets": touched,
+            },
+            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._publish(snapshot)
+        return DmlStats(
+            commit_id=commit_id,
+            applied=True,
+            matched=matched,
+            buckets_rewritten=len(touched),
+            version=version,
+        )
 
     def maintenance(
         self,
@@ -2592,8 +2797,15 @@ class LakeTable:
                 if f.endswith(".parquet") and rel not in live:
                     os.remove(full)
                     removed += 1
+        # a version dir no retained snapshot references holds only
+        # write-protocol artifacts now (_SUCCESS markers, .crc shadows,
+        # swept parquet) — remove it whole. Safe under the table's
+        # single-writer model: the parquet sweep above already deletes
+        # unreferenced data files, so an in-flight attempt dir could
+        # not survive vacuum either way.
         for d in sorted(os.listdir(self.data_dir)):
+            rel_prefix = os.path.join("data", d) + os.sep
             vd = os.path.join(self.data_dir, d)
-            if os.path.isdir(vd) and not any(files for _r, _dd, files in os.walk(vd)):
+            if os.path.isdir(vd) and not any(r.startswith(rel_prefix) for r in live):
                 shutil.rmtree(vd)
         return removed

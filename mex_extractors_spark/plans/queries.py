@@ -712,6 +712,181 @@ def cdc_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_delete_where",
+    "predicate DML: DELETE FROM state WHERE event_type='click' "
+    "(compliance-purge shape) — stats-pruned bucket rewrite, matched "
+    "count pinned, pre-delete snapshot still time-travel readable",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           (SELECT count(*) FROM state WHERE event_type = 'click') AS dml_matched,
+           TRUE AS v1_full
+    FROM state WHERE event_type <> 'click'
+    """,
+)
+def cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE by predicate (``LakeTable.delete_where``) as a
+    driver row — the GDPR/revocation shape the CDC feed cannot express
+    (a tombstone needs a key + sequence; "purge every click row" names
+    neither). Replay the full stream, delete converged rows whose
+    last event is a click, read back. ``dml_matched`` pins the engine's
+    matched-row count against the oracle's recount; ``v1_full`` pins
+    copy-on-write isolation (the pre-delete snapshot still reads the
+    full state). Scale shape per delete_where: manifest-stats pruning →
+    per-bucket match counts → only matched buckets rewritten."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_del_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev, "del-b1")
+    pre_rows = table.read(spark).count()
+    st = table.delete_where(spark, [("event_type", "=", "click")], "purge-clicks")
+    v1_full = table.read(spark, version=1).count() == pre_rows
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.lit(int(st.matched)).alias("dml_matched"),
+        F.lit(bool(v1_full)).alias("v1_full"),
+    )
+
+
+@q(
+    "cdc_update_where",
+    "predicate DML: UPDATE state SET v100=v100*2+1 WHERE "
+    "event_type='view' (in-place redaction/correction shape); "
+    "non-matching rows byte-identical, matched count pinned",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v100
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CASE WHEN event_type = 'view' THEN v100 * 2 + 1 ELSE v100 END AS last_v100,
+           (SELECT count(*) FROM state WHERE event_type = 'view') AS dml_matched
+    FROM state
+    """,
+)
+def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE by predicate (``LakeTable.update_where``): after
+    a full replay, rewrite ``v100`` for every converged row whose last
+    event is a view — the in-place correction/redaction shape (the CDC
+    feed would need a new higher-sequence event per key; UPDATE names a
+    predicate instead). The SET expression references the row
+    (v100*2+1), so the oracle's CASE restates the whole table state:
+    matching rows transformed, everything else byte-identical. floor()
+    (not a bare cast) on both sides because Spark truncates
+    double->long while DuckDB rounds."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_upd_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev, "upd-b1")
+    st = table.update_where(
+        spark,
+        {"v100": F.col("v100") * 2 + 1},
+        [("event_type", "=", "view")],
+        "fix-views",
+    )
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("v100").alias("last_v100"),
+        F.lit(int(st.matched)).alias("dml_matched"),
+    )
+
+
+@q(
+    "cdc_rollback",
+    "rollback_to(v1) after a bad second batch, then re-replay it: the "
+    "snapshot's watermarks/batch-ids revert with the ref move, so the "
+    "SAME batch id re-applies and the table reconverges to full state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           TRUE AS reapplied
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``rollback_to_snapshot`` as a driver row, exercised the
+    way an operator actually uses it: batch 2 lands, is found bad,
+    ``rollback_to(1)`` moves CURRENT back (pure metadata — batch 1's
+    files untouched), and the corrected batch 2 replays under its
+    ORIGINAL batch id. Because watermarks and applied-batch ids live in
+    the snapshot, fencing reverts with the ref move — the re-apply is a
+    real merge (``reapplied`` pins ``applied=True``), not an idempotency
+    no-op, and the final state equals the straight-through replay (the
+    oracle: plain full-stream LWW)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_rb_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "rb-b1")
+    v1 = table.current_snapshot()["version"]
+    table.apply_batch(spark, ev.where(F.col("seq") > mid), "rb-b2")
+    table.rollback_to(v1)
+    st = table.apply_batch(spark, ev.where(F.col("seq") > mid), "rb-b2")
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.lit(bool(st.applied)).alias("reapplied"),
+    )
+
+
+@q(
     "cdc_point_lookup",
     "point lookup (read_key): one key's state from the one bucket it "
     "hashes to, equality pushed to the scan; driver row for K2h",
@@ -3912,7 +4087,14 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r1/r2-green entry (which NEEDS an r4 row for that invariant) sits
 #   inside the first 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions — never driver-checked
+    # round-4 additions — never driver-checked. The three DML/rollback
+    # rows (delete_where/update_where/rollback_to) displace three more
+    # r3-green re-checks (sim1/sim2/m1) past 50 — all three keep their
+    # r3 driver row + per-run pytest parity, so the two-round invariant
+    # holds.
+    "cdc_delete_where",
+    "cdc_update_where",
+    "cdc_rollback",
     "cdc_time_travel",
     "cdc_schema_evolution",
     "cdc_expire_vacuum",
