@@ -2713,6 +2713,221 @@ class LakeTable:
             version=version,
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source_df: DataFrame,
+        commit_id: str,
+        *,
+        when_matched_update: "dict[str, Column] | None" = None,
+        matched_condition: "Column | None" = None,
+        when_matched_delete: "Column | None" = None,
+        when_not_matched_insert: "bool | Column" = True,
+    ) -> DmlStats:
+        """General MERGE INTO over the converged state (Iceberg/Delta
+        ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED … WHEN NOT
+        MATCHED …``) — the batch-reconciliation shape (dimension
+        refresh, backfill, dedup-load) that is neither a seq-ordered CDC
+        apply (``apply_batch``) nor a predicate DML
+        (``delete_where``/``update_where``).
+
+        ``source_df`` must carry the key columns; its keys must be
+        UNIQUE (ambiguous merges raise, the Delta "multiple source rows
+        matched" rule). Clause expressions reference the join through
+        the standard aliases ``t`` (target state) and ``s`` (source):
+
+        - ``when_matched_delete``: boolean Column; matched rows where it
+          is true are deleted (evaluated first, as in SQL MERGE).
+        - ``when_matched_update``: {col: Column} SET map, optionally
+          guarded by ``matched_condition``; values are cast to the
+          table column's type; key and sequence columns are immutable.
+        - ``when_not_matched_insert``: True / False / boolean Column;
+          inserted rows take the source's columns BY NAME (missing
+          table columns become typed nulls; the sequence column must be
+          present — it decides how the row ranks against future CDC
+          events for the same key).
+
+        Scale shape: the source's distinct bucket ids (≤ num_buckets
+        rows to the driver) pick the touched buckets; only those are
+        read, merged (ONE full-outer join co-partitioned on the keys),
+        and rewritten — untouched buckets keep their manifest entries
+        verbatim. MoR deltas in touched buckets fold in. Idempotent via
+        ``commit_id`` in the ingest batch-id window; the snapshot
+        records per-clause row counts as ``dml`` provenance. DML is
+        out-of-band of CDC fencing: watermarks are unchanged, so a
+        merge-inserted row with a low sequence still loses to a later
+        replayed event — choose the source's sequence values
+        accordingly.
+        """
+        snap = self.current_snapshot()
+        if snap is None or not snap.get("schema_version"):
+            raise ValueError(
+                "merge_into needs an existing table schema — apply a batch first"
+            )
+        if commit_id in snap["applied_batches"]:
+            return DmlStats(
+                commit_id=commit_id, applied=False, version=snap["version"]
+            )
+        current_sv = int(snap["schema_version"])
+        schema = StructType.fromJson(snap["schemas"][str(current_sv)])
+        if when_matched_update:
+            immutable = {*self.key_cols, self.seq_col}
+            if bad := set(when_matched_update) & immutable:
+                raise ValueError(f"key/seq columns are immutable: {sorted(bad)}")
+            if unknown := set(when_matched_update) - set(schema.fieldNames()):
+                raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+        if when_matched_update is None and matched_condition is not None:
+            raise ValueError("matched_condition guards when_matched_update")
+        missing_keys = set(self.key_cols) - set(source_df.columns)
+        if missing_keys:
+            raise ValueError(f"source lacks key columns: {sorted(missing_keys)}")
+        inserts_on = when_not_matched_insert is not False
+        if inserts_on and self.seq_col not in source_df.columns:
+            raise ValueError(
+                f"inserts need the sequence column {self.seq_col!r} in the source"
+            )
+        # --- source keys must be unique (else the merge is ambiguous)
+        dup = (
+            source_df.groupBy(*self.key_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "source has multiple rows for the same key — MERGE is ambiguous "
+                "(pre-aggregate the source, e.g. lww_latest)"
+            )
+        # --- touched buckets from the source's key hashes
+        touched = sorted(
+            r["_b"]
+            for r in source_df.select(self._bucket_expr().alias("_b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            self._commit_noop(snap, commit_id)
+            return DmlStats(
+                commit_id=commit_id,
+                applied=True,
+                version=self.current_snapshot()["version"],
+            )
+        tgt = (
+            self.read(spark, buckets=touched)
+            .withColumn("_t_ex", F.lit(True))
+            .alias("t")
+        )
+        src = source_df.withColumn("_s_ex", F.lit(True)).alias("s")
+        on = F.lit(True)
+        for k in self.key_cols:
+            on = on & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        joined = tgt.join(src, on, "full_outer")
+        t_ex = F.col("t._t_ex").isNotNull()
+        s_ex = F.col("s._s_ex").isNotNull()
+        matched = t_ex & s_ex
+        del_cond = (
+            matched & F.coalesce(when_matched_delete, F.lit(False))
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        upd_guard = (
+            F.coalesce(matched_condition, F.lit(False))
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        if isinstance(when_not_matched_insert, bool):
+            ins_cond = F.lit(when_not_matched_insert)
+        else:
+            ins_cond = F.coalesce(when_not_matched_insert, F.lit(False))
+        kind = (
+            F.when(del_cond, "delete")
+            .when(
+                matched,
+                F.when(
+                    upd_guard if when_matched_update else F.lit(False), "update"
+                ).otherwise("hold"),  # matched, no clause fired
+            )
+            .when(s_ex & ins_cond, "insert")
+            .when(s_ex, "skip")  # source-only, insert declined
+            .otherwise("keep")  # target-only
+        )
+        src_cols = set(source_df.columns)
+        out_cols = []
+        for f in schema.fields:
+            c = f.name
+            t_val = F.col(f"t.{c}")
+            s_val = (
+                F.col(f"s.{c}").cast(f.dataType)
+                if c in src_cols
+                else F.lit(None).cast(f.dataType)
+            )
+            val = t_val
+            if when_matched_update and c in when_matched_update:
+                val = F.when(
+                    F.col("_kind") == "update",
+                    when_matched_update[c].cast(f.dataType),
+                ).otherwise(t_val)
+            out_cols.append(
+                F.when(F.col("_kind") == "insert", s_val)
+                .otherwise(val)
+                .alias(c)
+            )
+        merged = joined.withColumn("_kind", kind)
+        counts = {
+            r["_kind"]: int(r["count"])
+            for r in merged.groupBy("_kind").count().collect()
+        }
+        new_rows = (
+            merged.where(~F.col("_kind").isin("delete", "skip"))
+            .select(*out_cols)
+            .repartition(self.num_buckets, *[F.col(c) for c in self.key_cols])
+        )
+        version = self._next_version()
+        rel_out, out_dir = self._new_data_dir(version)
+        self._write_bucketed(spark, new_rows, out_dir)
+        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, schema, new_stats, value_sets
+        )
+        buckets_meta = dict(snap["buckets"])
+        for b in touched:
+            buckets_meta[str(b)] = {
+                "files": sorted(files_by_bucket.get(b, [])),
+                "schema_version": current_sv,
+                "rows": new_stats.get(b, (0, "0"))[0],
+                "checksum": new_stats.get(b, (0, "0"))[1],
+            }
+        snapshot = {k: v for k, v in snap.items() if k != "dml"}
+        snapshot.update(
+            version=version,
+            parent=snap["version"],
+            buckets=buckets_meta,
+            applied_batches=self._trim_batches(snap["applied_batches"], commit_id),
+            total_rows=sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in buckets_meta.values()
+            ),
+            dml={
+                "op": "merge",
+                "buckets": touched,
+                "updated": counts.get("update", 0),
+                "deleted": counts.get("delete", 0),
+                "inserted": counts.get("insert", 0),
+            },
+            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._publish(snapshot)
+        return DmlStats(
+            commit_id=commit_id,
+            applied=True,
+            matched=counts.get("update", 0)
+            + counts.get("delete", 0)
+            + counts.get("hold", 0),
+            buckets_rewritten=len(touched),
+            version=version,
+        )
+
     def maintenance(
         self,
         spark: SparkSession,

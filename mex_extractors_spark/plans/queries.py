@@ -887,6 +887,83 @@ def cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_merge_into",
+    "MERGE INTO state USING second-half-LWW source: matched+error "
+    "deletes, matched updates event_type (seq kept), not-matched "
+    "inserts unless error — all three clauses in one commit",
+    """
+    WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+    t AS (
+      SELECT user_id, event_id AS seq, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events WHERE event_id <= (SELECT mid FROM m))
+      WHERE rn = 1 AND event_type <> 'error'
+    ),
+    s AS (
+      SELECT user_id, event_id AS seq, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events WHERE event_id > (SELECT mid FROM m))
+      WHERE rn = 1
+    )
+    SELECT coalesce(t.user_id, s.user_id) AS user_id,
+           CASE WHEN t.user_id IS NOT NULL THEN t.seq ELSE s.seq END AS last_event_id,
+           CASE WHEN s.user_id IS NOT NULL THEN s.event_type
+                ELSE t.event_type END AS last_event_type
+    FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+    WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.event_type = 'error')
+      AND NOT (t.user_id IS NULL AND s.event_type = 'error')
+    """,
+)
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO (``LakeTable.merge_into``) as a driver row,
+    firing all three clauses in one commit: the table holds the
+    first-half LWW state; the source is the second half's per-user LWW
+    row. Matched users whose source row is an error are DELETED;
+    other matched users get event_type UPDATED in place (sequence
+    immutable, so ``last_event_id`` stays the FIRST-half seq — the
+    visible difference from a CDC apply, which the oracle's CASE
+    encodes); unmatched source users INSERT unless they are errors
+    (conditional insert clause). The oracle restates the merge as a
+    FULL OUTER JOIN with the clause conditions as WHERE/CASE."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mid = ev.agg(F.max("seq")).first()[0] // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_mrg_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table.apply_batch(spark, ev.where(F.col("seq") <= mid), "mrg-b1")
+    source = lww_latest(
+        ev.where(F.col("seq") > mid), key_cols=["user_id"], seq_col="seq"
+    ).select("user_id", "seq", "event_type")
+    table.merge_into(
+        spark,
+        source,
+        "mrg-1",
+        when_matched_update={"event_type": F.col("s.event_type")},
+        when_matched_delete=F.col("s.event_type") == "error",
+        when_not_matched_insert=F.col("s.event_type") != "error",
+    )
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "cdc_point_lookup",
     "point lookup (read_key): one key's state from the one bucket it "
     "hashes to, equality pushed to the scan; driver row for K2h",
@@ -4087,11 +4164,12 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r1/r2-green entry (which NEEDS an r4 row for that invariant) sits
 #   inside the first 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions — never driver-checked. The three DML/rollback
-    # rows (delete_where/update_where/rollback_to) displace three more
-    # r3-green re-checks (sim1/sim2/m1) past 50 — all three keep their
-    # r3 driver row + per-run pytest parity, so the two-round invariant
-    # holds.
+    # round-4 additions — never driver-checked. The four DML/rollback
+    # rows (merge_into/delete_where/update_where/rollback_to) displace
+    # four more r3-green re-checks (sim1/sim2/m1/m2) past 50 — all four
+    # keep their r3 driver row + per-run pytest parity, so the
+    # two-round invariant holds.
+    "cdc_merge_into",
     "cdc_delete_where",
     "cdc_update_where",
     "cdc_rollback",

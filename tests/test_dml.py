@@ -186,3 +186,106 @@ def test_rollback_then_expire_reclaims_rolled_over_files(spark, table):
     import glob
 
     assert not glob.glob(os.path.join(table.path, "data", f"v{v2:08d}-*"))
+
+
+# ------------------------------------------------------------- merge_into
+
+
+def test_merge_into_clauses(spark, table):
+    src = spark.createDataFrame(
+        [(f"k{i:03d}", 1000 + i, "green", float(-i)) for i in range(10)]
+        + [("z100", 500, "new", 1.5), ("z101", 501, "new", 2.5)],
+        "k string, seq long, color string, v double",
+    )
+    st = table.merge_into(
+        spark,
+        src,
+        "m1",
+        when_matched_update={
+            "color": F.col("s.color"),
+            "v": F.col("t.v") + F.col("s.v"),
+        },
+        when_matched_delete=F.col("t.color") == "red",
+        when_not_matched_insert=True,
+    )
+    assert st.applied
+    got = {r["k"]: (r["color"], r["v"], r["seq"]) for r in table.read(spark).collect()}
+    for k, seq, _op, color, v in ROWS:
+        i = int(k[1:])
+        if i < 10 and color == "red":
+            assert k not in got  # matched delete
+        elif i < 10:
+            # matched update: SET from s and t, seq immutable
+            assert got[k] == ("green", v + float(-i), seq)
+        else:
+            assert got[k] == (color, v, seq)  # untouched
+    assert got["z100"] == ("new", 1.5, 500)
+    assert got["z101"] == ("new", 2.5, 501)
+    dml = table.current_snapshot()["dml"]
+    assert dml["op"] == "merge"
+    assert dml["deleted"] == sum(1 for i in range(10) if i % 3 == 0)
+    assert dml["updated"] == sum(1 for i in range(10) if i % 3 != 0)
+    assert dml["inserted"] == 2
+
+
+def test_merge_into_conditional_insert_and_guard(spark, table):
+    src = spark.createDataFrame(
+        [("k001", 1000, "x", 1.0), ("z1", 1001, "ok", 1.0), ("z2", 1002, "no", 1.0)],
+        "k string, seq long, color string, v double",
+    )
+    st = table.merge_into(
+        spark,
+        src,
+        "m2",
+        when_matched_update={"color": F.lit("guarded")},
+        matched_condition=F.col("s.v") > 100,  # never true -> hold
+        when_not_matched_insert=F.col("s.color") == "ok",
+    )
+    assert st.applied and st.matched == 1  # k001 matched (held)
+    got = {r["k"]: r["color"] for r in table.read(spark).collect()}
+    assert got["k001"] == "blue"  # guard blocked the update
+    assert got["z1"] == "ok" and "z2" not in got  # conditional insert
+    dml = table.current_snapshot()["dml"]
+    assert dml["updated"] == 0 and dml["inserted"] == 1 and dml["deleted"] == 0
+
+
+def test_merge_into_rejects_ambiguous_source_and_missing_seq(spark, table):
+    src = spark.createDataFrame(
+        [("k001", 1, "a", 1.0), ("k001", 2, "b", 2.0)],
+        "k string, seq long, color string, v double",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        table.merge_into(spark, src, "bad")
+    with pytest.raises(ValueError, match="sequence column"):
+        table.merge_into(spark, src.limit(1).drop("seq"), "bad2")
+    with pytest.raises(ValueError, match="immutable"):
+        table.merge_into(
+            spark,
+            src.limit(1),
+            "bad3",
+            when_matched_update={"seq": F.lit(0)},
+        )
+
+
+def test_merge_into_prunes_untouched_buckets_and_is_idempotent(spark, table):
+    before = table.current_snapshot()["buckets"]
+    src = spark.createDataFrame(
+        [("k001", 1000, "x", 0.0)], "k string, seq long, color string, v double"
+    )
+    st = table.merge_into(
+        spark, src, "m3", when_matched_update={"color": F.col("s.color")}
+    )
+    assert st.applied and st.buckets_rewritten == 1
+    after = table.current_snapshot()["buckets"]
+    changed = [b for b in after if after[b] != before[b]]
+    assert len(changed) == 1
+    assert not table.merge_into(
+        spark, src, "m3", when_matched_update={"color": F.col("s.color")}
+    ).applied
+
+
+def test_merge_into_insert_fills_missing_columns_with_nulls(spark, table):
+    src = spark.createDataFrame([("z9", 900)], "k string, seq long")
+    table.merge_into(spark, src, "m4", when_not_matched_insert=True)
+    row = table.read(spark).where(F.col("k") == "z9").first()
+    assert row["color"] is None and row["v"] is None and row["seq"] == 900
