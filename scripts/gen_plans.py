@@ -332,6 +332,67 @@ def main() -> None:
         )
     )
 
+    # DML plans: build a small lake and capture the two load-bearing
+    # shapes exactly as lake/table.py constructs them (the internal
+    # DataFrames are not exposed, so this reconstructs the same plan:
+    # _dml_rewrite's pruned match-count aggregate and merge_into's
+    # key-co-partitioned full-outer join).
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    dml_dir = tempfile.mkdtemp(prefix="plans_dml_")
+    dml_tbl = LakeTable(
+        dml_dir, num_buckets=8, key_cols=["repo", "path"], stats_cols=["lang"]
+    )
+    dml_tbl.apply_batch(
+        spark, normalize_change_events(synth.events(spark, 5000, n_repos=20)), "p1"
+    )
+    preds = [("lang", "=", "go")]
+    count_plan = (
+        dml_tbl.read(spark, where=preds)
+        .groupBy(dml_tbl._bucket_expr().alias("_b"))
+        .count()
+    )
+    sections.append(
+        (
+            "Predicate DML match count (delete_where/update_where phase 1)",
+            "The pre-rewrite scan that decides which buckets a DELETE/"
+            "UPDATE touches (`lake/table.py:_dml_rewrite`): files the "
+            "manifest stats prove predicate-free never reach the plan "
+            "(driver-side skip list), the residual predicate is PUSHED "
+            "(`PushedFilters: [IsNotNull(lang), EqualTo(lang,go)]`), and "
+            "the per-bucket count is a partial-aggregated ≤num_buckets-row "
+            "result — the driver learns the touched set without a full "
+            "rewrite-sized job.",
+            formatted(count_plan),
+        )
+    )
+    state = dml_tbl.read(spark).withColumn("_t_ex", F.lit(True)).alias("t")
+    src = (
+        dml_tbl.read(spark)
+        .limit(200)
+        .select("repo", "path", "seq", F.lit("go").alias("lang"))
+        .withColumn("_s_ex", F.lit(True))
+        .alias("s")
+    )
+    on = (F.col("t.repo") == F.col("s.repo")) & (F.col("t.path") == F.col("s.path"))
+    sections.append(
+        (
+            "MERGE INTO reconciliation join (merge_into)",
+            "ONE `SortMergeJoin FullOuter` on the key columns — each side "
+            "shuffles once on (repo, path), the same hash the bucket "
+            "layout uses, so at scale the exchange moves only the touched "
+            "buckets plus the source, never the table. No broadcast of "
+            "the state side, no nested-loop fallback, clause CASEs run "
+            "post-join in the same codegen stage.",
+            formatted(state.join(src, on, "full_outer")),
+        )
+    )
+    import shutil as _sh
+
+    _sh.rmtree(dml_dir, ignore_errors=True)
+
     out = ["# PLANS — physical-plan evidence\n"]
     out.append(
         "Captured with `.explain('formatted')` on PySpark "
