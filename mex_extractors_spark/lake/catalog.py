@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from mex_extractors_spark.lake.table import (
     ApplyStats,
     CommitConflict,
+    DmlStats,
     LakeTable,
     atomic_write_ref,
     cas_publish_document,
@@ -416,6 +417,7 @@ class LakeTransaction:
         )
         self._branches: dict[str, str] = {}  # table name -> branch name
         self._stats: list[ApplyStats] = []
+        self._dml_stats: list = []  # DmlStats of staged DML commits
         self._done = False
 
     # -- staging -----------------------------------------------------------
@@ -465,6 +467,48 @@ class LakeTransaction:
             return pinned
         cur = self.catalog.table(name).current_snapshot()
         return cur["version"] if cur else 0
+
+    def delete_where(
+        self, spark: SparkSession, name: str, where, commit_id: str
+    ) -> "DmlStats":
+        """Stage a predicate DELETE on ``name``'s txn branch — the
+        cross-table compliance purge: stage the same key's deletion on
+        the state table AND every derived table, then ``commit()`` makes
+        all of them visible in ONE catalog CAS (no reader window where
+        the key is gone from state but still findable via an index)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        st = self.catalog.table(name).delete_where(
+            spark, where, commit_id, branch=self._branch_for(name)
+        )
+        self._dml_stats.append(st)
+        return st
+
+    def update_where(
+        self, spark: SparkSession, name: str, set_exprs, where, commit_id: str
+    ) -> "DmlStats":
+        """Stage a predicate UPDATE on ``name``'s txn branch (see
+        :meth:`delete_where` for the atomicity contract)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        st = self.catalog.table(name).update_where(
+            spark, set_exprs, where, commit_id, branch=self._branch_for(name)
+        )
+        self._dml_stats.append(st)
+        return st
+
+    def merge_into(
+        self, spark: SparkSession, name: str, source_df, commit_id: str, **kwargs
+    ) -> "DmlStats":
+        """Stage a MERGE INTO on ``name``'s txn branch (see
+        :meth:`delete_where` for the atomicity contract)."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        st = self.catalog.table(name).merge_into(
+            spark, source_df, commit_id, branch=self._branch_for(name), **kwargs
+        )
+        self._dml_stats.append(st)
+        return st
 
     def refresh_index(self, spark: SparkSession, source_name: str,
                       index_name: str, terms_fn) -> "IndexRefreshStats":

@@ -2558,7 +2558,11 @@ class LakeTable:
     # ---------------------------------------------------------- row DML
 
     def delete_where(
-        self, spark: SparkSession, where: Sequence[tuple], commit_id: str
+        self,
+        spark: SparkSession,
+        where: Sequence[tuple],
+        commit_id: str,
+        branch: str | None = None,
     ) -> DmlStats:
         """Row-level DELETE by predicate (Iceberg/Delta ``DELETE FROM …
         WHERE`` — the compliance-purge shape the CDC feed cannot
@@ -2579,8 +2583,15 @@ class LakeTable:
         Older snapshots keep reading the pre-delete files (time travel
         is why DELETE alone is not yet a physical purge — follow with
         ``expire_snapshots`` to reclaim them, the GDPR two-step).
+
+        ``branch`` stages the commit on a named branch, exactly like
+        ``apply_batch(branch=)`` — that is how a
+        :class:`~mex_extractors_spark.lake.catalog.LakeTransaction`
+        purges a key from several tables atomically.
         """
-        return self._dml_rewrite(spark, where, commit_id, set_exprs=None)
+        return self._dml_rewrite(
+            spark, where, commit_id, set_exprs=None, branch=branch
+        )
 
     def update_where(
         self,
@@ -2588,6 +2599,7 @@ class LakeTable:
         set_exprs: "dict[str, Column]",
         where: Sequence[tuple],
         commit_id: str,
+        branch: str | None = None,
     ) -> DmlStats:
         """Row-level UPDATE by predicate (Iceberg/Delta ``UPDATE … SET …
         WHERE`` — in-place correction/redaction of converged state).
@@ -2596,9 +2608,12 @@ class LakeTable:
         the schema cannot drift). Key, and sequence columns are
         immutable — changing a key is a delete+insert, which belongs to
         the CDC feed where it carries a sequence number. Same pruning,
-        idempotency, and snapshot semantics as :meth:`delete_where`.
+        idempotency, branch-staging, and snapshot semantics as
+        :meth:`delete_where`.
         """
-        return self._dml_rewrite(spark, where, commit_id, set_exprs=dict(set_exprs))
+        return self._dml_rewrite(
+            spark, where, commit_id, set_exprs=dict(set_exprs), branch=branch
+        )
 
     def _dml_rewrite(
         self,
@@ -2606,11 +2621,12 @@ class LakeTable:
         where: Sequence[tuple],
         commit_id: str,
         set_exprs: "dict[str, Column] | None",
+        branch: str | None = None,
     ) -> DmlStats:
         preds = validate_predicates(where)
         if not preds:
             raise ValueError("DML needs at least one (col, op, value) predicate")
-        snap = self.current_snapshot()
+        snap = self._head(branch)
         if snap is None or not snap.get("schema_version"):
             return DmlStats(commit_id=commit_id, applied=False, version=0)
         if commit_id in snap["applied_batches"]:
@@ -2642,7 +2658,12 @@ class LakeTable:
         matched = 0
         if candidates:
             counts = (
-                self.read(spark, buckets=candidates, where=preds)
+                self.read(
+                    spark,
+                    buckets=candidates,
+                    where=preds,
+                    version=snap["version"],
+                )
                 .groupBy(self._bucket_expr().alias("_b"))
                 .count()
                 .collect()
@@ -2650,14 +2671,14 @@ class LakeTable:
             touched = sorted(int(r["_b"]) for r in counts if r["count"] > 0)
             matched = sum(int(r["count"]) for r in counts)
         if not touched:
-            self._commit_noop(snap, commit_id)
-            cur = self.current_snapshot()
+            self._commit_noop(snap, commit_id, ref=branch)
+            cur = self._head(branch)
             return DmlStats(
                 commit_id=commit_id, applied=True, version=cur["version"]
             )
         version = self._next_version()
         rel_out, out_dir = self._new_data_dir(version)
-        rows = self.read(spark, buckets=touched)
+        rows = self.read(spark, buckets=touched, version=snap["version"])
         if set_exprs is None:
             new_rows = rows.where(~where_expr)
         else:
@@ -2704,7 +2725,7 @@ class LakeTable:
             },
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
-        self._publish(snapshot)
+        self._publish(snapshot, ref=branch)
         return DmlStats(
             commit_id=commit_id,
             applied=True,
@@ -2723,6 +2744,7 @@ class LakeTable:
         matched_condition: "Column | None" = None,
         when_matched_delete: "Column | None" = None,
         when_not_matched_insert: "bool | Column" = True,
+        branch: str | None = None,
     ) -> DmlStats:
         """General MERGE INTO over the converged state (Iceberg/Delta
         ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED … WHEN NOT
@@ -2757,9 +2779,10 @@ class LakeTable:
         out-of-band of CDC fencing: watermarks are unchanged, so a
         merge-inserted row with a low sequence still loses to a later
         replayed event — choose the source's sequence values
-        accordingly.
+        accordingly. ``branch`` stages the commit on a named branch
+        (the :class:`LakeTransaction` hook), like ``apply_batch``.
         """
-        snap = self.current_snapshot()
+        snap = self._head(branch)
         if snap is None or not snap.get("schema_version"):
             raise ValueError(
                 "merge_into needs an existing table schema — apply a batch first"
@@ -2807,14 +2830,14 @@ class LakeTable:
             .collect()
         )
         if not touched:
-            self._commit_noop(snap, commit_id)
+            self._commit_noop(snap, commit_id, ref=branch)
             return DmlStats(
                 commit_id=commit_id,
                 applied=True,
-                version=self.current_snapshot()["version"],
+                version=self._head(branch)["version"],
             )
         tgt = (
-            self.read(spark, buckets=touched)
+            self.read(spark, buckets=touched, version=snap["version"])
             .withColumn("_t_ex", F.lit(True))
             .alias("t")
         )
@@ -2917,7 +2940,7 @@ class LakeTable:
             },
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
-        self._publish(snapshot)
+        self._publish(snapshot, ref=branch)
         return DmlStats(
             commit_id=commit_id,
             applied=True,

@@ -865,3 +865,70 @@ def test_current_snapshot_heals_in_memory_without_writing(spark, cat, tmp_path):
         txn.apply_batch(spark, "state", _mk(spark, [("r", "p", 3, "U", "z")]), "h-3")
         txn.commit()
     assert open(cur_path).read().strip() == "3"
+
+
+def test_txn_cross_table_purge_is_atomic(spark, cat):
+    """The GDPR shape: delete a repo's rows from state AND its stat row
+    from the derived table in ONE catalog commit — staged DML is
+    invisible pre-commit, both visible post-commit, abort leaves both
+    untouched."""
+    with cat.transaction() as txn:
+        txn.apply_batch(
+            spark,
+            "state",
+            _mk(spark, [("r1", "a.py", 1, "U", "x"), ("r2", "b.py", 2, "U", "y")]),
+            "b1",
+        )
+        txn.apply_batch(
+            spark, "stats", _counts(spark, [("py", 1, "U", 2), ("go", 1, "U", 5)]), "s1"
+        )
+        txn.commit()
+
+    # abort path: staged purge never becomes visible
+    with cat.transaction() as txn:
+        st = txn.delete_where(spark, "state", [("repo", "=", "r1")], "purge-r1")
+        assert st.applied and st.matched == 1
+        txn.delete_where(spark, "stats", [("lang", "=", "py")], "purge-r1-stats")
+        txn.abort()
+    assert cat.read(spark, "state").where(F.col("repo") == "r1").count() == 1
+    assert cat.read(spark, "stats").where(F.col("lang") == "py").count() == 1
+
+    # commit path: both purges land in one catalog CAS
+    with cat.transaction() as txn:
+        txn.delete_where(spark, "state", [("repo", "=", "r1")], "purge-r1")
+        txn.update_where(
+            spark, "stats", {"n": F.lit(0)}, [("lang", "=", "py")], "zero-py"
+        )
+        pre_state = cat.read(spark, "state").count()  # main still full
+        assert pre_state == 2
+        txn.commit()
+    assert cat.read(spark, "state").where(F.col("repo") == "r1").count() == 0
+    assert cat.read(spark, "state").count() == 1
+    got = {r["lang"]: r["n"] for r in cat.read(spark, "stats").collect()}
+    assert got == {"py": 0, "go": 5}
+
+
+def test_txn_merge_into_staged_on_branch(spark, cat):
+    with cat.transaction() as txn:
+        txn.apply_batch(
+            spark, "state", _mk(spark, [("r1", "a.py", 1, "U", "x")]), "b1"
+        )
+        txn.commit()
+    src = spark.createDataFrame(
+        [("r1", "a.py", 1, "fixed"), ("r9", "new.py", 100, "n")],
+        "repo string, path string, seq long, content string",
+    )
+    with cat.transaction() as txn:
+        st = txn.merge_into(
+            spark,
+            "state",
+            src,
+            "m1",
+            when_matched_update={"content": F.col("s.content")},
+        )
+        assert st.applied
+        # invisible until the catalog CAS
+        assert cat.read(spark, "state").count() == 1
+        txn.commit()
+    got = {(r["repo"], r["path"]): r["content"] for r in cat.read(spark, "state").collect()}
+    assert got == {("r1", "a.py"): "fixed", ("r9", "new.py"): "n"}
