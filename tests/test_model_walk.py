@@ -220,3 +220,143 @@ def test_lake_random_walk_matches_model(spark, tmp_path, seed):
     if expired:
         with pytest.raises(ValueError):
             table.read(spark, version=expired[0])
+
+
+@pytest.mark.parametrize("seed", [11, 41])
+def test_dml_random_walk_matches_model(spark, tmp_path, seed):
+    """Second walk: CDC applies interleaved with predicate DML
+    (delete_where/update_where), MERGE INTO, rollback_to, compaction and
+    expiry. The model applies the same relational semantics in Python;
+    after every mutating step the converged read must equal it. Rollback
+    trims the replayable-batch pool to the surviving ancestry (rows from
+    rolled-over commits are no longer fenced — replaying them is a REAL
+    apply, which the walk exercises through fresh batches instead)."""
+    rng = random.Random(seed)
+    table = LakeTable(
+        str(tmp_path / f"dmlwalk_{seed}"), num_buckets=4, key_cols=["repo", "path"]
+    )
+    model = Model()
+    next_seq = 1
+    repos = sorted({k[0] for k in KEYS})
+    # (batch_id, rows, version_after_commit) — trimmed on rollback
+    applied: list[tuple[str, list[tuple], int]] = []
+
+    def make_rows(n: int) -> list[tuple]:
+        nonlocal next_seq
+        rows = []
+        for _ in range(n):
+            repo, path = rng.choice(KEYS)
+            op = rng.choices(["I", "U", "D"], weights=[5, 3, 2])[0]
+            content = None if op == "D" else f"body-{next_seq}"
+            rows.append((repo, path, next_seq, op, content, None))
+            next_seq += 1
+        return rows
+
+    def check(step, op):
+        got = _read_state(spark, table)
+        want = _expect(model.live, version_had_extra=False)
+        assert got == want, f"step {step} ({op}): state diverged"
+
+    ops = ["apply", "apply", "apply", "mor", "delete", "update", "merge",
+           "rollback", "redeliver", "compact", "expire"]
+    for step in range(30):
+        op = rng.choice(ops)
+        if op in ("apply", "mor"):
+            rows = make_rows(rng.randint(1, 8))
+            bid = f"dml-{seed}-{step}"
+            table.apply_batch(
+                spark, _mkdf(spark, rows, False), bid,
+                mode="mor" if op == "mor" else "cow",
+            )
+            model.apply(rows, False)
+            applied.append((bid, rows, table.current_snapshot()["version"]))
+        elif op == "delete" and model.live:
+            repo = rng.choice(repos)
+            st = table.delete_where(
+                spark, [("repo", "=", repo)], f"del-{seed}-{step}"
+            )
+            want_n = sum(1 for k in model.live if k[0] == repo)
+            assert st.applied and st.matched == want_n, (st, want_n)
+            model.live = {k: v for k, v in model.live.items() if k[0] != repo}
+        elif op == "update" and model.live:
+            repo = rng.choice(repos)
+            st = table.update_where(
+                spark,
+                {"content": F.lit(f"patched-{step}")},
+                [("repo", "=", repo)],
+                f"upd-{seed}-{step}",
+            )
+            want_n = sum(1 for k in model.live if k[0] == repo)
+            assert st.applied and st.matched == want_n, (st, want_n)
+            model.live = {
+                k: ((v[0], f"patched-{step}", v[2]) if k[0] == repo else v)
+                for k, v in model.live.items()
+            }
+        elif op == "merge" and model.live:
+            # source: a few existing keys (update content) + one new key
+            picks = rng.sample(sorted(model.live), k=min(3, len(model.live)))
+            src_rows = [
+                (r, p, model.live[(r, p)][0], f"merged-{step}") for r, p in picks
+            ]
+            new_key = (f"org-x/repo-m{step}", "src/merged.py")
+            src_rows.append((*new_key, next_seq, f"minted-{step}"))
+            next_seq += 1
+            src = spark.createDataFrame(
+                src_rows, "repo string, path string, seq long, content string"
+            )
+            st = table.merge_into(
+                spark, src, f"mrg-{seed}-{step}",
+                when_matched_update={"content": F.col("s.content")},
+                when_not_matched_insert=True,
+            )
+            assert st.applied and st.matched == len(picks)
+            for r, p in picks:
+                seq0, _c, ex = model.live[(r, p)]
+                model.live[(r, p)] = (seq0, f"merged-{step}", ex)
+            model.live[new_key] = (src_rows[-1][2], f"minted-{step}", None)
+        elif op == "rollback" and len(model.history) >= 2:
+            # target: a random retained ancestor of the current head
+            cur = table.current_snapshot()["version"]
+            chain = []
+            v = cur
+            while v is not None:
+                s = table.snapshot_at(v)
+                if s is None:
+                    break
+                chain.append(v)
+                v = s["parent"]
+            anc = [v for v in chain if v != cur and v in model.history]
+            if anc:
+                target = rng.choice(anc)
+                table.rollback_to(target)
+                model.live = dict(model.history[target])
+                applied = [a for a in applied if a[2] <= target]
+        elif op == "redeliver" and applied:
+            bid, rows, _v = rng.choice(applied)
+            st = table.apply_batch(spark, _mkdf(spark, rows, False), bid)
+            assert st.applied is False  # idempotent by batch id
+        elif op == "compact":
+            table.compact(spark)
+        elif op == "expire":
+            table.expire_snapshots(keep_last=rng.randint(2, 4))
+            retained = {s["version"] for s in table.history()}
+            model.history = {
+                v: s for v, s in model.history.items() if v in retained
+            }
+
+        snap = table.current_snapshot()
+        if snap is not None:
+            model.snapshot(snap["version"])
+            if step % 3 == 0 or step == 29:
+                check(step, op)
+
+    # every retained, model-recorded version time-travels correctly
+    checked = 0
+    for s in table.history():
+        v = s["version"]
+        if v not in model.history:
+            continue
+        got = _read_state(spark, table, version=v)
+        assert got == _expect(model.history[v], False), f"time travel v{v}"
+        checked += 1
+    assert checked >= 1
