@@ -4166,9 +4166,10 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # round-4 additions — never driver-checked. The four DML/rollback
     # rows (merge_into/delete_where/update_where/rollback_to) displace
-    # four more r3-green re-checks (sim1/sim2/m1/m2) past 50 — all four
-    # keep their r3 driver row + per-run pytest parity, so the
-    # two-round invariant holds.
+    # four more r3-green re-checks (sim5/sim1/sim2/m1) past 50 — each
+    # keeps its r3 driver row + per-run pytest parity, so the
+    # two-round invariant holds. Window after the addition: slots 49-50
+    # are sim4/sim3 (the two operators whose code round 4 touched most).
     "cdc_merge_into",
     "cdc_delete_where",
     "cdc_update_where",
