@@ -964,6 +964,108 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_txn_purge",
+    "cross-table atomic purge: one LakeTransaction deletes a user from "
+    "the state table AND a derived per-user index, committed in ONE "
+    "catalog CAS; result is both tables' post-purge rows",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    ),
+    victim AS (SELECT min(user_id) AS u FROM state)
+    SELECT 'state' AS src, user_id,
+           event_id AS last_event_id, event_type AS last_event_type,
+           CAST(-1 AS BIGINT) AS n_events
+    FROM state WHERE user_id <> (SELECT u FROM victim)
+    UNION ALL
+    SELECT 'index' AS src, e.user_id,
+           CAST(-1 AS BIGINT) AS last_event_id, '' AS last_event_type,
+           count(*) AS n_events
+    FROM events e
+    WHERE e.user_id IN (SELECT user_id FROM state)
+      AND e.user_id <> (SELECT u FROM victim)
+    GROUP BY e.user_id
+    """,
+)
+def cdc_txn_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR shape as a driver row: a catalog holds the converged
+    state table plus a derived per-user event-count index; ONE
+    ``LakeTransaction`` stages ``delete_where(user_id = victim)`` on
+    BOTH and commits them in a single catalog CAS — mid-transaction the
+    mains still show the victim (asserted), post-commit neither does.
+    The returned frame is both tables' post-purge rows tagged by
+    ``src``; the oracle recomputes state (full-stream LWW minus the
+    victim) and index (per-user counts over live users minus the
+    victim) independently. Sentinels (-1 / '') stand in for the
+    other table's columns instead of NULL so the driver's row-sort
+    comparator never sees mixed None/int."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.catalog import LakeCatalog
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cat_dir = os.path.join(tempfile.gettempdir(), f"cdc_txp_{tag}")
+    shutil.rmtree(cat_dir, ignore_errors=True)
+    cat = LakeCatalog(cat_dir)
+    cat.register(
+        "state",
+        LakeTable(os.path.join(cat_dir, "state"), num_buckets=4, key_cols=["user_id"]),
+    )
+    cat.register(
+        "index",
+        LakeTable(os.path.join(cat_dir, "index"), num_buckets=4, key_cols=["user_id"]),
+    )
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", ev, "tp-b1")
+        state_staged = cat.table("state").read(spark, ref=f"txn-{txn.txn_id}")
+        idx = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.max("seq").alias("seq"))
+            .join(state_staged.select("user_id"), "user_id")  # live users only
+            .withColumn("op", F.lit("U"))
+        )
+        txn.apply_batch(spark, "index", idx, "tp-i1")
+        txn.commit()
+    victim = cat.read(spark, "state").agg(F.min("user_id")).first()[0]
+    with cat.transaction() as txn:
+        txn.delete_where(spark, "state", [("user_id", "=", victim)], "purge-u")
+        txn.delete_where(spark, "index", [("user_id", "=", victim)], "purge-u-idx")
+        # atomicity window: mains unchanged until the catalog CAS
+        assert (
+            cat.read(spark, "state").where(F.col("user_id") == victim).count() == 1
+        ), "staged purge leaked to main before commit"
+        txn.commit()
+    state = cat.read(spark, "state").select(
+        F.lit("state").alias("src"),
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.lit(-1).cast("long").alias("n_events"),
+    )
+    index = cat.read(spark, "index").select(
+        F.lit("index").alias("src"),
+        "user_id",
+        F.lit(-1).cast("long").alias("last_event_id"),
+        F.lit("").alias("last_event_type"),
+        "n_events",
+    )
+    return state.unionByName(index)
+
+
+@q(
     "cdc_point_lookup",
     "point lookup (read_key): one key's state from the one bucket it "
     "hashes to, equality pushed to the scan; driver row for K2h",
@@ -4174,6 +4276,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_delete_where",
     "cdc_update_where",
     "cdc_rollback",
+    "cdc_txn_purge",
     "cdc_time_travel",
     "cdc_schema_evolution",
     "cdc_expire_vacuum",
