@@ -4266,12 +4266,12 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r1/r2-green entry (which NEEDS an r4 row for that invariant) sits
 #   inside the first 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions — never driver-checked. The four DML/rollback
-    # rows (merge_into/delete_where/update_where/rollback_to) displace
-    # four more r3-green re-checks (sim5/sim1/sim2/m1) past 50 — each
-    # keeps its r3 driver row + per-run pytest parity, so the
-    # two-round invariant holds. Window after the addition: slots 49-50
-    # are sim4/sim3 (the two operators whose code round 4 touched most).
+    # round-4 additions — never driver-checked. The five DML/rollback/
+    # txn-purge rows displace five r3-green re-checks (sim3/sim5/sim1/
+    # sim2/m1) past 50 — each keeps its r3 driver row + per-run pytest
+    # parity, so the two-round invariant holds. Window after the
+    # addition: slot 50 is sim4 (the operator whose code round 4
+    # touched most: the posexplode centroid recompute).
     "cdc_merge_into",
     "cdc_delete_where",
     "cdc_update_where",
