@@ -2615,6 +2615,68 @@ class LakeTable:
             spark, where, commit_id, set_exprs=dict(set_exprs), branch=branch
         )
 
+    def _validate_set_exprs(
+        self, schema: StructType, set_exprs: "dict[str, Column]"
+    ) -> None:
+        immutable = {*self.key_cols, self.seq_col}
+        if bad := set(set_exprs) & immutable:
+            raise ValueError(f"key/seq columns are immutable: {sorted(bad)}")
+        if unknown := set(set_exprs) - set(schema.fieldNames()):
+            raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+
+    def _commit_bucket_rewrite(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        touched: "list[int]",
+        new_rows: DataFrame,
+        commit_id: str,
+        dml,
+        branch: str | None,
+    ) -> int:
+        """Shared DML commit tail (delete/update/merge): bucketed write
+        of the rewritten rows, read-back certification, manifest
+        assembly, snapshot publish. ONE implementation on purpose — the
+        bucket-entry shape and the per-commit ``dml`` provenance rule
+        must not drift between the DML verbs."""
+        current_sv = int(snap["schema_version"])
+        schema = StructType.fromJson(snap["schemas"][str(current_sv)])
+        version = self._next_version()
+        rel_out, out_dir = self._new_data_dir(version)
+        new_rows = new_rows.repartition(
+            self.num_buckets, *[F.col(c) for c in self.key_cols]
+        )
+        self._write_bucketed(spark, new_rows, out_dir)
+        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
+        files_by_bucket = self._assemble_manifest_stats(
+            spark, out_dir, rel_out, schema, new_stats, value_sets
+        )
+        buckets_meta = dict(snap["buckets"])
+        for b in touched:
+            buckets_meta[str(b)] = {
+                "files": sorted(files_by_bucket.get(b, [])),
+                "schema_version": current_sv,
+                "rows": new_stats.get(b, (0, "0"))[0],
+                "checksum": new_stats.get(b, (0, "0"))[1],
+            }
+        snapshot = {k: v for k, v in snap.items() if k != "dml"}
+        snapshot.update(
+            version=version,
+            parent=snap["version"],
+            buckets=buckets_meta,
+            applied_batches=self._trim_batches(snap["applied_batches"], commit_id),
+            total_rows=sum(
+                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                for m in buckets_meta.values()
+            ),
+            # callable dml: provenance that depends on observe() metrics
+            # only available after the write action (merge clause counts)
+            dml=dml() if callable(dml) else dml,
+            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        self._publish(snapshot, ref=branch)
+        return version
+
     def _dml_rewrite(
         self,
         spark: SparkSession,
@@ -2635,12 +2697,13 @@ class LakeTable:
             )
         current_sv = int(snap["schema_version"])
         schema = StructType.fromJson(snap["schemas"][str(current_sv)])
+        # WHERE columns must exist in the CURRENT schema, else a typo'd
+        # column prunes every file and "succeeds" as a zero-match commit
+        # — a compliance purge that checked nothing
+        if unknown := {c for c, _op, _v in preds} - set(schema.fieldNames()):
+            raise ValueError(f"unknown columns in WHERE: {sorted(unknown)}")
         if set_exprs is not None:
-            immutable = {*self.key_cols, self.seq_col}
-            if bad := set(set_exprs) & immutable:
-                raise ValueError(f"key/seq columns are immutable: {sorted(bad)}")
-            if unknown := set(set_exprs) - set(schema.fieldNames()):
-                raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+            self._validate_set_exprs(schema, set_exprs)
         # --- candidates: buckets the predicate cannot be proven absent
         #     from (stats pruning); a bucket with pending deltas is
         #     always a candidate (deltas are never pruned — see read())
@@ -2676,56 +2739,44 @@ class LakeTable:
             return DmlStats(
                 commit_id=commit_id, applied=True, version=cur["version"]
             )
-        version = self._next_version()
-        rel_out, out_dir = self._new_data_dir(version)
         rows = self.read(spark, buckets=touched, version=snap["version"])
+        # SQL three-valued logic: a NULL predicate matches nothing —
+        # neither the delete's keep-filter (coalesce, or ~NULL would
+        # silently DROP the row) nor the update's when() (NULL falls to
+        # otherwise already). Matches read(where=...)'s residual filter,
+        # so matched-counting and rewriting agree on every row.
+        matches = F.coalesce(where_expr, F.lit(False))
         if set_exprs is None:
-            new_rows = rows.where(~where_expr)
+            new_rows = rows.where(~matches)
         else:
-            new_rows = rows
-            for c, expr in set_exprs.items():
-                new_rows = new_rows.withColumn(
-                    c,
-                    F.when(where_expr, expr.cast(schema[c].dataType)).otherwise(
-                        F.col(c)
-                    ),
-                )
-            new_rows = new_rows.select(*schema.fieldNames())
-        new_rows = new_rows.repartition(
-            self.num_buckets, *[F.col(c) for c in self.key_cols]
-        )
-        self._write_bucketed(spark, new_rows, out_dir)
-        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
-        files_by_bucket = self._assemble_manifest_stats(
-            spark, out_dir, rel_out, schema, new_stats, value_sets
-        )
-        buckets_meta = dict(snap["buckets"])
-        for b in touched:
-            buckets_meta[str(b)] = {
-                "files": sorted(files_by_bucket.get(b, [])),
-                "schema_version": current_sv,
-                "rows": new_stats.get(b, (0, "0"))[0],
-                "checksum": new_stats.get(b, (0, "0"))[1],
-            }
-        snapshot = {k: v for k, v in snap.items() if k != "dml"}
-        snapshot.update(
-            version=version,
-            parent=snap["version"],
-            buckets=buckets_meta,
-            applied_batches=self._trim_batches(snap["applied_batches"], commit_id),
-            total_rows=sum(
-                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
-                for m in buckets_meta.values()
-            ),
+            # ONE select computing every SET column from the PRE-IMAGE:
+            # sequential withColumn would re-resolve the predicate (and
+            # later SET expressions) against partially-updated rows —
+            # SQL UPDATE evaluates all RHS against the old row
+            new_rows = rows.select(
+                *[
+                    F.when(
+                        matches, set_exprs[f.name].cast(f.dataType)
+                    ).otherwise(F.col(f.name)).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+        version = self._commit_bucket_rewrite(
+            spark,
+            snap,
+            touched,
+            new_rows,
+            commit_id,
             dml={
                 "op": "delete" if set_exprs is None else "update",
                 "where": [list(p) for p in preds],
                 "matched": matched,
                 "buckets": touched,
             },
-            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            branch=branch,
         )
-        self._publish(snapshot, ref=branch)
         return DmlStats(
             commit_id=commit_id,
             applied=True,
@@ -2744,6 +2795,7 @@ class LakeTable:
         matched_condition: "Column | None" = None,
         when_matched_delete: "Column | None" = None,
         when_not_matched_insert: "bool | Column" = True,
+        allow_extra_source_columns: bool = False,
         branch: str | None = None,
     ) -> DmlStats:
         """General MERGE INTO over the converged state (Iceberg/Delta
@@ -2794,11 +2846,7 @@ class LakeTable:
         current_sv = int(snap["schema_version"])
         schema = StructType.fromJson(snap["schemas"][str(current_sv)])
         if when_matched_update:
-            immutable = {*self.key_cols, self.seq_col}
-            if bad := set(when_matched_update) & immutable:
-                raise ValueError(f"key/seq columns are immutable: {sorted(bad)}")
-            if unknown := set(when_matched_update) - set(schema.fieldNames()):
-                raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+            self._validate_set_exprs(schema, when_matched_update)
         if when_matched_update is None and matched_condition is not None:
             raise ValueError("matched_condition guards when_matched_update")
         missing_keys = set(self.key_cols) - set(source_df.columns)
@@ -2809,26 +2857,38 @@ class LakeTable:
             raise ValueError(
                 f"inserts need the sequence column {self.seq_col!r} in the source"
             )
-        # --- source keys must be unique (else the merge is ambiguous)
-        dup = (
-            source_df.groupBy(*self.key_cols)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
+        # inserts take source columns BY NAME: a source column outside
+        # the table schema would otherwise silently insert NULL for its
+        # (typo'd?) intended target — opt in when extra columns are
+        # deliberate (e.g. referenced only by clause conditions)
+        if inserts_on and not allow_extra_source_columns:
+            if extra := set(source_df.columns) - set(schema.fieldNames()):
+                raise ValueError(
+                    f"source columns not in the table schema: {sorted(extra)} "
+                    "— rename them, drop them, or pass "
+                    "allow_extra_source_columns=True if they are only "
+                    "referenced by clause conditions"
+                )
+        # --- ONE pre-pass over the source (column-pruned to the keys):
+        #     key uniqueness (an ambiguous merge raises, the Delta
+        #     "multiple source rows matched" rule) and the touched
+        #     bucket set come out of the same aggregate
+        info = (
+            source_df.select(
+                self._bucket_expr().alias("_b"),
+                *[F.col(k) for k in self.key_cols],
+            )
+            .groupBy(*self.key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"), F.first("_b").alias("_b"))
+            .agg(F.max("_n").alias("mx"), F.collect_set("_b").alias("bs"))
+            .first()
         )
-        if dup:
+        if info["mx"] is not None and int(info["mx"]) > 1:
             raise ValueError(
                 "source has multiple rows for the same key — MERGE is ambiguous "
                 "(pre-aggregate the source, e.g. lww_latest)"
             )
-        # --- touched buckets from the source's key hashes
-        touched = sorted(
-            r["_b"]
-            for r in source_df.select(self._bucket_expr().alias("_b"))
-            .distinct()
-            .collect()
-        )
+        touched = sorted(int(b) for b in (info["bs"] or []))
         if not touched:
             self._commit_noop(snap, commit_id, ref=branch)
             return DmlStats(
@@ -2896,57 +2956,52 @@ class LakeTable:
                 .otherwise(val)
                 .alias(c)
             )
-        merged = joined.withColumn("_kind", kind)
-        counts = {
-            r["_kind"]: int(r["count"])
-            for r in merged.groupBy("_kind").count().collect()
-        }
-        new_rows = (
-            merged.where(~F.col("_kind").isin("delete", "skip"))
-            .select(*out_cols)
-            .repartition(self.num_buckets, *[F.col(c) for c in self.key_cols])
+        # clause counts ride the WRITE job as observe() metrics (the
+        # CollectMetrics node sits below the keep-filter, so deleted and
+        # skipped rows are still counted) — the join executes ONCE, not
+        # once for provenance and once for the rewrite
+        kinds = ("update", "delete", "insert", "hold", "skip")
+        obs = Observation()
+        merged = joined.withColumn("_kind", kind).observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("_kind") == k, 1).otherwise(0)).alias(k)
+                for k in kinds
+            ],
         )
-        version = self._next_version()
-        rel_out, out_dir = self._new_data_dir(version)
-        self._write_bucketed(spark, new_rows, out_dir)
-        new_stats, value_sets = self._readback_bucket_stats(spark, out_dir, schema)
-        files_by_bucket = self._assemble_manifest_stats(
-            spark, out_dir, rel_out, schema, new_stats, value_sets
+        new_rows = merged.where(~F.col("_kind").isin("delete", "skip")).select(
+            *out_cols
         )
-        buckets_meta = dict(snap["buckets"])
-        for b in touched:
-            buckets_meta[str(b)] = {
-                "files": sorted(files_by_bucket.get(b, [])),
-                "schema_version": current_sv,
-                "rows": new_stats.get(b, (0, "0"))[0],
-                "checksum": new_stats.get(b, (0, "0"))[1],
-            }
-        snapshot = {k: v for k, v in snap.items() if k != "dml"}
-        snapshot.update(
-            version=version,
-            parent=snap["version"],
-            buckets=buckets_meta,
-            applied_batches=self._trim_batches(snap["applied_batches"], commit_id),
-            total_rows=sum(
-                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
-                for m in buckets_meta.values()
-            ),
-            dml={
+
+        def _counts() -> dict:
+            try:
+                row = obs.get
+                return {k: int(row[k] or 0) for k in kinds}
+            except Exception:
+                # Observation row can be schemaless when the observed job
+                # ends empty (Spark edge case; same guard as apply_batch)
+                return dict.fromkeys(kinds, 0)
+
+        version = self._commit_bucket_rewrite(
+            spark,
+            snap,
+            touched,
+            new_rows,
+            commit_id,
+            dml=lambda: {
                 "op": "merge",
                 "buckets": touched,
-                "updated": counts.get("update", 0),
-                "deleted": counts.get("delete", 0),
-                "inserted": counts.get("insert", 0),
+                "updated": _counts()["update"],
+                "deleted": _counts()["delete"],
+                "inserted": _counts()["insert"],
             },
-            committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            branch=branch,
         )
-        self._publish(snapshot, ref=branch)
+        counts = _counts()
         return DmlStats(
             commit_id=commit_id,
             applied=True,
-            matched=counts.get("update", 0)
-            + counts.get("delete", 0)
-            + counts.get("hold", 0),
+            matched=counts["update"] + counts["delete"] + counts["hold"],
             buckets_rewritten=len(touched),
             version=version,
         )

@@ -64,7 +64,10 @@ def version_dir(table: LakeTable, version: int) -> str | None:
     return os.path.join(table.path, mine[0]) if mine else None
 
 
-def timed(fn):
+def timed(fn, after=None):
+    """Best-of-REPEATS wall time of ``fn`` ALONE — ``after`` (bytes
+    measurement, base-snapshot rollback) runs between repeats with the
+    clock stopped, so probe bookkeeping never pads the published number."""
     best = None
     out = None
     for _ in range(REPEATS):
@@ -72,6 +75,8 @@ def timed(fn):
         out = fn()
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
+        if after is not None:
+            after(out)
     return best, out
 
 
@@ -111,20 +116,21 @@ def main() -> None:
 
     # --- 1a. key-point delete: one bucket
     def probe(tag, fn):
-        stats_box = {}
+        stats_box = {"n": 0, "bytes": 0}
 
         def run():
-            st = fn(tag + str(len(stats_box)))
-            stats_box["st"] = st
+            stats_box["n"] += 1
+            return fn(tag + str(stats_box["n"]))
+
+        def cleanup(st):
+            # clock is stopped here: bytes walk + base rollback are
+            # probe bookkeeping, not part of the DML being measured
             if st.applied and st.buckets_rewritten:
                 vd = version_dir(table, st.version)
                 stats_box["bytes"] = dir_bytes(vd) if vd else 0
-            else:
-                stats_box["bytes"] = 0
             table.rollback_to(base_v)
-            return st
 
-        secs, st = timed(run)
+        secs, st = timed(run, after=cleanup)
         return {
             "seconds": round(secs, 3),
             "matched": st.matched,

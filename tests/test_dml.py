@@ -289,3 +289,65 @@ def test_merge_into_insert_fills_missing_columns_with_nulls(spark, table):
     table.merge_into(spark, src, "m4", when_not_matched_insert=True)
     row = table.read(spark).where(F.col("k") == "z9").first()
     assert row["color"] is None and row["v"] is None and row["seq"] == 900
+
+
+# ---------------------------------------------------- review regressions
+
+
+def test_delete_where_null_predicate_rows_survive(spark, table):
+    """SQL three-valued logic: a NULL predicate value matches nothing —
+    a row with color=NULL must survive DELETE WHERE color='blue' even
+    when it shares a rewritten bucket with matching rows."""
+    table.merge_into(
+        spark,
+        spark.createDataFrame([("z9", 900)], "k string, seq long"),
+        "seed-null",
+    )  # inserts color=NULL, v=NULL
+    n_blue = sum(1 for r in ROWS if r[3] == "blue")
+    st = table.delete_where(spark, [("color", "=", "blue")], "del-blue")
+    assert st.matched == n_blue
+    left = {r["k"] for r in table.read(spark).collect()}
+    assert "z9" in left  # NULL row survived
+    assert left == {r[0] for r in ROWS if r[3] != "blue"} | {"z9"}
+
+
+def test_update_where_multi_set_uses_pre_image(spark, table):
+    """All SET expressions and the predicate evaluate against the OLD
+    row: SET color='redacted', v=0 WHERE color='red' must zero v for
+    every red row even though color is rewritten in the same commit."""
+    st = table.update_where(
+        spark,
+        {"color": F.lit("redacted"), "v": F.lit(0.0)},
+        [("color", "=", "red")],
+        "redact",
+    )
+    reds = sum(1 for r in ROWS if r[3] == "red")
+    assert st.matched == reds
+    got = {r["k"]: (r["color"], r["v"]) for r in table.read(spark).collect()}
+    for k, _seq, _op, color, v in ROWS:
+        if color == "red":
+            assert got[k] == ("redacted", 0.0), (k, got[k])
+        else:
+            assert got[k] == (color, v)
+
+
+def test_dml_rejects_unknown_where_column(spark, table):
+    """A typo'd WHERE column must raise, never 'succeed' as a zero-match
+    commit (every file would be stats-pruned for a nonexistent column)."""
+    with pytest.raises(ValueError, match="unknown columns in WHERE"):
+        table.delete_where(spark, [("colour", "=", "red")], "typo")
+    with pytest.raises(ValueError, match="unknown columns in WHERE"):
+        table.update_where(spark, {"v": F.lit(0.0)}, [("colr", "=", "x")], "typo2")
+
+
+def test_merge_into_rejects_unknown_source_columns(spark, table):
+    src = spark.createDataFrame(
+        [("z1", 1, "x")], "k string, seq long, contnet string"  # typo'd payload
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        table.merge_into(spark, src, "typo-src")
+    # explicit opt-in keeps the clause-condition-only column pattern
+    st = table.merge_into(
+        spark, src, "typo-src-ok", allow_extra_source_columns=True
+    )
+    assert st.applied
