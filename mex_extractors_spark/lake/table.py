@@ -2605,7 +2605,7 @@ class LakeTable:
         WHERE`` — in-place correction/redaction of converged state).
         ``set_exprs`` maps payload columns to replacement expressions
         (evaluated against the row; cast to the column's table type so
-        the schema cannot drift). Key, and sequence columns are
+        the schema cannot drift). Key and sequence columns are
         immutable — changing a key is a delete+insert, which belongs to
         the CDC feed where it carries a sequence number. Same pruning,
         idempotency, branch-staging, and snapshot semantics as
