@@ -264,6 +264,64 @@ class LakeCatalog:
     def transaction(self) -> "LakeTransaction":
         return LakeTransaction(self)
 
+    def rollback_to(self, version: int) -> dict:
+        """Revert the WHOLE multi-table world to catalog snapshot
+        ``version`` — the catalog analog of ``LakeTable.rollback_to``,
+        but as a REVERT COMMIT, not a ref move: ``current_snapshot()``
+        heals a lagging CURRENT up to the ledger's max version (crash
+        recovery), so moving CURRENT backwards would be silently undone;
+        instead a NEW snapshot re-pinning the target's tables is
+        published through the same CAS as every commit. Snapshot-
+        isolated readers and future transactions (which fork from
+        catalog pins, never table mains) immediately see the reverted
+        world, and because fencing state lives in the pinned table
+        snapshots, a corrected batch re-applies under its original id.
+        Table mains are then rolled back as best-effort mirroring (same
+        contract as ``LakeTransaction.commit``); a main that diverged
+        out-of-band is reported under ``"main_diverged"`` rather than
+        force-moved. The target must be an ancestor of the current
+        catalog head."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot roll back an empty catalog")
+        target = self.snapshot_at(version)
+        if target is None:
+            raise ValueError(
+                f"catalog snapshot c{version} not found (expired or never published)"
+            )
+        v: "int | None" = cur["version"]
+        while v is not None and v != version:
+            s = self.snapshot_at(v)
+            v = s.get("parent") if s else None
+        if v != version:
+            raise ValueError(
+                f"c{version} is not an ancestor of catalog head "
+                f"c{cur['version']} — not a rollback"
+            )
+        if version == cur["version"]:
+            return cur
+        snapshot = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "tables": {k: int(x) for k, x in target["tables"].items()},
+            "rolled_back_to": version,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._publish(snapshot)
+        diverged: list[str] = []
+        for name, pinned in snapshot["tables"].items():
+            table = self.tables.get(name)
+            if table is None:
+                continue
+            try:
+                if pinned:
+                    table.rollback_to(int(pinned))
+            except ValueError:
+                diverged.append(name)
+        if diverged:
+            snapshot = {**snapshot, "main_diverged": sorted(diverged)}
+        return snapshot
+
     # ------------------------------------------------------------ retention
 
     def expire_catalog_snapshots(self, keep_last: int = 3) -> int:

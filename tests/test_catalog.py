@@ -932,3 +932,48 @@ def test_txn_merge_into_staged_on_branch(spark, cat):
         txn.commit()
     got = {(r["repo"], r["path"]): r["content"] for r in cat.read(spark, "state").collect()}
     assert got == {("r1", "a.py"): "fixed", ("r9", "new.py"): "n"}
+
+
+def test_catalog_rollback_reverts_whole_world(spark, cat):
+    """catalog.rollback_to publishes a revert commit re-pinning an
+    ancestor's tables: pinned reads revert for EVERY table at once,
+    mains mirror back, fencing reverts (the same batch id re-applies),
+    and the rolled-over snapshots stay readable by catalog_version."""
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", _mk(spark, [("r1", "a.py", 1, "U", "x")]), "b1")
+        txn.apply_batch(spark, "stats", _counts(spark, [("py", 1, "U", 1)]), "s1")
+        txn.commit()
+    c1 = cat.current_snapshot()["version"]
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", _mk(spark, [("r2", "b.py", 2, "U", "y")]), "b2")
+        txn.apply_batch(spark, "stats", _counts(spark, [("go", 2, "U", 7)]), "s2")
+        txn.commit()
+    c2 = cat.current_snapshot()["version"]
+    snap = cat.rollback_to(c1)
+    assert snap["rolled_back_to"] == c1 and snap.get("main_diverged") is None
+    # pinned reads AND mains reverted across both tables
+    assert cat.read(spark, "state").count() == 1
+    assert cat.read(spark, "stats").count() == 1
+    assert cat.table("state").read(spark).count() == 1
+    # rolled-over world still readable by explicit catalog version
+    assert cat.read(spark, "state", catalog_version=c2).count() == 2
+    # fencing reverted with the pins: b2 re-applies under its original id
+    with cat.transaction() as txn:
+        st = txn.apply_batch(
+            spark, "state", _mk(spark, [("r2", "b.py", 2, "U", "y")]), "b2"
+        )
+        assert st.applied
+        txn.commit()
+    assert cat.read(spark, "state").count() == 2
+
+
+def test_catalog_rollback_rejects_bad_targets(spark, cat):
+    with pytest.raises(ValueError, match="empty catalog"):
+        cat.rollback_to(1)
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", _mk(spark, [("r1", "a.py", 1, "U", "x")]), "b1")
+        txn.commit()
+    with pytest.raises(ValueError, match="not found"):
+        cat.rollback_to(99)
+    cur = cat.current_snapshot()
+    assert cat.rollback_to(cur["version"]) == cur  # no-op to head

@@ -120,7 +120,7 @@ def test_catalog_random_walk_matches_model(spark, tmp_path, seed):
             history[int(snap["version"])] = (dict(m_state), dict(m_stats))
 
     ops = ["commit_state", "commit_both", "commit_both", "abort",
-           "conflict", "isolated_read", "expire", "maintenance"]
+           "conflict", "isolated_read", "expire", "maintenance", "rollback"]
     for step in range(16):
         op = rng.choice(ops)
         if op in ("commit_state", "commit_both"):
@@ -184,6 +184,24 @@ def test_catalog_random_walk_matches_model(spark, tmp_path, seed):
             for v in list(history):
                 if v not in retained:
                     del history[v]
+        elif op == "rollback" and history:
+            # target: a model-recorded ancestor on the INTACT parent
+            # chain (expiry may have removed intermediate documents,
+            # which makes older versions legitimately unprovable)
+            cur = cat.current_snapshot()
+            chain, v = [], cur["version"] if cur else None
+            while v:
+                s = cat.snapshot_at(v)
+                if s is None:
+                    break
+                chain.append(v)
+                v = s.get("parent")
+            targets = [v for v in chain[1:] if v in history]
+            if targets:
+                target = rng.choice(targets)
+                snap = cat.rollback_to(target)
+                assert snap.get("main_diverged") is None
+                m_state, m_stats = dict(history[target][0]), dict(history[target][1])
 
         record()
         if step % 3 == 0 or step == 15:
