@@ -15,14 +15,18 @@ from mex_extractors_spark.lake.derived import full_refresh, refresh_aggregates
 from mex_extractors_spark.lake.index import full_index, refresh_inverted_index
 from mex_extractors_spark.lake.schema_evolution import merge_schemas
 from mex_extractors_spark.lake.table import (
+    ApplyStats,
     CommitAborted,
     CommitConflict,
+    DmlStats,
     LakeTable,
 )
 
 __all__ = [
+    "ApplyStats",
     "CommitAborted",
     "CommitConflict",
+    "DmlStats",
     "IvfIndex",
     "LakeCatalog",
     "LakeTable",
