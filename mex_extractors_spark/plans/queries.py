@@ -4236,6 +4236,98 @@ def s18_mapping_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ temporal joins
+
+
+@q(
+    "j10_asof_join",
+    "J10 as-of join (absent in reference — kdb aj / pandas merge_asof "
+    "shape): each click enriched with the user's latest purchase at or "
+    "before it. Union+running-window formulation: ONE shuffle on the "
+    "key, no non-equi join, no range explosion (operators/asof.py)",
+    """
+    WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    # pre-aggregate: asof_join requires right-side (key, time) uniqueness
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_time="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_matched").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@q(
+    "j11_interval_join",
+    "J11 banded interval join (absent in reference): events assigned to "
+    "the 1-hour session window opened by each signup. Banding turns the "
+    "range join into an equi-join on (user, band) — never a nested loop "
+    "(operators/asof.py)",
+    """
+    WITH s AS (SELECT event_id AS session_id, user_id,
+                      ts AS session_start,
+                      ts + INTERVAL 1 HOUR AS session_end
+               FROM events WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts, value FROM events
+               WHERE event_type <> 'signup')
+    SELECT s.session_id, count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM e JOIN s ON e.user_id = s.user_id
+                 AND e.ts BETWEEN s.session_start AND s.session_end
+    GROUP BY s.session_id
+    """,
+)
+def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mex_extractors_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        "user_id",
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("session_end"),
+    )
+    points = ev.filter(F.col("event_type") != "signup").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        points,
+        sessions,
+        on="user_id",
+        point_time="ts",
+        start_col="session_start",
+        end_col="session_end",
+        band_seconds=3600.0,
+    )
+    return joined.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("value_cents"),
+    )
+
+
 # ---------------------------------------------------------------- driver window
 #
 # The correctness driver evaluates only the FIRST 50 entries of the registry
@@ -4329,6 +4421,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "t1_token_stats",
     "t2_quality_scores",
     "t4_fingerprint",
+    # round-4 temporal-join additions (never driver-checked) — they take
+    # slots 50-51, displacing the sim4 insurance re-check past the
+    # window. sim4 keeps its r3 driver row + per-run pytest parity, and
+    # its round-4 code changes stay driver-covered through sim6 (slot
+    # 12, same refactored assignment kernel); only j10 lands in the
+    # 50-slot window this round, j11 is next in line for round 5.
+    "j10_asof_join",
+    "j11_interval_join",
     # r3-green, re-verified because round 4 touched their code paths
     "sim4_kmeans_refine",      # posexplode centroid recompute
     "sim3_ivf_assignments",    # sample/assign refactor
