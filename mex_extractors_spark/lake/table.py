@@ -208,12 +208,28 @@ class DmlStats:
 
 class LakeTable:
     """A single converged lake table keyed on ``key_cols`` with LWW by
-    ``seq_col``. One writer per table (the replay driver), many readers.
+    ``seq_col``. Many readers; CONCURRENT writers are safe for
+    ``apply_batch`` (optimistic concurrency: commits whose touched
+    buckets are disjoint rebase-and-retry onto the new head, the
+    Iceberg validate-then-retry protocol; overlapping commits lose
+    loudly with :class:`CommitConflict`). Maintenance commits
+    (``compact``/``rebucket``/DML/``expire_snapshots``) remain
+    single-writer operator actions — run them quiesced.
     """
 
     # above this many touched buckets the per-bucket conditional
     # aggregates stop being cheap codegen and observe() is skipped
     OBSERVE_CHECKSUM_MAX_BUCKETS = 256
+
+    # bounded optimistic-concurrency retries for apply_batch /
+    # _commit_noop: each retry re-validates against the healed head and
+    # republishes METADATA only (the data files are attempt-unique and
+    # already on storage), so retries cost no Spark job
+    COMMIT_MAX_ATTEMPTS = 6
+
+    # crash-leftover scratch view dirs older than this are reclaimed at
+    # the next apply; younger ones may belong to a live concurrent writer
+    VIEW_SCRATCH_TTL_S = 3600.0
 
     # merge_mode="auto": append a delta instead of rewriting when the
     # touched buckets hold more than this many file rows per batch row
@@ -329,10 +345,12 @@ class LakeTable:
         self.data_dir = os.path.join(self.path, "data")
         self.refs_dir = os.path.join(self.ledger_dir, "refs")
         self.tags_dir = os.path.join(self.ledger_dir, "tags")
+        self.claims_dir = os.path.join(self.ledger_dir, "commits")
         os.makedirs(self.ledger_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.refs_dir, exist_ok=True)
         os.makedirs(self.tags_dir, exist_ok=True)
+        os.makedirs(self.claims_dir, exist_ok=True)
         # storage wins over the constructor arg: the bucket function is a
         # property of the files on disk (every merge/fence/write keys on
         # it), so a reopened table adopts the committed layout — the arg
@@ -345,11 +363,17 @@ class LakeTable:
 
     def current_snapshot(self) -> dict | None:
         cur = os.path.join(self.ledger_dir, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as fh:
-            version = int(fh.read().strip())
-        return self.snapshot_at(version)
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                version = int(fh.read().strip())
+        else:
+            version = 0
+        healed = self._heal_forward(None, version)
+        if healed != version:
+            # a committer crashed between claim and pointer swap — the
+            # claim chain is the truth, repair the pointer cache
+            self._write_ref(cur, healed)
+        return self.snapshot_at(healed) if healed else None
 
     def snapshot_at(self, version: int) -> dict | None:
         """Snapshot metadata for a specific version (time travel); None
@@ -426,8 +450,13 @@ class LakeTable:
 
     def refs(self) -> dict[str, int]:
         """Branch name -> head snapshot version (0 = branched off an
-        empty table). ``main`` is implicit: the CURRENT pointer."""
-        return self._read_refs(self.refs_dir)
+        empty table). ``main`` is implicit: the CURRENT pointer. Heads
+        are claim-healed: a branch commit that crashed between claim
+        and ref swap still resolves."""
+        return {
+            name: self._heal_forward(name, v)
+            for name, v in self._read_refs(self.refs_dir).items()
+        }
 
     def tags(self) -> dict[str, int]:
         """Immutable named snapshots (Iceberg tags)."""
@@ -439,6 +468,59 @@ class LakeTable:
 
     def _write_ref(self, path: str, version: int) -> None:
         atomic_write_ref(path, version)
+
+    # ------------------------------------- commit-claim chain (multi-writer)
+    #
+    # The snapshot-file CAS alone serializes writers that computed the
+    # SAME next version, but not the chain: with a laggy pointer, writer
+    # B can commit v(N+1) with parent v(N-1) while A's v(N) is published
+    # but not yet pointed at — A's commit silently falls off the chain.
+    # The claim chain closes that window: every commit must also
+    # CAS-create a claim file keyed on (ref, parent version), so each
+    # parent gets EXACTLY ONE child per ref and the loser learns about
+    # the winner no matter which version number it picked. The ref
+    # pointer then degrades to a cache: head resolution follows claim
+    # edges forward from the pointer, which also heals a writer that
+    # crashed between claim and pointer swap.
+
+    _MAIN_CLAIMS = "@main"  # '@' is outside _REF_NAME_RE: no branch collides
+
+    def _claim_path(self, ref: str | None, parent: int) -> str:
+        name = self._MAIN_CLAIMS if ref is None else ref
+        return os.path.join(self.claims_dir, name, f"p{parent:08d}.json")
+
+    def _claim_child(self, ref: str | None, parent: int) -> int | None:
+        """Version committed on top of ``parent`` on ``ref``, or None."""
+        try:
+            with open(self._claim_path(ref, parent)) as fh:
+                return int(json.load(fh)["child"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _claim_commit(self, ref: str | None, parent: int, child: int) -> None:
+        path = self._claim_path(ref, parent)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cas_publish_document(
+            path,
+            {"child": child},
+            f"a concurrent writer already committed on top of v{parent} "
+            f"({'main' if ref is None else ref!r}) — rebase onto the new "
+            "head and retry",
+        )
+
+    def _heal_forward(self, ref: str | None, version: int) -> int:
+        """Follow committed claim edges from ``version`` to the true
+        head (repairs a pointer a crashed writer never swapped)."""
+        while True:
+            child = self._claim_child(ref, version)
+            # child versions are strictly increasing along a chain
+            # (global monotone counter) — the guard makes a corrupt
+            # claim harmless instead of a spin
+            if child is None or child <= version:
+                return version
+            if self.snapshot_at(child) is None:
+                return version  # stale claim beyond retention
+            version = child
 
     def create_branch(self, name: str, at_version: int | None = None) -> int:
         """Point a new branch at ``at_version`` (default: the current
@@ -515,6 +597,8 @@ class LakeTable:
             return 0  # branch of an empty table with no commits: no-op
         cur = self.current_snapshot()
         cur_v = cur["version"] if cur else 0
+        if head == cur_v:
+            return head
         v: int | None = head
         while v is not None and v != cur_v:
             snap = self.snapshot_at(v)
@@ -524,6 +608,11 @@ class LakeTable:
                 f"main v{cur_v} is not an ancestor of {branch!r} head "
                 f"v{head} — not a fast-forward"
             )
+        # claim the jump on MAIN's chain before moving the pointer: a
+        # concurrent main committer racing this fast-forward serializes
+        # on the same (main, cur_v) claim — one of the two loses loudly
+        # instead of being silently dropped from the chain
+        self._claim_commit(None, cur_v, head)
         self._write_ref(os.path.join(self.ledger_dir, "CURRENT"), head)
         return head
 
@@ -547,8 +636,10 @@ class LakeTable:
             return version
         if self.snapshot_at(version) is None:
             raise ValueError(f"snapshot v{version} not found (expired or never published)")
+        chain: list[int] = []  # chain versions in (version, head]
         v: int | None = cur["version"]
         while v is not None and v != version:
+            chain.append(v)
             snap = self.snapshot_at(v)
             v = snap["parent"] if snap else None
         if v != version:
@@ -556,6 +647,19 @@ class LakeTable:
                 f"v{version} is not an ancestor of main head v{cur['version']} — "
                 "not a rollback (use fast_forward for branch heads)"
             )
+        # drop the claim edges along the rolled-back chain — otherwise
+        # head resolution's crash-healing would follow them forward and
+        # resurrect the rolled-back commits. Target-keyed claim first,
+        # so a crash mid-deletion leaves either the full old chain (the
+        # rollback simply "didn't happen yet") or no path out of the
+        # target. Rollback is a quiesced operator action: a writer
+        # committing DURING the deletion window can be lost, same as
+        # Iceberg's rollback_to_snapshot contract.
+        for p in [version, *chain[::-1]]:  # target upward; head has no claim
+            try:
+                os.remove(self._claim_path(None, p))
+            except FileNotFoundError:
+                pass
         self._write_ref(os.path.join(self.ledger_dir, "CURRENT"), version)
         return version
 
@@ -641,30 +745,52 @@ class LakeTable:
             if v not in keep:
                 os.remove(os.path.join(self.ledger_dir, f"v{v:08d}.json"))
                 expired += 1
+                # claim edges keyed on an expired parent can never be
+                # reached by head resolution again — drop them so the
+                # commit-chain dir doesn't grow without bound
+                for ref_dir in os.listdir(self.claims_dir):
+                    try:
+                        os.remove(
+                            os.path.join(
+                                self.claims_dir, ref_dir, f"p{v:08d}.json"
+                            )
+                        )
+                    except FileNotFoundError:
+                        pass
         self.vacuum_orphans()
         return expired
 
     def _publish(self, snapshot: dict, ref: str | None = None) -> None:
-        """Atomic two-step publish: snapshot file, then pointer swap
-        (CURRENT, or the named branch ref for staged/WAP commits).
+        """Atomic three-step publish: snapshot file, commit claim, then
+        pointer swap (CURRENT, or the named branch ref for staged/WAP
+        commits).
 
-        The snapshot file is linked into place with ``os.link`` — which
-        FAILS if the version already exists — so publishing doubles as
-        an optimistic-concurrency compare-and-swap (Iceberg's atomic
-        snapshot commit): two writers that both computed version N race,
-        exactly one wins, the loser gets ``CommitConflict`` instead of
-        silently clobbering the winner's commit with a stale parent.
-        The table is single-writer by contract; this turns an accidental
-        second writer (double-started job, zombie driver) from silent
-        lost updates into a loud error."""
+        Step 1 — the snapshot file is linked into place with ``os.link``
+        (FAILS if the version exists), keeping version numbers globally
+        unique (time travel / data-dir naming). Step 2 — the claim file
+        keyed on (ref, parent) is CAS-created the same way: each parent
+        gets exactly ONE child per ref, so concurrent writers serialize
+        on the CHAIN, not just on the version number — a stale writer
+        loses with ``CommitConflict`` even when pointer lag let it pick
+        a fresh version over a stale parent (the lost-update window a
+        filename CAS alone leaves open). Step 3 — the ref pointer is a
+        cache of the claim chain; head resolution follows claims
+        forward, so a crash between steps 2 and 3 heals on next read.
+        A crash between 1 and 2 leaves an unreferenced snapshot file
+        that ``expire_snapshots``/``vacuum_orphans`` reclaims.
+
+        ``CommitConflict`` from either CAS means a concurrent commit
+        landed first; ``apply_batch`` rebases and retries when the
+        commits touch disjoint buckets."""
         version = snapshot["version"]
         snap_path = os.path.join(self.ledger_dir, f"v{version:08d}.json")
         cas_publish_document(
             snap_path,
             snapshot,
             f"snapshot v{version} was published by another writer — "
-            "this table is single-writer; re-read the ledger and retry",
+            "re-read the ledger and retry on the new head",
         )
+        self._claim_commit(ref, int(snapshot.get("parent") or 0), version)
         pointer = (
             os.path.join(self.ledger_dir, "CURRENT")
             if ref is None
@@ -1445,8 +1571,20 @@ class LakeTable:
         snap = self._head(branch)
         if snap is not None and batch_id in snap["applied_batches"]:
             return ApplyStats(batch_id=batch_id, applied=False)
-        # scratch view dirs are transient per-apply; clear crash leftovers
-        shutil.rmtree(os.path.join(self.path, "_views"), ignore_errors=True)
+        # scratch view dirs are transient per-apply; clear CRASH leftovers
+        # only (age-gated): a concurrent bucket-partitioned writer may
+        # have a live view dir in flight, and a blanket rmtree would
+        # yank its files mid-scan
+        views = os.path.join(self.path, "_views")
+        if os.path.isdir(views):
+            cutoff = time.time() - self.VIEW_SCRATCH_TTL_S
+            for d in os.listdir(views):
+                p = os.path.join(views, d)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         self._drop_stale_scratch_tables(spark)
         self._release_cdf_scratch(spark)
 
@@ -1803,62 +1941,191 @@ class LakeTable:
             spark, out_dir, rel_out, written_schema, bucket_stats,
             value_sets, with_blooms=not use_mor,
         )
-        buckets_meta = dict(snap["buckets"]) if snap else {}
-        for b in touched:
-            rows, checksum = bucket_stats.get(b, (0, "0"))
-            if use_mor:
-                # append a delta group; the base entry stays verbatim
-                # (a bucket first written in mor mode gets an empty base)
-                old_meta = buckets_meta.get(str(b)) or {
-                    "files": [],
-                    "schema_version": schema_version,
-                    "rows": 0,
-                    "checksum": "0",
-                }
-                new_meta = dict(old_meta)
-                delta_group = {
-                    "files": sorted(files_by_bucket.get(b, [])),
-                    "schema_version": schema_version,
-                    "rows": rows,
-                    "checksum": checksum,
-                }
-                new_meta["deltas"] = [*old_meta.get("deltas", []), delta_group]
-                buckets_meta[str(b)] = new_meta
+        def _occ_map_schema(head: dict | None) -> tuple[dict, int, int]:
+            """Embed the WRITTEN schema into ``head``'s schema registry.
+
+            The data files are already on storage with ``table_schema``
+            — a rebase cannot change them, only re-register: reuse the
+            head's version id when an identical schema is registered,
+            else mint the next id; the head READ schema becomes the
+            merge of the head's and ours (an intervening commit may
+            have evolved other buckets). For ``head is snap`` (the
+            no-conflict case) this reproduces the pre-write evolution
+            step exactly."""
+            schemas2 = dict(head["schemas"]) if head else {}
+            ours = table_schema.jsonValue()
+            files_sv = next(
+                (int(k) for k, v in schemas2.items() if v == ours), None
+            )
+            if files_sv is None:
+                files_sv = max((int(k) for k in schemas2), default=0) + 1
+                schemas2[str(files_sv)] = ours
+            if head and head.get("schema_version"):
+                head_schema = StructType.fromJson(
+                    schemas2[str(head["schema_version"])]
+                )
+                merged_json = merge_schemas(head_schema, table_schema).jsonValue()
+                head_sv = next(
+                    (int(k) for k, v in schemas2.items() if v == merged_json),
+                    None,
+                )
+                if head_sv is None:
+                    head_sv = max(int(k) for k in schemas2) + 1
+                    schemas2[str(head_sv)] = merged_json
             else:
-                # copy-on-write rewrite: fresh entry, deltas folded in
-                entry = {
-                    "files": sorted(files_by_bucket.get(b, [])),
-                    "schema_version": schema_version,
-                    "rows": rows,
-                    "checksum": checksum,
-                }
-                buckets_meta[str(b)] = entry
-        old_wm = {int(k): int(v) for k, v in (snap["watermarks"] if snap else {}).items()}
-        for b, wm in new_wm.items():
-            old_wm[b] = max(old_wm.get(b, -1), wm)
-        snapshot = {
-            "version": version,
-            "parent": snap["version"] if snap else None,
-            "schema_version": schema_version,
-            "schemas": schemas,
-            "buckets": buckets_meta,
-            "watermarks": {str(k): v for k, v in old_wm.items()},
-            "applied_batches": self._trim_batches(
-                snap["applied_batches"] if snap else [], batch_id
-            ),
-            "num_buckets": self.num_buckets,
-            "key_cols": self.key_cols,
-            "seq_col": self.seq_col,
-            # file-row total: equals the state row count for a
-            # delta-free snapshot; with deltas pending it upper-bounds
-            # the state (updates/tombstones collapse at read/compact)
-            "total_rows": sum(
-                int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
-                for m in buckets_meta.values()
-            ),
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        self._publish(snapshot, ref=branch)
+                head_sv = files_sv
+            return schemas2, head_sv, files_sv
+
+        def _occ_assemble(head: dict | None) -> dict:
+            """Snapshot metadata for this batch's files on top of
+            ``head`` — pure metadata, re-runnable against any head whose
+            touched buckets are unchanged (validated below)."""
+            schemas2, head_sv, files_sv = _occ_map_schema(head)
+            buckets_meta = dict(head["buckets"]) if head else {}
+            for b in touched:
+                rows, checksum = bucket_stats.get(b, (0, "0"))
+                if use_mor:
+                    # append a delta group; the base entry stays verbatim
+                    # (a bucket first written in mor mode gets an empty base)
+                    old_meta = buckets_meta.get(str(b)) or {
+                        "files": [],
+                        "schema_version": files_sv,
+                        "rows": 0,
+                        "checksum": "0",
+                    }
+                    new_meta = dict(old_meta)
+                    delta_group = {
+                        "files": sorted(files_by_bucket.get(b, [])),
+                        "schema_version": files_sv,
+                        "rows": rows,
+                        "checksum": checksum,
+                    }
+                    new_meta["deltas"] = [*old_meta.get("deltas", []), delta_group]
+                    buckets_meta[str(b)] = new_meta
+                else:
+                    # copy-on-write rewrite: fresh entry, deltas folded in
+                    buckets_meta[str(b)] = {
+                        "files": sorted(files_by_bucket.get(b, [])),
+                        "schema_version": files_sv,
+                        "rows": rows,
+                        "checksum": checksum,
+                    }
+            old_wm = {
+                int(k): int(v)
+                for k, v in (head["watermarks"] if head else {}).items()
+            }
+            for b, wm in new_wm.items():
+                old_wm[b] = max(old_wm.get(b, -1), wm)
+            return {
+                "version": self._next_version(),
+                "parent": head["version"] if head else None,
+                "schema_version": head_sv,
+                "schemas": schemas2,
+                "buckets": buckets_meta,
+                "watermarks": {str(k): v for k, v in old_wm.items()},
+                "applied_batches": self._trim_batches(
+                    head["applied_batches"] if head else [], batch_id
+                ),
+                "num_buckets": self.num_buckets,
+                "key_cols": self.key_cols,
+                "seq_col": self.seq_col,
+                # file-row total: equals the state row count for a
+                # delta-free snapshot; with deltas pending it upper-bounds
+                # the state (updates/tombstones collapse at read/compact)
+                "total_rows": sum(
+                    int(m["rows"]) + sum(int(d["rows"]) for d in m.get("deltas", []))
+                    for m in buckets_meta.values()
+                ),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        def _occ_validate(head: dict | None) -> str | None:
+            """Can this batch rebase onto ``head``? None = yes; "dup" =
+            a twin writer already applied the batch id; raises
+            ``CommitConflict`` on a true overlap (Iceberg's
+            validate-then-retry commit protocol)."""
+            if head is None:
+                raise CommitConflict(
+                    f"batch {batch_id!r}: commit conflicted but no head "
+                    "is visible — ledger inconsistency"
+                )
+            if batch_id in head["applied_batches"]:
+                return "dup"
+            if (
+                int(head.get("num_buckets") or 0) != self.num_buckets
+                or list(head.get("key_cols") or []) != list(self.key_cols)
+                or head.get("seq_col", self.seq_col) != self.seq_col
+            ):
+                raise CommitConflict(
+                    f"batch {batch_id!r}: a concurrent layout change "
+                    "(rebucket / key change) landed — cannot rebase"
+                )
+            # the base this batch was fenced/merged against must be an
+            # ancestor of the new head (a concurrent rollback is not)
+            base_v = snap["version"] if snap else None
+            v: int | None = head["version"]
+            while v is not None and v != base_v:
+                s = self.snapshot_at(v)
+                v = s["parent"] if s else None
+            if v != base_v:
+                raise CommitConflict(
+                    f"batch {batch_id!r}: base v{base_v} is no longer an "
+                    f"ancestor of head v{head['version']} — cannot rebase"
+                )
+            # every intervening commit must have left our buckets alone:
+            # the written files embed the merge against the BASE state
+            for b in touched:
+                base_meta = (snap or {}).get("buckets", {}).get(str(b), {})
+                if _bucket_sig(head["buckets"].get(str(b), {})) != _bucket_sig(
+                    base_meta
+                ):
+                    raise CommitConflict(
+                        f"batch {batch_id!r}: a concurrent commit rewrote "
+                        f"bucket {b} — overlapping writers must serialize"
+                    )
+            return None
+
+        # --- optimistic-concurrency publish: metadata-only retries. The
+        #     data files are attempt-unique and already written, so a
+        #     lost CAS costs a validate + re-assemble, never a Spark job.
+        head_for_commit = snap
+        committed: dict | None = None
+        last_err: CommitConflict | None = None
+        for attempt in range(self.COMMIT_MAX_ATTEMPTS):
+            if attempt:
+                try:
+                    new_head = self._head(branch)
+                    verdict = _occ_validate(new_head)
+                except CommitConflict:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    raise
+                if verdict == "dup":
+                    # a twin writer (double-started job) applied this
+                    # very batch while we raced — exactly-once holds;
+                    # drop our unreferenced attempt files
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return ApplyStats(
+                        batch_id=batch_id,
+                        applied=False,
+                        events_in=events_in,
+                        events_invalid=events_invalid,
+                        seconds=time.monotonic() - t0,
+                    )
+                head_for_commit = new_head
+            snapshot = _occ_assemble(head_for_commit)
+            try:
+                self._publish(snapshot, ref=branch)
+                committed = snapshot
+                break
+            except CommitConflict as err:
+                last_err = err
+        if committed is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise CommitConflict(
+                f"batch {batch_id!r}: lost the commit race "
+                f"{self.COMMIT_MAX_ATTEMPTS} times in a row"
+            ) from last_err
+        snapshot = committed
         return ApplyStats(
             batch_id=batch_id,
             applied=True,
@@ -1895,32 +2162,53 @@ class LakeTable:
     def _commit_noop(
         self, snap: dict | None, batch_id: str, ref: str | None = None
     ) -> None:
-        """Record a batch id whose events were all fenced (pure redelivery)."""
-        if snap is None:
-            snapshot = {
-                "version": self._next_version(),
-                "parent": None,
-                "schema_version": 0,
-                "schemas": {},
-                "buckets": {},
-                "watermarks": {},
-                "applied_batches": [batch_id],
-                "num_buckets": self.num_buckets,
-                "key_cols": self.key_cols,
-                "seq_col": self.seq_col,
-                "total_rows": 0,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-        else:
-            snapshot = dict(snap)
-            snapshot.pop("dml", None)  # DML provenance is per-commit
-            snapshot["version"] = self._next_version()
-            snapshot["parent"] = snap["version"]
-            snapshot["applied_batches"] = self._trim_batches(
-                snap["applied_batches"], batch_id
-            )
-            snapshot["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self._publish(snapshot, ref=ref)
+        """Record a batch id whose events were all fenced (pure
+        redelivery). Bookkeeping-only, so a commit conflict rebases
+        unconditionally: rebuild on the new head and retry (or return,
+        if a twin writer already recorded the same batch id)."""
+        last_err: CommitConflict | None = None
+        for attempt in range(self.COMMIT_MAX_ATTEMPTS):
+            if attempt:
+                snap = self._head(ref)
+                if snap is not None and batch_id in snap["applied_batches"]:
+                    return  # a twin writer recorded it — converged
+            if snap is None:
+                snapshot = {
+                    "version": self._next_version(),
+                    "parent": None,
+                    "schema_version": 0,
+                    "schemas": {},
+                    "buckets": {},
+                    "watermarks": {},
+                    "applied_batches": [batch_id],
+                    "num_buckets": self.num_buckets,
+                    "key_cols": self.key_cols,
+                    "seq_col": self.seq_col,
+                    "total_rows": 0,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }
+            else:
+                snapshot = dict(snap)
+                snapshot.pop("dml", None)  # DML provenance is per-commit
+                snapshot["version"] = self._next_version()
+                snapshot["parent"] = snap["version"]
+                snapshot["applied_batches"] = self._trim_batches(
+                    snap["applied_batches"], batch_id
+                )
+                snapshot["committed_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                )
+            try:
+                self._publish(snapshot, ref=ref)
+                return
+            except CommitConflict as err:
+                last_err = err
+        raise CommitConflict(
+            f"no-op commit for batch {batch_id!r} lost the commit race "
+            f"{self.COMMIT_MAX_ATTEMPTS} times in a row"
+        ) from last_err
 
     # ------------------------------------------------------------ utility
 

@@ -22,6 +22,7 @@ scheduled-cron analog, SURVEY.md §2.9 T1).
 
 from __future__ import annotations
 
+import hashlib
 import math
 from collections.abc import Callable
 
@@ -110,6 +111,7 @@ class ReplayEngine:
         batch_size: int,
         seq_col: str | None = None,
         crash_on_batch: str | None = None,
+        buckets: "list[int] | None" = None,
     ) -> list[ApplyStats]:
         """Replay ``events`` into the table in ``seq``-range micro-batches.
 
@@ -117,23 +119,51 @@ class ReplayEngine:
         range predicates (pushed down to the parquet scan) slice it into
         deterministic batches. ``crash_on_batch`` injects a kill after
         that batch's data files are written (chaos testing).
+
+        ``buckets`` partitions the WRITERS: this replay applies only the
+        events whose key hashes into the given buckets, so K separate
+        driver processes can ingest one table in parallel, each owning a
+        disjoint bucket subset — their commits never touch the same
+        bucket, and the table's optimistic-concurrency protocol rebases
+        their interleaved commits instead of failing them. Batch ids are
+        suffixed with the owned bucket set, keeping each writer's
+        idempotency ledger entries distinct. Every writer must replay
+        the same seq ranges over the same stream for the table to
+        converge to the full state.
         """
         seq_col = seq_col or self.table.seq_col
         done = self.table.applied_batches()
-        # watermark floor: once EVERY bucket's fence is >= hi, a batch is
-        # provably pure redelivery without any Spark job — this keeps a
-        # full-history restart O(1) per old batch even after its id has
-        # rotated out of the table's bounded idempotency window
+        owned = sorted(set(buckets)) if buckets is not None else None
+        suffix = ""
+        if owned is not None:
+            if not owned or not all(
+                0 <= b < self.table.num_buckets for b in owned
+            ):
+                raise ValueError(
+                    f"buckets must be within 0..{self.table.num_buckets - 1}"
+                )
+            ids = ",".join(map(str, owned))
+            if len(ids) > 32:  # wide ownership sets: fixed-width digest
+                ids = "h" + hashlib.sha1(ids.encode()).hexdigest()[:12]
+            suffix = f"@b{ids}"
+            events = events.withColumn(
+                "__wb", self.table._bucket_expr()
+            ).where(F.col("__wb").isin(owned)).drop("__wb")
+        # watermark floor: once EVERY owned bucket's fence is >= hi, a
+        # batch is provably pure redelivery without any Spark job — this
+        # keeps a full-history restart O(1) per old batch even after its
+        # id has rotated out of the table's bounded idempotency window
         wm = self.table.watermarks()
+        scope = owned if owned is not None else range(self.table.num_buckets)
         wm_floor = (
-            min(wm.values()) if len(wm) == self.table.num_buckets else -1
+            min(wm.get(b, -1) for b in scope) if len(wm) else -1
         )
         out: list[ApplyStats] = []
         n_batches = max(1, math.ceil((seq_max - seq_min + 1) / batch_size))
         for i in range(n_batches):
             lo = seq_min + i * batch_size
             hi = min(seq_max, lo + batch_size - 1)
-            bid = batch_id_for_range(lo, hi)
+            bid = batch_id_for_range(lo, hi) + suffix
             if bid in done or hi <= wm_floor:
                 out.append(ApplyStats(batch_id=bid, applied=False))
                 continue

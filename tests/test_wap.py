@@ -259,9 +259,11 @@ class TestReviewRegressions:
         self, spark, table, monkeypatch
     ):
         """Two writers that computed the SAME version must not share a
-        data dir: the loser writes its own attempt dir, gets
-        CommitConflict at publish, and the winner's committed files
-        survive (vacuum then reclaims the abandoned attempt)."""
+        data dir: the loser writes its own attempt dir, exhausts its
+        optimistic-concurrency retries (its version counter is pinned to
+        the clash), raises CommitConflict, and the winner's committed
+        files survive. The loser reclaims its abandoned attempt dir
+        EAGERLY on the terminal conflict — nothing left to vacuum."""
         table.apply_batch(spark, _mk(spark, [("r1", "a", 1, "py", "U")]), "b1")
         winner = LakeTable(table.path, key_cols=["repo", "path"], num_buckets=4)
         loser = LakeTable(table.path, key_cols=["repo", "path"], num_buckets=4)
@@ -275,7 +277,9 @@ class TestReviewRegressions:
             (r["repo"], r["path"]) for r in table.read(spark).collect()
         ) == [("r1", "a"), ("r2", "b")]
         assert table.verify_bucket_checksums(spark) == []
-        assert table.vacuum_orphans() > 0  # the loser's abandoned attempt dir
+        # the loser's attempt dir was removed at the terminal conflict,
+        # so the orphan vacuum has nothing left to reclaim
+        assert table.vacuum_orphans() == 0
 
     def test_read_key_casts_literals_to_stored_key_types(self, spark, tmp_path):
         """murmur3 hashes int and long differently — an uncast Python
