@@ -133,9 +133,14 @@ class CommitAborted(RuntimeError):
 
 
 class CommitConflict(RuntimeError):
-    """A concurrent writer published the snapshot version this commit
-    was about to claim (optimistic-concurrency CAS loss). The table is
-    single-writer by contract — treat this as a deployment error."""
+    """A concurrent writer won the commit CAS (snapshot version or
+    commit claim). ``apply_batch`` handles this internally — it
+    validates the new head and rebases when the touched buckets are
+    disjoint — so a surfaced CommitConflict means the conflict was NOT
+    rebasable: overlapping-bucket writers, a concurrent layout change,
+    a lost race on a maintenance commit (compact / rebucket / DML /
+    fast_forward), or retry exhaustion. Partition the writers by bucket
+    (``ReplayEngine.replay(buckets=...)``) or serialize them."""
 
 
 def atomic_write_ref(path: str, version: int) -> None:
@@ -156,8 +161,8 @@ def cas_publish_document(path: str, doc: dict, conflict_msg: str) -> None:
     optimistic-concurrency CAS both the table ledger and the catalog
     commit log publish through (Iceberg's atomic snapshot commit). Two
     writers that both computed the same next version race; exactly one
-    wins, the loser gets :class:`CommitConflict` instead of silently
-    clobbering the winner with a stale parent."""
+    wins, the loser gets :class:`CommitConflict` and either rebases
+    onto the new head (``apply_batch``) or surfaces the conflict."""
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(doc, fh, sort_keys=True)
@@ -192,6 +197,9 @@ class ApplyStats:
     t_stats: float = 0.0
     t_write: float = 0.0
     t_checksum: float = 0.0
+    # optimistic-concurrency telemetry: how many publish attempts this
+    # commit took (1 = no contention; >1 = rebased after a lost CAS)
+    commit_attempts: int = 1
 
 
 @dataclass
@@ -368,11 +376,13 @@ class LakeTable:
                 version = int(fh.read().strip())
         else:
             version = 0
+        # heal forward over claim edges a crashed committer left
+        # unpointed. Resolution-only — the pointer file is NOT repaired
+        # here: reads must stay pure (read-only replicas, unprivileged
+        # consumers) and a read-time pointer write could race a
+        # concurrent rollback_to and resurrect the rolled-back head.
+        # The pointer catches up at the next commit's _write_ref.
         healed = self._heal_forward(None, version)
-        if healed != version:
-            # a committer crashed between claim and pointer swap — the
-            # claim chain is the truth, repair the pointer cache
-            self._write_ref(cur, healed)
         return self.snapshot_at(healed) if healed else None
 
     def snapshot_at(self, version: int) -> dict | None:
@@ -539,13 +549,18 @@ class LakeTable:
         return at_version
 
     def drop_branch(self, name: str) -> None:
-        """Delete the branch ref. Snapshots it alone referenced become
-        unreferenced metadata that ``expire_snapshots`` (and its orphan
-        vacuum) reclaims later — the Iceberg cleanup model."""
+        """Delete the branch ref AND its claim chain. Snapshots it alone
+        referenced become unreferenced metadata that ``expire_snapshots``
+        (and its orphan vacuum) reclaims later — the Iceberg cleanup
+        model. The claims must go with the ref: a recreated branch of
+        the same name would otherwise heal forward over the dropped
+        branch's stale claim edges and resurrect its commits (or, once
+        those snapshots expire, be permanently unable to commit)."""
         try:
             os.remove(self._ref_file(name, "branch"))
         except FileNotFoundError:
             pass
+        shutil.rmtree(os.path.join(self.claims_dir, name), ignore_errors=True)
 
     def create_tag(self, name: str, at_version: int | None = None) -> int:
         """Pin an immutable name to a snapshot (audit/release marker)."""
@@ -741,6 +756,7 @@ class LakeTable:
                 b = bs["parent"] if bs else None
         keep |= {v for v in self.tags().values() if v}
         expired = 0
+        claim_refs = os.listdir(self.claims_dir)
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(self.ledger_dir, f"v{v:08d}.json"))
@@ -748,7 +764,7 @@ class LakeTable:
                 # claim edges keyed on an expired parent can never be
                 # reached by head resolution again — drop them so the
                 # commit-chain dir doesn't grow without bound
-                for ref_dir in os.listdir(self.claims_dir):
+                for ref_dir in claim_refs:
                     try:
                         os.remove(
                             os.path.join(
@@ -790,7 +806,19 @@ class LakeTable:
             f"snapshot v{version} was published by another writer — "
             "re-read the ledger and retry on the new head",
         )
-        self._claim_commit(ref, int(snapshot.get("parent") or 0), version)
+        try:
+            self._claim_commit(ref, int(snapshot.get("parent") or 0), version)
+        except CommitConflict:
+            # the snapshot file this attempt just created was never
+            # claimed — nobody can reference it; remove it so a lost
+            # race doesn't litter the ledger with phantom "commits"
+            # (whose applied_batches would lie, and whose data files
+            # the loser may go on to delete)
+            try:
+                os.remove(snap_path)
+            except FileNotFoundError:
+                pass
+            raise
         pointer = (
             os.path.join(self.ledger_dir, "CURRENT")
             if ref is None
@@ -1666,7 +1694,7 @@ class LakeTable:
 
         if not touched:
             # still record the batch id so replay bookkeeping stays exact
-            self._commit_noop(snap, batch_id, ref=branch)
+            attempts = self._commit_noop(snap, batch_id, ref=branch)
             return ApplyStats(
                 batch_id=batch_id,
                 applied=True,
@@ -1674,6 +1702,7 @@ class LakeTable:
                 events_invalid=events_invalid,
                 events_fenced=events_in - events_invalid,
                 seconds=time.monotonic() - t0,
+                commit_attempts=attempts,
             )
 
         # --- merge-strategy resolution (see __init__ docstring)
@@ -2110,6 +2139,7 @@ class LakeTable:
                         events_in=events_in,
                         events_invalid=events_invalid,
                         seconds=time.monotonic() - t0,
+                        commit_attempts=attempt + 1,
                     )
                 head_for_commit = new_head
             snapshot = _occ_assemble(head_for_commit)
@@ -2141,6 +2171,7 @@ class LakeTable:
             t_stats=round(t_stats, 3),
             t_write=round(t_write, 3),
             t_checksum=round(t_checksum, 3),
+            commit_attempts=attempt + 1,
         )
 
     def _trim_batches(self, old: "list[str]", batch_id: str) -> "list[str]":
@@ -2161,17 +2192,18 @@ class LakeTable:
 
     def _commit_noop(
         self, snap: dict | None, batch_id: str, ref: str | None = None
-    ) -> None:
+    ) -> int:
         """Record a batch id whose events were all fenced (pure
         redelivery). Bookkeeping-only, so a commit conflict rebases
         unconditionally: rebuild on the new head and retry (or return,
-        if a twin writer already recorded the same batch id)."""
+        if a twin writer already recorded the same batch id). Returns
+        the publish-attempt count (OCC telemetry)."""
         last_err: CommitConflict | None = None
         for attempt in range(self.COMMIT_MAX_ATTEMPTS):
             if attempt:
                 snap = self._head(ref)
                 if snap is not None and batch_id in snap["applied_batches"]:
-                    return  # a twin writer recorded it — converged
+                    return attempt + 1  # a twin writer recorded it — converged
             if snap is None:
                 snapshot = {
                     "version": self._next_version(),
@@ -2202,7 +2234,7 @@ class LakeTable:
                 )
             try:
                 self._publish(snapshot, ref=ref)
-                return
+                return attempt + 1
             except CommitConflict as err:
                 last_err = err
         raise CommitConflict(

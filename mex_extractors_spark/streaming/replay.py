@@ -136,6 +136,16 @@ class ReplayEngine:
         owned = sorted(set(buckets)) if buckets is not None else None
         suffix = ""
         if owned is not None:
+            if self.state_audits:
+                # WAP audits validate the GLOBAL post-commit state and
+                # publish via fast_forward, which has no rebase path —
+                # a concurrent writer's main commit would abort the
+                # audit. State audits require a single writer.
+                raise ValueError(
+                    "state_audits cannot be combined with bucket-"
+                    "partitioned parallel ingest (buckets=...) — audits "
+                    "validate global state and need a single writer"
+                )
             if not owned or not all(
                 0 <= b < self.table.num_buckets for b in owned
             ):
@@ -163,13 +173,19 @@ class ReplayEngine:
         for i in range(n_batches):
             lo = seq_min + i * batch_size
             hi = min(seq_max, lo + batch_size - 1)
-            bid = batch_id_for_range(lo, hi) + suffix
+            base_bid = batch_id_for_range(lo, hi)
+            bid = base_bid + suffix
             if bid in done or hi <= wm_floor:
                 out.append(ApplyStats(batch_id=bid, applied=False))
                 continue
             batch = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) <= hi))
+            # chaos hooks may name the bare seq-range id; match it with
+            # or without the writer's bucket-ownership suffix
             stats = self._apply_one(
-                spark, batch, bid, crash_after_data=(bid == crash_on_batch)
+                spark,
+                batch,
+                bid,
+                crash_after_data=crash_on_batch in (bid, base_bid),
             )
             out.append(stats)
         return out

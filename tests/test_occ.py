@@ -152,8 +152,9 @@ def test_twin_writer_duplicate_batch_is_noop(spark, tmp_path):
 
 def test_pointer_lag_heals_on_read(spark, tmp_path):
     """A writer that crashed between the commit claim and the pointer
-    swap: the claim chain is the truth — readers heal forward and
-    repair CURRENT; a later writer parents the healed head."""
+    swap: the claim chain is the truth — readers heal forward (without
+    writing: reads stay pure for read-only consumers and cannot race a
+    rollback), and the pointer catches up at the next commit."""
     path = str(tmp_path / "lake")
     t = LakeTable(path, num_buckets=2)
     t.apply_batch(spark, _rows(spark, [("r", "p1", 1, "U", "a")]), "b1")
@@ -174,12 +175,22 @@ def test_pointer_lag_heals_on_read(spark, tmp_path):
     head = fresh.current_snapshot()
     assert head["applied_batches"] == ["b1", "b2"]  # healed
     with open(cur_file) as fh:
-        assert int(fh.read()) == head["version"]  # pointer repaired
+        assert int(fh.read()) == v1  # reads are pure: pointer untouched
     assert [r.content for r in fresh.read(spark).collect()] == ["b"]
 
-    # extreme case: CURRENT missing entirely — the chain from v0 rebuilds it
+    # the next commit parents the HEALED head and repairs the pointer
+    fresh.apply_batch(spark, _rows(spark, [("r", "p1", 3, "U", "c")]), "b3")
+    assert fresh.current_snapshot()["parent"] == head["version"]
+    with open(cur_file) as fh:
+        assert int(fh.read()) == fresh.current_snapshot()["version"]
+
+    # extreme case: CURRENT missing entirely — the chain from v0 resolves
     os.remove(cur_file)
-    assert LakeTable(path).current_snapshot()["version"] == head["version"]
+    assert LakeTable(path).current_snapshot()["applied_batches"] == [
+        "b1",
+        "b2",
+        "b3",
+    ]
 
 
 def test_rollback_drops_claims_no_resurrection(spark, tmp_path):
@@ -319,3 +330,89 @@ def test_version_collision_without_head_change_retries(spark, tmp_path):
     assert st.applied
     head = LakeTable(path).current_snapshot()
     assert head["version"] == nxt + 1 and "b2" in head["applied_batches"]
+
+
+def test_drop_branch_removes_claims_for_reuse(spark, tmp_path):
+    """Recreating a dropped branch name must not heal forward over the
+    dropped branch's stale claim edges (resurrection), nor be blocked
+    from committing by them (permanent CommitConflict)."""
+    path = str(tmp_path / "lake")
+    t = LakeTable(path, num_buckets=2)
+    t.apply_batch(spark, _rows(spark, [("r", "p1", 1, "U", "m1")]), "b1")
+    t.create_branch("dev")
+    t.apply_batch(
+        spark, _rows(spark, [("r", "p2", 2, "U", "old-dev")]), "bd1", branch="dev"
+    )
+    t.drop_branch("dev")
+
+    t.create_branch("dev")  # same name, forked at main head again
+    # the recreated branch resolves to the fork point, not the dropped commit
+    assert t.refs()["dev"] == t.current_snapshot()["version"]
+    assert {r.content for r in t.read(spark, ref="dev").collect()} == {"m1"}
+    # and it can commit (the stale claim would have blocked this forever)
+    st = t.apply_batch(
+        spark, _rows(spark, [("r", "p3", 3, "U", "new-dev")]), "bd2", branch="dev"
+    )
+    assert st.applied
+    assert {r.content for r in t.read(spark, ref="dev").collect()} == {
+        "m1",
+        "new-dev",
+    }
+
+
+def test_claim_cas_loss_leaves_no_phantom_snapshot(spark, tmp_path):
+    """A writer that loses the claim CAS (not the version CAS) must not
+    leave its unclaimed snapshot file behind — history()/time-travel
+    would otherwise list a commit that never happened."""
+    path = str(tmp_path / "lake")
+    a, b = LakeTable(path, num_buckets=2), LakeTable(path, num_buckets=2)
+    k0 = _keys_by_bucket(spark, a)[0][0]
+    buckets = _keys_by_bucket(spark, a)
+    k1 = buckets[1][0] if 1 in buckets else buckets[0][1]
+
+    # force b's version PAST the collision so only the claim CAS races:
+    # b computes versions with a +1 offset, a commits in between
+    orig_next = b._next_version
+    b._next_version = lambda: orig_next() + 1
+    _interleave(
+        b,
+        lambda: a.apply_batch(
+            spark, _rows(spark, [(k0[0], k0[1], 10, "U", "from-a")]), "batch-a"
+        ),
+    )
+    st = b.apply_batch(
+        spark, _rows(spark, [(k1[0], k1[1], 11, "U", "from-b")]), "batch-b"
+    )
+    assert st.applied and st.commit_attempts > 1
+    t = LakeTable(path)
+    # every ledger snapshot lies on the main parent chain — no phantoms
+    head = t.current_snapshot()
+    chain = set()
+    v = head["version"]
+    while v:
+        chain.add(v)
+        s = t.snapshot_at(v)
+        v = (s["parent"] or 0) if s else 0
+    import re as _re
+
+    on_disk = {
+        int(m.group(1))
+        for f in os.listdir(t.ledger_dir)
+        if (m := _re.fullmatch(r"v(\d{8})\.json", f))
+    }
+    assert on_disk == chain
+
+
+def test_state_audits_reject_bucket_partitioned_replay(spark, tmp_path):
+    """WAP state audits validate global state through fast_forward,
+    which cannot rebase — combining them with parallel bucket ownership
+    is a contract error, not a latent crash."""
+    import pytest as _pytest
+
+    from mex_extractors_spark.streaming.replay import ReplayEngine
+
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=2)
+    eng = ReplayEngine(t, state_audits=[lambda df: None])
+    ev = _rows(spark, [("r", "p1", 1, "U", "x")])
+    with _pytest.raises(ValueError, match="state_audits"):
+        eng.replay(spark, ev, 1, 1, batch_size=1, buckets=[0])
