@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "t11_vocab_build",
     "t12_stratified_sample",
     "t13_corpus_mix",
+    "j10_asof_join",
+    "j11_interval_join",
     # NOT benched: cdc_changes_feed / cdc_incremental_agg / cdc_mor_* /
     # t7_decontamination rebuild a full lake (or broadcast a 10%-of-
     # corpus "eval set") per call — end-to-end correctness demos gated

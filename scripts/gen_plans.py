@@ -331,6 +331,33 @@ def main() -> None:
             formatted(REGISTRY["t11_vocab_build"].fn(spark, SF)),
         )
     )
+    sections.append(
+        (
+            "j10 as-of join (union + running window, no join operator)",
+            "NO join operator appears in the plan at all — the classic "
+            "non-equi `l.k = r.k AND l.t >= r.t` formulation would plan a "
+            "BroadcastNestedLoop or a per-row-rescanning sort-merge with "
+            "quadratic per-key blowup. Instead: one `Union`, exactly ONE "
+            "`Exchange hashpartitioning(user_id)`, a per-key `Sort` and a "
+            "running `last(_r, true)` `RunningWindowFunction` — O(n log n) "
+            "per key, skew costs a sort rather than a cross product.",
+            formatted(REGISTRY["j10_asof_join"].fn(spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "j11 interval join (banded range join as an equi-join)",
+            "The range predicate never reaches a nested loop: intervals "
+            "explode into the few time bands they overlap (`Generate "
+            "explode(sequence(...))`), the join is a plain "
+            "`SortMergeJoin` whose keys INCLUDE the band (`_b`), and the "
+            "exact `BETWEEN` re-check rides the join condition. AQE/skew "
+            "handling applies as to any equi-join; an interval spanning "
+            "more than max_bands buckets fails loudly via `raise_error` "
+            "instead of silently exploding.",
+            formatted(REGISTRY["j11_interval_join"].fn(spark, SF)),
+        )
+    )
 
     # DML plans: build a small lake and capture the two load-bearing
     # shapes exactly as lake/table.py constructs them (the internal
