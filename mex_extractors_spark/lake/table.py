@@ -415,6 +415,86 @@ class LakeTable:
             )
         return out
 
+    def inspect(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Queryable metadata tables (Iceberg's ``snapshots`` / ``files``
+        / ``refs`` metadata-table family): the ledger exposed as a
+        DataFrame so operational questions ("which snapshots exist",
+        "how many delta files is bucket 7 carrying", "where does the
+        audit branch point") are answered with the same query engine as
+        the data, join-able against data reads. Built driver-side from
+        the manifest — metadata is O(ledger), never a data scan, same
+        as Iceberg planning a metadata table from manifests.
+
+        kinds:
+        - "snapshots": one row per RETAINED snapshot (version, parent,
+          committed_at, schema_version, total_rows, n_batches).
+        - "files": one row per data file of the CURRENT snapshot —
+          bucket, relative path, kind (base|delta), delta_group ordinal
+          (-1 for base), schema_version, plus the bucket's manifest row
+          count and checksum.
+        - "refs": main, branches, tags with their pinned versions
+          (branch heads claim-healed).
+        - "batches": the current head's applied batch ids in commit
+          order with their ordinal (the idempotency ledger).
+        """
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(h["version"]),
+                    int(h["parent"] or 0),
+                    str(h["committed_at"]),
+                    int(h["schema_version"]),
+                    int(h["total_rows"]),
+                    int(h["applied_batches"]),
+                )
+                for h in self.history()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version long, parent_version long, committed_at string, "
+                "schema_version long, total_rows long, n_batches long",
+            )
+        if kind == "files":
+            snap = self.current_snapshot()
+            rows = []
+            for b, meta in sorted(
+                ((snap or {}).get("buckets") or {}).items(), key=lambda kv: int(kv[0])
+            ):
+                for f in meta.get("files", []):
+                    rows.append(
+                        (int(b), f, "base", -1, int(meta["schema_version"]),
+                         int(meta["rows"]), str(meta["checksum"]))
+                    )
+                for gi, grp in enumerate(meta.get("deltas", [])):
+                    for f in grp.get("files", []):
+                        rows.append(
+                            (int(b), f, "delta", gi, int(grp["schema_version"]),
+                             int(grp["rows"]), str(grp["checksum"]))
+                        )
+            return spark.createDataFrame(
+                rows,
+                "bucket long, file string, kind string, delta_group long, "
+                "schema_version long, group_rows long, group_checksum string",
+            )
+        if kind == "refs":
+            cur = self.current_snapshot()
+            rows = [("main", "branch", int(cur["version"]) if cur else 0)]
+            rows += [(n, "branch", int(v)) for n, v in sorted(self.refs().items())]
+            rows += [(n, "tag", int(v)) for n, v in sorted(self.tags().items())]
+            return spark.createDataFrame(
+                rows, "name string, kind string, version long"
+            )
+        if kind == "batches":
+            snap = self.current_snapshot()
+            ids = (snap or {}).get("applied_batches") or []
+            return spark.createDataFrame(
+                [(i, bid) for i, bid in enumerate(ids)],
+                "ordinal long, batch_id string",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} — one of snapshots|files|refs|batches"
+        )
+
     def version_as_of(self, ts: str) -> int:
         """Latest MAIN-lineage snapshot committed at or before ``ts``
         (ISO-8601 UTC, the ``committed_at`` format — lexicographic

@@ -4328,6 +4328,71 @@ def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cdc_metadata_snapshots",
+    "Iceberg metadata tables: inspect('snapshots') over a 4-batch "
+    "replay — version / parent / batch count / row count per retained "
+    "snapshot, answered from the manifest without a data scan "
+    "(lake/table.py inspect)",
+    """
+    WITH m AS (SELECT max(event_id) AS mx FROM events),
+         vs AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(version)),
+         pre AS (
+           SELECT v.version AS version, e.user_id, e.event_type,
+                  row_number() OVER (PARTITION BY v.version, e.user_id
+                                     ORDER BY e.event_id DESC) rn
+           FROM events e CROSS JOIN vs v CROSS JOIN m
+           WHERE e.event_id <= (v.version * m.mx) // 4
+         )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(version - 1 AS BIGINT) AS parent_version,
+           CAST(version AS BIGINT) AS n_batches,
+           CAST(count(*) FILTER (WHERE rn = 1 AND event_type <> 'error')
+                AS BIGINT) AS total_rows
+    FROM pre GROUP BY version
+    """,
+)
+def cdc_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ledger as a queryable DataFrame: replay the event stream in
+    four equal seq-range batches, then answer "what snapshots exist and
+    how did the table grow" from inspect('snapshots') alone. The oracle
+    recomputes each snapshot's expected row count independently from
+    the raw events (live keys at each seq prefix — copy-on-write totals
+    equal state rows), so the manifest bookkeeping itself is what gets
+    checked. Iceberg metadata-table analog; absent in the reference
+    (mex-extractors keeps only the latest backend state)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mex_extractors_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    mx = ev.agg(F.max("seq")).first()[0]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_meta_{tag}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    lo = 0
+    for v in range(1, 5):
+        hi = mx * v // 4
+        table.apply_batch(
+            spark,
+            ev.where((F.col("seq") > lo) & (F.col("seq") <= hi)),
+            f"md-b{v}",
+        )
+        lo = hi
+    return table.inspect(spark, "snapshots").select(
+        "version", "parent_version", "n_batches", "total_rows"
+    )
+
+
 # ---------------------------------------------------------------- driver window
 #
 # The correctness driver evaluates only the FIRST 50 entries of the registry

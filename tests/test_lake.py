@@ -1343,3 +1343,50 @@ def test_read_key_empty_table_and_unknown_kwargs(spark, tmp_path):
     with pytest.raises(ValueError, match="unexpected"):
         t.read_key(spark, repo="a", path="b", content="x")
     assert t.read_key(spark, repo="a", path="b").count() == 1
+
+
+def test_inspect_metadata_tables(spark, tmp_path):
+    """Iceberg metadata-table analog: snapshots/files/refs/batches as
+    DataFrames built from the manifest, join-able with data reads."""
+    from mex_extractors_spark.lake.table import LakeTable as _LT
+
+    t = _LT(str(tmp_path / "lake"), num_buckets=2, merge_mode="mor")
+    sch = "repo string, path string, seq long, op string, content string"
+    t.apply_batch(
+        spark,
+        spark.createDataFrame([("r", "a", 1, "U", "x"), ("r", "b", 2, "U", "y")], sch),
+        "b1",
+        mode="cow",
+    )
+    t.apply_batch(
+        spark, spark.createDataFrame([("r", "a", 3, "U", "x2")], sch), "b2"
+    )  # mor delta
+    t.create_tag("rel", 1)
+    t.create_branch("dev")
+
+    snaps = {r.version: r for r in t.inspect(spark, "snapshots").collect()}
+    assert set(snaps) == {1, 2}
+    assert snaps[2].parent_version == 1 and snaps[2].n_batches == 2
+    assert snaps[1].total_rows == 2
+
+    files = t.inspect(spark, "files").collect()
+    kinds = {(r.kind, r.delta_group) for r in files}
+    assert ("base", -1) in kinds and ("delta", 0) in kinds
+    # every listed file is a real manifest entry on disk
+    import os as _os
+
+    for r in files:
+        assert _os.path.exists(_os.path.join(t.path, r.file)), r.file
+
+    refs = {(r.name, r.kind): r.version for r in t.inspect(spark, "refs").collect()}
+    assert refs[("main", "branch")] == 2
+    assert refs[("rel", "tag")] == 1
+    assert refs[("dev", "branch")] == 2
+
+    batches = [r.batch_id for r in t.inspect(spark, "batches").collect()]
+    assert batches == ["b1", "b2"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        t.inspect(spark, "nope")

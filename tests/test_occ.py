@@ -416,3 +416,48 @@ def test_state_audits_reject_bucket_partitioned_replay(spark, tmp_path):
     ev = _rows(spark, [("r", "p1", 1, "U", "x")])
     with _pytest.raises(ValueError, match="state_audits"):
         eng.replay(spark, ev, 1, 1, batch_size=1, buckets=[0])
+
+
+def test_mor_delta_append_rebases(spark, tmp_path):
+    """Merge-on-read commits rebase too: the delta group computed
+    against the base appends verbatim onto the new head's bucket meta
+    (validated sig-equal), and the delta-merging read sees both
+    writers' rows."""
+    path = str(tmp_path / "lake")
+    a = LakeTable(path, num_buckets=2, merge_mode="mor")
+    b = LakeTable(path, num_buckets=2, merge_mode="mor")
+    buckets = _keys_by_bucket(spark, a)
+    k0, k1 = buckets[0][0], buckets[1][0]
+    # seed both buckets so the mor append lands on existing bases
+    a.apply_batch(
+        spark,
+        _rows(spark, [(k0[0], k0[1], 1, "U", "s0"), (k1[0], k1[1], 2, "U", "s1")]),
+        "seed",
+        mode="cow",
+    )
+
+    _interleave(
+        b,
+        lambda: a.apply_batch(
+            spark, _rows(spark, [(k0[0], k0[1], 10, "U", "a-delta")]), "ma"
+        ),
+    )
+    st = b.apply_batch(
+        spark, _rows(spark, [(k1[0], k1[1], 11, "U", "b-delta")]), "mb"
+    )
+    assert st.applied and st.mode == "mor" and st.commit_attempts > 1
+
+    t = LakeTable(path)
+    head = t.current_snapshot()
+    # each writer's delta group landed on ITS bucket of the rebased head
+    deltas_per_bucket = {
+        bk: len(m.get("deltas", [])) for bk, m in head["buckets"].items()
+    }
+    assert deltas_per_bucket == {"0": 1, "1": 1}
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {(*k0, "a-delta"), (*k1, "b-delta")}
+    # compaction folds both writers' deltas and preserves the state
+    t.compact(spark)
+    assert {
+        (r.repo, r.path, r.content) for r in t.read(spark).collect()
+    } == got
