@@ -29,7 +29,20 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = os.environ.get("AB_CORPUS", "/dev/shm/spark-bench/ab_corpus")
-RUNS_FILE = os.path.join(REPO, "BENCH", "fresh_sweep_runs.jsonl")
+# separate runs files per engine state: minima must never mix engines
+# (the round-3 lesson — a scaling claim is only as clean as its window)
+RUNS_FILE = os.environ.get(
+    "FRESH_SWEEP_RUNS", os.path.join(REPO, "BENCH", "fresh_sweep_runs.jsonl")
+)
+OUT_FILE = os.environ.get(
+    "FRESH_SWEEP_OUT", os.path.join(REPO, "BENCH", "scaling_r04_fresh.json")
+)
+PROTOCOL = os.environ.get(
+    "FRESH_SWEEP_PROTOCOL",
+    "round-4 HEAD engine; taskset-pinned; shared pre-generated 16Mx2 "
+    "tmpfs corpus; repeats rotated across levels; fresh-only (no "
+    "stored-minima merge)",
+)
 LEVELS = (1, 2, 4, 8)
 EVENTS = 16_000_000
 BATCHES = 2
@@ -85,14 +98,10 @@ def summarize() -> None:
         "best_seconds": {c: best[c] for c in sorted(best, key=int)},
         "events": EVENTS,
         "pairs_fresh_only": {"1->4": eff("1", "4"), "2->8": eff("2", "8")},
-        "protocol": (
-            "round-4 HEAD engine; taskset-pinned; shared pre-generated 16Mx2 "
-            "tmpfs corpus; repeats rotated across levels; fresh-only (no "
-            "stored-minima merge)"
-        ),
+        "protocol": PROTOCOL,
         "runs": {c: runs[c] for c in sorted(runs, key=int)},
     }
-    path = os.path.join(REPO, "BENCH", "scaling_r04_fresh.json")
+    path = OUT_FILE
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     print(json.dumps(doc["pairs_fresh_only"]))
