@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "t13_corpus_mix",
     "j10_asof_join",
     "j11_interval_join",
+    "s19_debezium_envelope",
+    "t15_sequence_packing",
     # NOT benched: cdc_changes_feed / cdc_incremental_agg / cdc_mor_* /
     # t7_decontamination rebuild a full lake (or broadcast a 10%-of-
     # corpus "eval set") per call — end-to-end correctness demos gated

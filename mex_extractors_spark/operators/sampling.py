@@ -304,7 +304,26 @@ def pack_shards(
     Requires a non-negative numeric id; pick ``range_width`` so buckets
     are large enough to amortize the shuffle and small enough to
     parallelize (corpus_size / ~10×parallelism)."""
-    if budget <= 0 or range_width <= 0:
+    if budget <= 0:
+        raise ValueError("budget and range_width must be positive")
+    return (
+        _exclusive_prefix_sum(df, id_col, cost_col, range_width)
+        .withColumn(
+            "shard",
+            F.floor(F.col("_cum0") / F.lit(float(budget))).cast("long"),
+        )
+        .drop("_cum0")
+    )
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, id_col: str, cost_col: str, range_width: int
+) -> DataFrame:
+    """``_cum0`` = sum of ``cost_col`` over all rows strictly before
+    this one in ``id_col`` order — the distributed prefix-sum kernel
+    shared by pack_shards / pack_sequences (steps 1-3 of the pack_shards
+    docstring; only per-range-bucket totals ever see a global sort)."""
+    if range_width <= 0:
         raise ValueError("budget and range_width must be positive")
     idc, cost = F.col(id_col), F.col(cost_col)
     rb = F.floor(idc / F.lit(range_width)).alias("_rb")
@@ -329,9 +348,52 @@ def pack_shards(
     cum = F.col("_off") + F.sum(cost).over(w_local)
     return (
         local.join(F.broadcast(offsets), on="_rb")
-        .withColumn(
-            "shard",
-            F.floor((cum - cost) / F.lit(float(budget))).cast("long"),
-        )
+        .withColumn("_cum0", (cum - cost).cast("long"))
         .drop("_rb", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    seq_len: int,
+    range_width: int = 100_000,
+) -> DataFrame:
+    """GPT-pretraining sequence packing (concat-and-chunk): the corpus
+    is one logical token stream in deterministic ``id_col`` order,
+    chunked into fixed ``seq_len`` training sequences; documents may
+    straddle chunk boundaries (the standard causal-LM packing, distinct
+    from ``pack_shards``' no-split shard assignment). Adds per document:
+
+    - ``token_start``  — exclusive prefix sum of ``cost_col`` (global
+      stream offset of the document's first token);
+    - ``seq_first`` / ``seq_last`` — ids of the training sequences the
+      document lands in (floor(start / L), floor((start+cost-1) / L));
+    - ``seq_offset``  — position within ``seq_first`` (start % L);
+    - ``n_seqs``      — how many sequences it spans.
+
+    Zero-cost documents contribute nothing to the stream: they get
+    ``n_seqs = 0`` and NULL sequence ids rather than a phantom slot.
+    Same scale shape as pack_shards — the shared distributed prefix sum
+    is the only shuffle; everything after is arithmetic."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    out = _exclusive_prefix_sum(df, id_col, cost_col, range_width)
+    start, cost = F.col("_cum0"), F.col(cost_col)
+    seq_first = F.floor(start / F.lit(float(seq_len))).cast("long")
+    seq_last = F.floor((start + cost - 1) / F.lit(float(seq_len))).cast("long")
+    empty = cost <= 0
+    return (
+        out.withColumn("token_start", start)
+        .withColumn("seq_first", F.when(~empty, seq_first))
+        .withColumn("seq_last", F.when(~empty, seq_last))
+        .withColumn(
+            "seq_offset", F.when(~empty, F.pmod(start, F.lit(seq_len)).cast("long"))
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(empty, F.lit(0)).otherwise(seq_last - seq_first + 1).cast("long"),
+        )
+        .drop("_cum0")
     )

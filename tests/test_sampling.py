@@ -265,3 +265,59 @@ def test_corpus_mix_allocation_and_caps(spark):
         corpus_mix(df, "src", "doc_id", weights={}, target_rows=10)
     with pytest.raises(ValueError):
         corpus_mix(df, "src", "doc_id", weights={"s1": 1.0}, target_rows=0)
+
+
+def test_pack_sequences_matches_naive_chunking(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 300)) for i in range(400)]  # includes zeros
+    df = spark.createDataFrame(rows, "doc_id long, cost long")
+    from mex_extractors_spark.operators.sampling import pack_sequences
+
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "cost", seq_len=512, range_width=29
+        ).collect()
+    }
+    cum = 0
+    for i, cost in rows:
+        r = got[i]
+        assert r["token_start"] == cum, i
+        if cost == 0:
+            assert r["n_seqs"] == 0
+            assert r["seq_first"] is None and r["seq_last"] is None
+            assert r["seq_offset"] is None
+        else:
+            assert r["seq_first"] == cum // 512, i
+            assert r["seq_last"] == (cum + cost - 1) // 512, i
+            assert r["seq_offset"] == cum % 512, i
+            assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        cum += cost
+    # a document longer than seq_len spans > 1 sequences somewhere
+    assert any(r["n_seqs"] > 1 for r in got.values())
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    from mex_extractors_spark.operators.sampling import pack_sequences
+    import re
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "doc_id long, cost long")
+    plan = (
+        pack_sequences(df, "doc_id", "cost", seq_len=64, range_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"Window \[.*\], \[_rb#\d+L?\], \[doc_id#", plan), plan
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    from mex_extractors_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(0, 1)], "doc_id long, cost long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "cost", seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "cost", seq_len=8, range_width=0)
