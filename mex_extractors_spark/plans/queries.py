@@ -4075,7 +4075,12 @@ def s19_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.to_json(env))  # flat form
     )
-    stream = ev.select(value.alias("value"))
+    # the testdata parquet is a single split; a real binlog tail arrives
+    # as many log segments — repartition stands in for that natural
+    # source parallelism so the decode runs wide like it would at scale
+    stream = ev.select(value.alias("value")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     changes, _quarantine = parse_cdc_envelope(
         stream,
         "event_id bigint, user_id bigint, val string",
