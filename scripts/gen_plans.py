@@ -416,6 +416,35 @@ def main() -> None:
             formatted(state.join(src, on, "full_outer")),
         )
     )
+    sections.append(
+        (
+            "s19 Debezium envelope decode (binlog/WAL tail normalization)",
+            "ONE `from_json` per row, inside the 1:1 Generate "
+            "(`explode(array(parse))`) — the barrier that stops predicate "
+            "pushdown from substituting the parse into the validity "
+            "filter (without it the optimized plan carried 32 from_json "
+            "instances, ~15x slower). Everything above the Generate is "
+            "struct-field extraction in the same codegen stage. The one "
+            "Exchange sits BELOW the decode — it is the query harness "
+            "fanning the single-split synthetic stream out to worker "
+            "parallelism; the operator itself adds no shuffle, so at "
+            "10^10 events it costs exactly one JSON parse per record.",
+            formatted(REGISTRY["s19_debezium_envelope"].fn(spark, SF)),
+        )
+    )
+    sections.append(
+        (
+            "t15 sequence packing (concat-and-chunk prefix sum)",
+            "Same distributed-prefix-sum shape as t10: the full-data "
+            "window is partitioned by `_rb` (parallel, one exchange on "
+            "the range bucket), the global-order sort exists only over "
+            "the ~n_buckets per-bucket totals, and the offsets come back "
+            "via BroadcastHashJoin. The sequence arithmetic "
+            "(first/last/offset/span) is pure projection on top — no "
+            "second shuffle.",
+            formatted(REGISTRY["t15_sequence_packing"].fn(spark, SF)),
+        )
+    )
     import shutil as _sh
 
     _sh.rmtree(dml_dir, ignore_errors=True)
