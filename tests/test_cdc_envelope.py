@@ -208,3 +208,56 @@ def test_envelope_stream_replays_to_same_state_as_flat_events(spark, tmp_path):
     a = t_flat.read(spark).select(cols).orderBy("repo", "path").collect()
     b = t_env.read(spark).select(cols).orderBy("repo", "path").collect()
     assert a == b and len(a) > 0
+
+
+def test_streaming_envelope_tail_converges(spark, tmp_path):
+    """The full binlog-tail shape: a directory of envelope-JSON files
+    tailed by Structured Streaming, decoded per micro-batch through the
+    ReplayEngine normalize hook, upserted exactly-once — converges to
+    the same table as a direct batch replay of the flat events."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from mex_extractors_spark import synth
+    from mex_extractors_spark.lake.table import LakeTable
+    from mex_extractors_spark.streaming.replay import ReplayEngine
+
+    n = 600
+    flat = synth.events(spark, n, n_repos=10, paths_per_repo=6).cache()
+    img = F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+    env_json = F.concat(
+        F.lit('{"op":"'),
+        F.when(F.col("op") == "I", "c").when(F.col("op") == "U", "u").otherwise("d"),
+        F.lit('","'),
+        F.when(F.col("op") == "D", "before").otherwise(F.lit("after")),
+        F.lit('":'), img,
+        F.lit(',"source":{"lsn":'), F.col("seq").cast("string"), F.lit("}}"),
+    )
+    src = str(tmp_path / "wire")
+    # two log segments arriving "over time"
+    flat.where("seq <= 300").select(env_json.alias("value")).write.parquet(src)
+    flat.where("seq > 300").select(env_json.alias("value")).write.mode(
+        "append"
+    ).parquet(src)
+
+    row_ddl = "repo string, path string, commit string, lang string, content string"
+
+    def decode(df):
+        changes, _bad = parse_cdc_envelope(df, row_ddl, key_cols=["repo", "path"])
+        return changes
+
+    table = LakeTable(str(tmp_path / "env_lake"), num_buckets=4)
+    q = ReplayEngine(table, normalize=decode).stream_from_files(
+        spark,
+        src,
+        schema=StructType([StructField("value", StringType())]),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    ref = LakeTable(str(tmp_path / "flat_lake"), num_buckets=4)
+    ReplayEngine(ref).replay(spark, flat, 1, n, batch_size=n)
+    cols = ["repo", "path", "commit", "lang", "content", "seq"]
+    got = sorted(map(tuple, table.read(spark).select(cols).collect()))
+    exp = sorted(map(tuple, ref.read(spark).select(cols).collect()))
+    assert got == exp and len(got) > 0
