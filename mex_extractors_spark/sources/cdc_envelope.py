@@ -211,3 +211,53 @@ def parse_cdc_envelope(
     # tombstones == "error": they stay in the quarantine
 
     return changes, bad
+
+
+def build_kafka_options(
+    bootstrap_servers: str,
+    topics: str | Sequence[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Options for ``spark.readStream.format("kafka")`` tailing a
+    Debezium/Maxwell topic — pure + testable without a broker (the
+    ``build_jdbc_options`` pattern, `sources/db_scan.py`).
+
+    ``max_offsets_per_trigger`` is the micro-batch sizing knob: at
+    10^10 events it bounds each exactly-once apply to a digestible
+    batch instead of the whole backlog on first start.
+    ``starting_offsets`` accepts ``earliest`` / ``latest`` or a JSON
+    per-partition offset map (the resume-from-external-checkpoint
+    form); Spark's own checkpoint supersedes it after the first run.
+    """
+    if isinstance(topics, str):
+        topics = [topics]
+    if not topics:
+        raise ValueError("at least one topic required")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if extra:
+        opts |= extra
+    return opts
+
+
+def kafka_record_envelopes(records: DataFrame) -> DataFrame:
+    """Project a Kafka source frame (binary key/value + topic/partition/
+    offset) to the columns ``parse_cdc_envelope`` consumes: ``value`` /
+    ``key`` as strings plus ``kafka_offset`` for tombstone ordering.
+    Works on any frame with Kafka's source schema — batch or streaming."""
+    return records.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("key").cast("string").alias("key"),
+        F.col("offset").alias("kafka_offset"),
+    )

@@ -261,3 +261,44 @@ def test_streaming_envelope_tail_converges(spark, tmp_path):
     got = sorted(map(tuple, table.read(spark).select(cols).collect()))
     exp = sorted(map(tuple, ref.read(spark).select(cols).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_build_kafka_options_and_record_projection(spark):
+    from mex_extractors_spark.sources.cdc_envelope import (
+        build_kafka_options,
+        kafka_record_envelopes,
+    )
+
+    opts = build_kafka_options(
+        "broker:9092",
+        ["cdc.repo_files", "cdc.repo_meta"],
+        max_offsets_per_trigger=2_000_000,
+        extra={"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts["subscribe"] == "cdc.repo_files,cdc.repo_meta"
+    assert opts["maxOffsetsPerTrigger"] == "2000000"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    with pytest.raises(ValueError):
+        build_kafka_options("b:9092", [])
+    with pytest.raises(ValueError):
+        build_kafka_options("b:9092", "t", max_offsets_per_trigger=0)
+
+    # kafka source schema stand-in: binary key/value + offset columns
+    rec = spark.createDataFrame(
+        [(b'{"repo":"r1","path":"a.py"}', None, "t", 0, 17)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    proj = kafka_record_envelopes(rec)
+    row = proj.collect()[0]
+    assert row["key"] == '{"repo":"r1","path":"a.py"}'
+    assert row["value"] is None  # tombstone passes through as NULL string
+    assert row["kafka_offset"] == 17
+    # tombstone-delete mode consumes the projection directly
+    changes, bad = parse_cdc_envelope(
+        proj, ROW_DDL, KEYS, key_col="key",
+        tombstones="delete", tombstone_seq=F.col("kafka_offset"),
+    )
+    r = changes.collect()[0]
+    assert r["op"] == "D" and r["repo"] == "r1" and r["seq"] == 17
+    assert bad.count() == 0
