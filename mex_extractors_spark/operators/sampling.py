@@ -305,7 +305,7 @@ def pack_shards(
     are large enough to amortize the shuffle and small enough to
     parallelize (corpus_size / ~10×parallelism)."""
     if budget <= 0:
-        raise ValueError("budget and range_width must be positive")
+        raise ValueError("budget must be positive")
     return (
         _exclusive_prefix_sum(df, id_col, cost_col, range_width)
         .withColumn(
@@ -324,7 +324,7 @@ def _exclusive_prefix_sum(
     shared by pack_shards / pack_sequences (steps 1-3 of the pack_shards
     docstring; only per-range-bucket totals ever see a global sort)."""
     if range_width <= 0:
-        raise ValueError("budget and range_width must be positive")
+        raise ValueError("range_width must be positive")
     idc, cost = F.col(id_col), F.col(cost_col)
     rb = F.floor(idc / F.lit(range_width)).alias("_rb")
     local = df.withColumn("_rb", rb)

@@ -195,19 +195,43 @@ def parse_cdc_envelope(
             for f in fields
             if f.name in key_cols
         )
-        kimg = F.from_json(F.col(key_col), key_ddl)
-        tomb = tagged.where(F.col("_invalid_reason") == "tombstone").select(
+        tseq = tombstone_seq.cast("long")
+        # same single-parse Generate barrier as the main path, and the
+        # same validity contract: a tombstone whose record-key JSON is
+        # NULL/unparseable or whose ordering expression is NULL must
+        # NOT become a NULL-keyed delete in `changes` — it quarantines
+        # with a first-failed reason like every other record
+        tomb_tagged = tagged.where(
+            F.col("_invalid_reason") == "tombstone"
+        ).select(
+            "*",
+            F.explode(F.array(F.from_json(F.col(key_col), key_ddl))).alias("_k"),
+        )
+        treason = F.when(tseq.isNull(), F.lit("tombstone-seq:null"))
+        for k in key_cols:
+            treason = treason.when(
+                F.col("_k")[k].isNull(), F.lit(f"tombstone-key-null:{k}")
+            )
+        tomb_tagged = tomb_tagged.withColumn("_treason", treason)
+        tomb_good = tomb_tagged.where(F.col("_treason").isNull()).select(
             *[
-                (kimg[f.name] if f.name in key_cols else F.lit(None))
+                (F.col("_k")[f.name] if f.name in key_cols else F.lit(None))
                 .cast(f.dataType)
                 .alias(f.name)
                 for f in fields
             ],
             F.lit("D").alias(op_out),
-            tombstone_seq.cast("long").alias(seq_out),
+            tseq.alias(seq_out),
         )
-        changes = changes.unionByName(tomb)
-        bad = bad.where(F.col("_invalid_reason") != "tombstone")
+        tomb_bad = (
+            tomb_tagged.where(F.col("_treason").isNotNull())
+            .withColumn("_invalid_reason", F.col("_treason"))
+            .drop("_p", "_k", "_treason")
+        )
+        changes = changes.unionByName(tomb_good)
+        bad = bad.where(F.col("_invalid_reason") != "tombstone").unionByName(
+            tomb_bad
+        )
     # tombstones == "error": they stay in the quarantine
 
     return changes, bad

@@ -302,3 +302,32 @@ def test_build_kafka_options_and_record_projection(spark):
     r = changes.collect()[0]
     assert r["op"] == "D" and r["repo"] == "r1" and r["seq"] == 17
     assert bad.count() == 0
+
+
+def test_tombstone_delete_mode_quarantines_bad_keys_and_seq(spark):
+    """A tombstone with NULL/malformed key JSON or NULL ordering must
+    quarantine, never become a NULL-keyed delete (total-split holds)."""
+    df = spark.createDataFrame(
+        [
+            (json.dumps({"repo": "r1", "path": "a.py"}), None, 500),  # good
+            (None, None, 501),  # key NULL
+            ('{"repo": "r2"', None, 502),  # key JSON malformed
+            (json.dumps({"repo": "r3"}), None, 503),  # path missing
+            (json.dumps({"repo": "r4", "path": "d.py"}), None, None),  # seq NULL
+        ],
+        "key string, value string, kafka_offset long",
+    )
+    changes, bad = parse_cdc_envelope(
+        df, ROW_DDL, KEYS, key_col="key",
+        tombstones="delete", tombstone_seq=F.col("kafka_offset"),
+    )
+    rows = changes.collect()
+    assert len(rows) == 1 and rows[0]["repo"] == "r1" and rows[0]["seq"] == 500
+    reasons = sorted(r["_invalid_reason"] for r in bad.collect())
+    assert reasons == [
+        "tombstone-key-null:path",
+        "tombstone-key-null:repo",
+        "tombstone-key-null:repo",
+        "tombstone-seq:null",
+    ]
+    assert changes.count() + bad.count() == 5
