@@ -34,6 +34,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Sequence
@@ -212,6 +213,7 @@ class DmlStats:
     matched: int = 0  # state rows the predicate selected
     buckets_rewritten: int = 0
     version: int = 0  # snapshot the commit published (or found applied)
+    source_invalid: int = 0  # merge_into: NULL-key source rows dropped
 
 
 class LakeTable:
@@ -983,6 +985,44 @@ class LakeTable:
                 shutil.rmtree(view_dir, ignore_errors=True)
         self._cdf_scratch_gens = gens[cut:]
 
+    # snapshot keys that describe ONLY the commit that set them — a
+    # child snapshot copied from the head must never inherit them
+    _PER_COMMIT_KEYS = ("dml",)
+
+    def _child_snapshot(self, snap: dict) -> dict:
+        """Copy a head snapshot as the starting point for a child
+        commit, stripping per-commit keys (``dml`` provenance). Every
+        head-copying commit path goes through here so the invariant is
+        structural, not an ad-hoc ``pop()`` each site must remember."""
+        child = dict(snap)
+        for k in self._PER_COMMIT_KEYS:
+            child.pop(k, None)
+        return child
+
+    def _start_scratch_heartbeat(self, view_dir: str) -> threading.Event:
+        """Bump the scratch view dir's mtime every TTL/4 while the merge
+        job runs. The age-gated crash-leftover cleanup in ``apply_batch``
+        reclaims ``_views`` dirs older than ``VIEW_SCRATCH_TTL_S``; a
+        single apply can legitimately run longer than that at scale, and
+        a concurrent bucket-partitioned writer must not yank a live
+        writer's view mid-scan — so liveness (the heartbeat), not age
+        alone, is the reclamation signal. Returns the stop event; the
+        thread is a daemon, so a SIGKILLed writer stops beating and its
+        dir ages out normally."""
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(self.VIEW_SCRATCH_TTL_S / 4):
+                try:
+                    os.utime(view_dir)
+                except OSError:
+                    return  # dir gone — owner finished or was reclaimed
+
+        threading.Thread(
+            target=_beat, daemon=True, name="scratch-heartbeat"
+        ).start()
+        return stop
+
     def _register_current_view(
         self,
         spark: SparkSession,
@@ -1682,7 +1722,9 @@ class LakeTable:
         # scratch view dirs are transient per-apply; clear CRASH leftovers
         # only (age-gated): a concurrent bucket-partitioned writer may
         # have a live view dir in flight, and a blanket rmtree would
-        # yank its files mid-scan
+        # yank its files mid-scan. Live writers heartbeat their dir's
+        # mtime every TTL/4 (_start_scratch_heartbeat), so age here
+        # means "no live owner for a full TTL", not "apply ran long"
         views = os.path.join(self.path, "_views")
         if os.path.isdir(views):
             cutoff = time.time() - self.VIEW_SCRATCH_TTL_S
@@ -1868,7 +1910,7 @@ class LakeTable:
         rel_out, out_dir = self._new_data_dir(version)
         t_phase = time.monotonic()
         shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
-        view_dir, cur_tbl = None, None
+        view_dir, cur_tbl, hb_stop = None, None, None
         try:
             # merge exchange sized to the bucket count (single writer)
             spark.conf.set("spark.sql.shuffle.partitions", str(self.num_buckets))
@@ -1883,6 +1925,7 @@ class LakeTable:
                 view_dir, cur_tbl = self._register_current_view(
                     spark, snap, touched, table_schema
                 )
+                hb_stop = self._start_scratch_heartbeat(view_dir)
                 payload = [
                     f.name for f in table_schema.fields if f.name not in self.key_cols
                 ]
@@ -1995,6 +2038,8 @@ class LakeTable:
             self._write_bucketed(spark, merged, out_dir)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+            if hb_stop is not None:
+                hb_stop.set()
             if cur_tbl is not None:
                 spark.sql(f"DROP TABLE IF EXISTS {cur_tbl}")
             if view_dir is not None:
@@ -2302,8 +2347,7 @@ class LakeTable:
                     ),
                 }
             else:
-                snapshot = dict(snap)
-                snapshot.pop("dml", None)  # DML provenance is per-commit
+                snapshot = self._child_snapshot(snap)
                 snapshot["version"] = self._next_version()
                 snapshot["parent"] = snap["version"]
                 snapshot["applied_batches"] = self._trim_batches(
@@ -2637,8 +2681,7 @@ class LakeTable:
         version = self._next_version()
         if schema is None or not snap["buckets"]:
             # only bookkeeping no-op snapshots so far: commit the layout
-            snapshot = dict(snap)
-            snapshot.pop("dml", None)  # DML provenance is per-commit
+            snapshot = self._child_snapshot(snap)
             snapshot.update(
                 version=version, parent=snap["version"],
                 num_buckets=new_num_buckets,
@@ -2940,8 +2983,7 @@ class LakeTable:
             if cluster_spec is not None:
                 entry["cluster"] = dict(cluster_spec)
             buckets_meta[str(b)] = entry
-        snapshot = dict(snap)
-        snapshot.pop("dml", None)  # DML provenance is per-commit
+        snapshot = self._child_snapshot(snap)
         snapshot.update(
             version=version,
             parent=snap["version"],
@@ -3059,7 +3101,7 @@ class LakeTable:
                 "rows": new_stats.get(b, (0, "0"))[0],
                 "checksum": new_stats.get(b, (0, "0"))[1],
             }
-        snapshot = {k: v for k, v in snap.items() if k != "dml"}
+        snapshot = self._child_snapshot(snap)
         snapshot.update(
             version=version,
             parent=snap["version"],
@@ -3207,7 +3249,12 @@ class LakeTable:
 
         ``source_df`` must carry the key columns; its keys must be
         UNIQUE (ambiguous merges raise, the Delta "multiple source rows
-        matched" rule). Clause expressions reference the join through
+        matched" rule). Rows with a NULL key column are dropped and
+        counted (``DmlStats.source_invalid`` + ``dml`` provenance) —
+        they can never match a key-equality join and an unguarded
+        insert clause would otherwise write them into state as
+        unreachable rows; this mirrors ``apply_batch``'s
+        ``events_invalid`` contract. Clause expressions reference the join through
         the standard aliases ``t`` (target state) and ``s`` (source):
 
         - ``when_matched_delete``: boolean Column; matched rows where it
@@ -3271,16 +3318,31 @@ class LakeTable:
                 )
         # --- ONE pre-pass over the source (column-pruned to the keys):
         #     key uniqueness (an ambiguous merge raises, the Delta
-        #     "multiple source rows matched" rule) and the touched
-        #     bucket set come out of the same aggregate
+        #     "multiple source rows matched" rule), the touched bucket
+        #     set, and the NULL-key row count come out of one aggregate.
+        #     NULL-key source rows never match the full-outer join
+        #     (NULL = x is never true), so an unguarded insert clause
+        #     would write them into state as unreachable, unpurgeable
+        #     rows — the same ingest contract apply_batch enforces
+        #     (events_invalid) drops and counts them here.
+        anynull = F.lit(False)
+        for k in self.key_cols:
+            anynull = anynull | F.col(k).isNull()
         info = (
             source_df.select(
                 self._bucket_expr().alias("_b"),
+                anynull.alias("_nk"),
                 *[F.col(k) for k in self.key_cols],
             )
-            .groupBy(*self.key_cols)
+            .groupBy(*self.key_cols, "_nk")
             .agg(F.count(F.lit(1)).alias("_n"), F.first("_b").alias("_b"))
-            .agg(F.max("_n").alias("mx"), F.collect_set("_b").alias("bs"))
+            .agg(
+                F.max(F.when(~F.col("_nk"), F.col("_n"))).alias("mx"),
+                F.collect_set(F.when(~F.col("_nk"), F.col("_b"))).alias("bs"),
+                F.sum(
+                    F.when(F.col("_nk"), F.col("_n")).otherwise(0)
+                ).alias("inv"),
+            )
             .first()
         )
         if info["mx"] is not None and int(info["mx"]) > 1:
@@ -3288,6 +3350,9 @@ class LakeTable:
                 "source has multiple rows for the same key — MERGE is ambiguous "
                 "(pre-aggregate the source, e.g. lww_latest)"
             )
+        source_invalid = int(info["inv"] or 0)
+        if source_invalid:
+            source_df = source_df.where(~anynull)
         touched = sorted(int(b) for b in (info["bs"] or []))
         if not touched:
             self._commit_noop(snap, commit_id, ref=branch)
@@ -3295,6 +3360,7 @@ class LakeTable:
                 commit_id=commit_id,
                 applied=True,
                 version=self._head(branch)["version"],
+                source_invalid=source_invalid,
             )
         tgt = (
             self.read(spark, buckets=touched, version=snap["version"])
@@ -3394,6 +3460,7 @@ class LakeTable:
                 "updated": _counts()["update"],
                 "deleted": _counts()["delete"],
                 "inserted": _counts()["insert"],
+                "source_invalid": source_invalid,
             },
             branch=branch,
         )
@@ -3404,6 +3471,7 @@ class LakeTable:
             matched=counts["update"] + counts["delete"] + counts["hold"],
             buckets_rewritten=len(touched),
             version=version,
+            source_invalid=source_invalid,
         )
 
     def maintenance(

@@ -770,8 +770,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                         hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
                         for p in pdf["payload"]
                     ],
+                    # NULL payload -> NULL feature (sha is NULL too):
+                    # one missing blob must never kill a corpus-scale
+                    # job, same contract as the hash fallback branch
                     "feature": [
-                        decode_features(p, k, dim)
+                        decode_features(p, k, dim) if p is not None else None
                         for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }

@@ -51,6 +51,46 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def _scratch_dir(sf_dir: str, prefix: str) -> str:
+    """Fresh scratch path under the system tempdir for a lake-backed
+    query, tagged by sf_dir so evaluations at different scales (and the
+    pid-suffixed callers that add their own tag) never collide; any
+    leftover from a prior run is removed so every evaluation replays
+    from an empty table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _scratch_lake(sf_dir: str, prefix: str, **table_kwargs):
+    """Scratch LakeTable (fresh dir via ``_scratch_dir``) with the
+    shared defaults the cdc_* queries use: 4 buckets keyed on
+    user_id."""
+    from mex_extractors_spark.lake.table import LakeTable
+
+    table_kwargs.setdefault("num_buckets", 4)
+    table_kwargs.setdefault("key_cols", ["user_id"])
+    return LakeTable(_scratch_dir(sf_dir, prefix), **table_kwargs)
+
+
+def _cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared CDC projection of the driver ``events`` table: key
+    user_id, seq = event_id, a latest 'error' event acts as a tombstone
+    — the op mapping every lake-backed cdc_* query replays."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+
+
 # Oracle builders for the approximate (LSH/simhash) operators. The
 # trick that makes these EXACTLY oracle-checkable: every source of
 # "randomness" (hyperplanes, hash values, centroid sample) is either
@@ -277,7 +317,6 @@ def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
 _BASE62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
 
-
 def _sim5_oracle(qvec: list[float], k: int, num_centroids: int, nprobe: int) -> str:
     """IVF nprobe search restated in SQL: same md5-deterministic
     centroid sample, same rounded-argmin assignment tie-break as
@@ -346,7 +385,6 @@ def _t3_oracle() -> str:
            CASE WHEN m = 0 THEN 'und' {cascade} ELSE '{langs[-1]}' END AS detected_lang
     FROM (SELECT *, greatest({allc}) AS m FROM counts)
     """
-
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -451,24 +489,11 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_changes``. The oracle restates the diff as a FULL OUTER join
     of the two LWW states. Inserts/updates carry the post-image, deletes
     the pre-image — the Delta-CDF/Iceberg-changelog contract."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_cdf_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_cdf")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "cdf-b1")
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "cdf-b2")
     return table.read_changes(spark, from_version=1, to_version=2).select(
@@ -497,28 +522,12 @@ def cdc_mor_converged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final read merges base+deltas per key. The oracle is the
     plain LWW SQL — mor is a physical write strategy, the table law is
     identical."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     hi = ev.agg(F.max("seq")).first()[0]
     cut1, cut2 = hi // 3, 2 * hi // 3
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_mor_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(
-        lake_dir, num_buckets=4, key_cols=["user_id"],
-        merge_mode="mor", max_deltas_per_bucket=2,
-    )
+    table = _scratch_lake(sf_dir, "cdc_mor", merge_mode="mor", max_deltas_per_bucket=2)
     table.apply_batch(spark, ev.where(F.col("seq") <= cut1), "m1")
     table.apply_batch(
         spark, ev.where((F.col("seq") > cut1) & (F.col("seq") <= cut2)), "m2"
@@ -555,24 +564,11 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     advanced. Iceberg semantics per lake/table.py (reference analog:
     mex-extractors keeps only the latest backend state — time travel
     is a capability the lake adds on top)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_tt_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_tt")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "tt-b1")
     table.create_tag("after-b1", 1)
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "tt-b2")
@@ -611,12 +607,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides because Spark truncates double->int while DuckDB rounds.
     The lit schema_version column pins that evolution actually recorded
     a second schema version (v1 rows reread through v2)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -635,10 +626,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "seq", "event_type", "op",
         F.col("_v100l").cast("long").alias("v100"), "props",
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_sev_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_sev")
     table.apply_batch(spark, b1, "sev-b1")
     table.apply_batch(spark, b2, "sev-b2")
     version = int(table.current_snapshot()["schema_version"])
@@ -672,25 +660,12 @@ def cdc_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain LWW law), exactly 2 of the 3 versions expire, and a time-travel
     read of the vacuumed v1 raises (never silently returns partial data
     from whatever files happen to survive)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     hi = ev.agg(F.max("seq")).first()[0]
     cut1, cut2 = hi // 3, 2 * hi // 3
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_vac_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_vac")
     table.apply_batch(spark, ev.where(F.col("seq") <= cut1), "vac-b1")
     table.apply_batch(
         spark, ev.where((F.col("seq") > cut1) & (F.col("seq") <= cut2)), "vac-b2"
@@ -739,23 +714,10 @@ def cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write isolation (the pre-delete snapshot still reads the
     full state). Scale shape per delete_where: manifest-stats pruning →
     per-bucket match counts → only matched buckets rewritten."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_del_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    ev = _cdc_events(spark, sf_dir)
+    table = _scratch_lake(sf_dir, "cdc_del")
     table.apply_batch(spark, ev, "del-b1")
     pre_rows = table.read(spark).count()
     st = table.delete_where(spark, [("event_type", "=", "click")], "purge-clicks")
@@ -798,12 +760,7 @@ def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching rows transformed, everything else byte-identical. floor()
     (not a bare cast) on both sides because Spark truncates
     double->long while DuckDB rounds."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -812,10 +769,7 @@ def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
         F.floor(F.col("value") * 100).cast("long").alias("v100"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_upd_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_upd")
     table.apply_batch(spark, ev, "upd-b1")
     st = table.update_where(
         spark,
@@ -855,24 +809,11 @@ def cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     real merge (``reapplied`` pins ``applied=True``), not an idempotency
     no-op, and the final state equals the straight-through replay (the
     oracle: plain full-stream LWW)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_rb_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_rb")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "rb-b1")
     v1 = table.current_snapshot()["version"]
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "rb-b2")
@@ -926,24 +867,11 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodes); unmatched source users INSERT unless they are errors
     (conditional insert clause). The oracle restates the merge as a
     FULL OUTER JOIN with the clause conditions as WHERE/CASE."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_mrg_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_mrg")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "mrg-b1")
     source = lww_latest(
         ev.where(F.col("seq") > mid), key_cols=["user_id"], seq_col="seq"
@@ -1002,23 +930,13 @@ def cdc_txn_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     victim) independently. Sentinels (-1 / '') stand in for the
     other table's columns instead of NULL so the driver's row-sort
     comparator never sees mixed None/int."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.lake.catalog import LakeCatalog
     from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    cat_dir = os.path.join(tempfile.gettempdir(), f"cdc_txp_{tag}")
-    shutil.rmtree(cat_dir, ignore_errors=True)
+    ev = _cdc_events(spark, sf_dir)
+    cat_dir = _scratch_dir(sf_dir, "cdc_txp")
     cat = LakeCatalog(cat_dir)
     cat.register(
         "state",
@@ -1086,24 +1004,11 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/num_buckets of the table at any size) with the key equality
     pushed down — never a full-table scan. The oracle restates the
     lookup as LWW-state-filtered-to-that-key."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_pl_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_pl")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "pl-b1")
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "pl-b2")
     key = table.read(spark).agg(F.min("user_id")).first()[0]
@@ -1138,24 +1043,14 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-image retraction — group-moving updates and tombstone deletes
     included). The oracle aggregates the final LWW state directly: the
     incrementally-maintained view must equal the from-scratch answer."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.lake.derived import refresh_aggregates
     from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"cdc_ivm_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir(sf_dir, "cdc_ivm")
     source = LakeTable(os.path.join(base, "src"), num_buckets=4, key_cols=["user_id"])
     derived = LakeTable(
         os.path.join(base, "drv"), num_buckets=2,
@@ -1195,27 +1090,11 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks the manifest stats (no file I/O) and drops provably-excluded
     base files before the scan is planned; the oracle restates the
     predicate over the plain LWW state."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_skip_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(
-        lake_dir, num_buckets=4, key_cols=["user_id"],
-        stats_cols=["event_type", "seq"],
-    )
+    table = _scratch_lake(sf_dir, "cdc_skip", stats_cols=["event_type", "seq"])
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "skip-b1")
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "skip-b2")
     state = table.read(
@@ -1255,12 +1134,7 @@ def cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     file holding the needle. The needle is the smallest user's current
     digest — recomputed identically in the SQL oracle (md5 is
     bit-identical across Spark and DuckDB)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -1271,12 +1145,7 @@ def cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
     )
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_bloom_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(
-        lake_dir, num_buckets=4, key_cols=["user_id"], bloom_cols=["commit"]
-    )
+    table = _scratch_lake(sf_dir, "cdc_bloom", bloom_cols=["commit"])
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "bloom-b1")
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "bloom-b2")
     needle = (
@@ -1315,12 +1184,7 @@ def cdc_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions and the pruner drops most of them driver-side. The
     clustering is a pure physical rewrite: the oracle is the plain LWW
     state with the same box predicate."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -1330,10 +1194,7 @@ def cdc_zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
     )
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_zord_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_zord")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "z-b1")
     table.apply_batch(spark, ev.where(F.col("seq") > mid), "z-b2")
     rows = table.current_snapshot()["total_rows"]
@@ -1377,10 +1238,7 @@ def cdc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     after each batch (full build at v1, CDF-diff increment at v2). The
     maintained index must equal the from-scratch recompute of the final
     state — updates retract removed terms and add new ones."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.lake.index import refresh_inverted_index
     from mex_extractors_spark.lake.table import LakeTable
@@ -1393,9 +1251,7 @@ def cdc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
     )
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"cdc_idx_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir(sf_dir, "cdc_idx")
     source = LakeTable(os.path.join(base, "src"), num_buckets=4, key_cols=["user_id"])
     index = LakeTable(
         os.path.join(base, "idx"), num_buckets=4,
@@ -1439,24 +1295,11 @@ def cdc_wap_guarded_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     express), and only then does main fast-forward. The oracle is the
     plain LWW law: WAP changes when readers see a commit, never what
     the table converges to."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mid = ev.agg(F.max("seq")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_wap_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_wap")
     table.apply_batch(spark, ev.where(F.col("seq") <= mid), "wap-b1")
 
     def audit(state):
@@ -1505,25 +1348,15 @@ def cdc_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog snapshot — it matches the oracle only if (a) the aborted
     stage never became visible on either table and (b) the two pins
     came from the same atomic commit."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.lake.catalog import LakeCatalog
     from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mx = ev.agg(F.max("seq")).first()[0]
     mid = mx // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"cdc_cat_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir(sf_dir, "cdc_cat")
     cat = LakeCatalog(base)
     cat.register("state", LakeTable(os.path.join(base, "state"), num_buckets=4,
                                     key_cols=["user_id"]))
@@ -1600,16 +1433,10 @@ def k2_ndjson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the identical canonical byte stream in SQL, so hash
     equality proves sorted-key serialization, total ordering, AND the
     bytes-on-storage read-back."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.sinks.ndjson import export_ndjson
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"k2_ndjson_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch_dir(sf_dir, "k2_ndjson")
     meta = export_ndjson(
         spark,
         _t(spark, sf_dir, "region").select("r_name", "r_regionkey"),
@@ -3449,10 +3276,7 @@ def d7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus texts under shifted ids, so every batch doc has at least its
     identical twin in the corpus (jaccard 1.0) plus whatever genuine
     near-dups exist across the set."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from mex_extractors_spark.lake.index import refresh_inverted_index
     from mex_extractors_spark.lake.table import LakeTable
@@ -3464,9 +3288,7 @@ def d7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
     )
     mid = docs.agg(F.max("doc_id")).first()[0] // 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"d7_neardup_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir(sf_dir, "d7_neardup")
     corpus = LakeTable(os.path.join(base, "src"), num_buckets=4, key_cols=["doc_id"])
     index = LakeTable(
         os.path.join(base, "idx"), num_buckets=4,
@@ -4502,24 +4324,11 @@ def cdc_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal state rows), so the manifest bookkeeping itself is what gets
     checked. Iceberg metadata-table analog; absent in the reference
     (mex-extractors keeps only the latest backend state)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from mex_extractors_spark.lake.table import LakeTable
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").cast("long").alias("seq"),
-        "event_type",
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-    )
+    ev = _cdc_events(spark, sf_dir)
     mx = ev.agg(F.max("seq")).first()[0]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_meta_{tag}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    table = LakeTable(lake_dir, num_buckets=4, key_cols=["user_id"])
+    table = _scratch_lake(sf_dir, "cdc_meta")
     lo = 0
     for v in range(1, 5):
         hi = mx * v // 4

@@ -11,23 +11,28 @@ replay kernel (`streaming/replay.py`) wants flat change rows
 kept entirely in Catalyst expressions (`from_json` + conditionals — no
 Python in the hot path, so the decode fuses into the scan stage):
 
-- **op mapping**: Debezium ``c``/``r`` (create / snapshot read) → I,
-  ``u`` → U, ``d`` → D; Maxwell ``insert``/``update``/``delete``
-  likewise. Unknown ops (e.g. ``t`` truncate, ``m`` message) quarantine
-  instead of corrupting state.
-- **image selection**: the row image is ``after`` for I/U and
+- **op mapping**: Debezium ``op: c``/``r`` (create / snapshot read) →
+  I, ``u`` → U, ``d`` → D; Maxwell's ``type: insert``/``update``/
+  ``delete`` (+ ``bootstrap-insert``) likewise. Unknown ops (e.g.
+  ``t`` truncate, ``m`` message) quarantine instead of corrupting
+  state.
+- **image selection**: Debezium's row image is ``after`` for I/U and
   ``before`` for D (with minimal replica identity the delete's before
   image carries only the key columns — non-key columns land NULL,
-  which is exactly the engine's delete-event shape).
+  which is exactly the engine's delete-event shape). Maxwell carries
+  the row — including the deleted row — in ``data``, so the decode
+  coalesces ``before``/``after`` with ``data`` per op.
 - **wrapped or flat**: both the schema-less flat envelope and the
   ``{"schema":..., "payload": {...}}`` wrapped form parse through one
   ``from_json`` schema; per-field ``coalesce`` unifies them, so one
   stream may even mix both.
 - **monotone seq**: derived from the source position —
   ``source.lsn`` (Postgres), else ``source.pos`` (MySQL binlog
-  offset), else ``ts_ms * 1000 + transaction.total_order % 1000``
-  (timestamp with intra-transaction order as tiebreak). Callers with a
-  different ordering contract pass ``seq_expr``.
+  offset), else Maxwell's ``xid * 2^16 + xoffset``, else
+  ``timestamp_millis * 1000 + transaction.total_order % 1000``
+  (Debezium ``ts_ms`` or Maxwell ``ts`` seconds, with
+  intra-transaction order as tiebreak). Callers with a different
+  ordering contract pass ``seq_expr``.
 - **tombstones**: a NULL value record after a delete is compaction
   metadata, not a change — Debezium always emits the ``d`` envelope
   first, so the default drops tombstones. ``tombstones="delete"``
@@ -75,22 +80,36 @@ _OP_DELETE = ("d", "delete")
 
 def envelope_ddl(row_ddl: str) -> str:
     """Full envelope schema (flat fields + one ``payload`` nesting
-    level) for a given row-image DDL, as a from_json DDL string."""
+    level) for a given row-image DDL, as a from_json DDL string.
+
+    Carries BOTH dialects: Debezium's ``before``/``after``/``op``/
+    ``source``/``ts_ms`` and Maxwell's ``data``/``old``/``type``/
+    ``ts`` (seconds)/``xid``/``xoffset`` — absent fields parse to NULL
+    and the decode coalesces per dialect."""
     env = (
         f"before struct<{row_ddl}>, after struct<{row_ddl}>, "
-        f"source struct<{_SOURCE_DDL}>, op string, ts_ms bigint, "
+        f"data struct<{row_ddl}>, old struct<{row_ddl}>, "
+        f"source struct<{_SOURCE_DDL}>, op string, type string, "
+        f"ts_ms bigint, ts bigint, xid bigint, xoffset bigint, "
         f"transaction struct<{_TXN_DDL}>"
     )
     return f"{env}, payload struct<{env}>"
 
 
 def default_seq_expr(env: Column) -> Column:
-    """lsn → binlog pos → ts_ms·1000 + total_order (mod 1000)."""
-    ts_fallback = env["ts_ms"] * F.lit(1000) + F.pmod(
+    """lsn → binlog pos → Maxwell xid·2^16+xoffset → timestamp·1000 +
+    total_order (mod 1000); the timestamp is Debezium ``ts_ms`` or
+    Maxwell ``ts`` (seconds) scaled to millis."""
+    xid_order = F.when(
+        env["xid"].isNotNull(),
+        env["xid"] * F.lit(65536) + F.coalesce(env["xoffset"], F.lit(0)),
+    )
+    ts_millis = F.coalesce(env["ts_ms"], env["ts"] * F.lit(1000))
+    ts_fallback = ts_millis * F.lit(1000) + F.pmod(
         F.coalesce(env["transaction"]["total_order"], F.lit(0)), F.lit(1000)
     )
     return F.coalesce(
-        env["source"]["lsn"], env["source"]["pos"], ts_fallback
+        env["source"]["lsn"], env["source"]["pos"], xid_order, ts_fallback
     ).cast("long")
 
 
@@ -153,24 +172,42 @@ def parse_cdc_envelope(
     env = F.struct(
         *[
             _env(f).alias(f)
-            for f in ("before", "after", "source", "op", "ts_ms", "transaction")
+            for f in (
+                "before", "after", "data", "old", "source", "op", "type",
+                "ts_ms", "ts", "xid", "xoffset", "transaction",
+            )
         ]
     )
-    raw_op = F.lower(env["op"])
+    # Debezium puts the op in `op`, Maxwell in `type`
+    raw_op = F.lower(F.coalesce(env["op"], env["type"]))
     op = (
         F.when(raw_op.isin(*_OP_INSERT), "I")
         .when(raw_op.isin(*_OP_UPDATE), "U")
         .when(raw_op.isin(*_OP_DELETE), "D")
     )
     seq = (seq_expr if seq_expr is not None else default_seq_expr(env)).cast("long")
-    image = F.when(op == "D", env["before"]).otherwise(env["after"])
+    # Debezium images live in before/after; Maxwell carries the row
+    # (including the deleted row) in `data`, with `old` holding only
+    # the changed columns' pre-images on update
+    image = F.when(
+        op == "D", F.coalesce(env["before"], env["data"])
+    ).otherwise(F.coalesce(env["after"], env["data"]))
 
     is_tomb = raw.isNull()
     # malformed JSON => from_json yields NULL (PERMISSIVE mode gives a
     # null struct for undecodable input with this nested schema)
     reason = (
         F.when(is_tomb, F.lit("tombstone"))
-        .when(parsed.isNull() | (env["op"].isNull() & env["after"].isNull() & env["before"].isNull()), F.lit("malformed-json"))
+        .when(
+            parsed.isNull()
+            | (
+                raw_op.isNull()
+                & env["after"].isNull()
+                & env["before"].isNull()
+                & env["data"].isNull()
+            ),
+            F.lit("malformed-json"),
+        )
         .when(op.isNull(), F.concat(F.lit("op:"), F.coalesce(raw_op, F.lit("null"))))
         .when(seq.isNull(), F.lit("seq:null"))
     )

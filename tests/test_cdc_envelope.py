@@ -331,3 +331,41 @@ def test_tombstone_delete_mode_quarantines_bad_keys_and_seq(spark):
         "tombstone-seq:null",
     ]
     assert changes.count() + bad.count() == 5
+
+
+def test_maxwell_records_decode(spark):
+    """Genuine Maxwell wire shape: type/data/old/ts/xid — not Debezium's
+    op/before/after — must decode, not quarantine."""
+    recs = [
+        json.dumps({
+            "database": "d", "table": "files", "type": "insert",
+            "ts": 1449786310, "xid": 940752,
+            "data": _row(content="maxwell-new"),
+        }),
+        json.dumps({
+            "database": "d", "table": "files", "type": "update",
+            "ts": 1449786311, "xid": 940753, "xoffset": 2,
+            "data": _row(content="maxwell-upd"),
+            "old": {"content": "maxwell-new"},
+        }),
+        json.dumps({
+            "database": "d", "table": "files", "type": "delete",
+            "ts": 1449786312, "xid": 940754,
+            "data": _row(path="b.py", content="gone"),
+        }),
+        json.dumps({  # no xid -> ts-seconds fallback
+            "database": "d", "table": "files", "type": "insert",
+            "ts": 1449786313,
+            "data": _row(path="c.py"),
+        }),
+    ]
+    changes, bad = _parse(spark, recs)
+    assert bad.count() == 0, bad.collect()
+    rows = sorted(changes.collect(), key=lambda r: r["seq"])
+    assert [r["op"] for r in rows] == ["I", "U", "D", "I"]
+    assert rows[0]["content"] == "maxwell-new"
+    assert rows[0]["seq"] == 940752 * 65536
+    assert rows[1]["content"] == "maxwell-upd"  # data, not old
+    assert rows[1]["seq"] == 940753 * 65536 + 2
+    assert rows[2]["path"] == "b.py" and rows[2]["content"] == "gone"
+    assert rows[3]["seq"] == 1449786313 * 1000 * 1000

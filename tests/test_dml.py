@@ -351,3 +351,32 @@ def test_merge_into_rejects_unknown_source_columns(spark, table):
         spark, src, "typo-src-ok", allow_extra_source_columns=True
     )
     assert st.applied
+
+
+def test_merge_into_drops_and_counts_null_key_source_rows(spark, table):
+    """NULL-key source rows can never match the key-equality join; an
+    unguarded insert clause must not write them into state as
+    unreachable rows — they drop and count (apply_batch's
+    events_invalid contract)."""
+    src = spark.createDataFrame(
+        [
+            ("z200", 700, "new", 1.0),
+            (None, 701, "ghost", 2.0),
+            (None, 702, "ghost2", 3.0),
+        ],
+        "k string, seq long, color string, v double",
+    )
+    st = table.merge_into(spark, src, "m-null", when_not_matched_insert=True)
+    assert st.applied and st.source_invalid == 2
+    got = {r["k"] for r in table.read(spark).collect()}
+    assert "z200" in got and None not in got
+    dml = table.current_snapshot()["dml"]
+    assert dml["inserted"] == 1 and dml["source_invalid"] == 2
+
+    # all-NULL-key source: no-op commit, still counted
+    src2 = spark.createDataFrame(
+        [(None, 800, "ghost", 9.0)], "k string, seq long, color string, v double"
+    )
+    st2 = table.merge_into(spark, src2, "m-null2", when_not_matched_insert=True)
+    assert st2.applied and st2.source_invalid == 1
+    assert None not in {r["k"] for r in table.read(spark).collect()}

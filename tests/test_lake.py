@@ -1390,3 +1390,52 @@ def test_inspect_metadata_tables(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
         t.inspect(spark, "nope")
+
+
+def test_scratch_heartbeat_keeps_live_view_alive(spark, tmp_path):
+    """The age-gated _views cleanup must not reclaim a dir whose owner
+    is still mid-job: the heartbeat bumps mtime every TTL/4, so only
+    dirs with no live owner for a full TTL age out."""
+    import os
+    import time as _time
+
+    t = LakeTable(str(tmp_path / "lake"), num_buckets=2)
+    t.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", "p", 1, "I", "c", "x", "b")],
+            "repo string, path string, seq long, op string, commit string, lang string, content string",
+        ),
+        "b1",
+    )
+    views = os.path.join(t.path, "_views")
+    os.makedirs(views, exist_ok=True)
+    live = os.path.join(views, "live")
+    dead = os.path.join(views, "dead")
+    os.makedirs(live)
+    os.makedirs(dead)
+    old = _time.time() - 10_000
+    os.utime(live, (old, old))
+    os.utime(dead, (old, old))
+
+    # a heartbeating owner (tiny TTL so the beat fires immediately)
+    t.VIEW_SCRATCH_TTL_S = 0.2
+    stop = t._start_scratch_heartbeat(live)
+    try:
+        _time.sleep(0.4)  # at least one beat lands
+        assert os.path.getmtime(live) > old + 1
+    finally:
+        stop.set()
+
+    # the next apply reclaims only the unbeaten dir
+    t.VIEW_SCRATCH_TTL_S = 3600.0
+    t.apply_batch(
+        spark,
+        spark.createDataFrame(
+            [("r", "p", 2, "U", "c", "x", "y")],
+            "repo string, path string, seq long, op string, commit string, lang string, content string",
+        ),
+        "b2",
+    )
+    assert os.path.isdir(live)
+    assert not os.path.isdir(dead)
