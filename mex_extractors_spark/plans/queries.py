@@ -3807,11 +3807,12 @@ def s11_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "s19_debezium_envelope",
-    "S19 binlog/WAL envelope normalization: Debezium/Maxwell JSON change "
+    "S19 binlog/WAL envelope normalization: Debezium JSON change "
     "envelopes (before/after images, c|r|u|d op codes, wrapped-or-flat "
-    "payload nesting, lsn|pos|ts_ms seq derivation, compaction-tombstone "
-    "drop, malformed/unknown-op quarantine) -> flat (key..., op I/U/D, "
-    "seq) change rows, pure from_json expressions (sources/cdc_envelope.py)",
+    "payload nesting, lsn|pos|ts_ms seq derivation) AND Maxwell wire "
+    "shape (type/data/ts/xid), compaction-tombstone drop, "
+    "malformed/unknown-op quarantine -> flat (key..., op I/U/D, seq) "
+    "change rows, pure from_json expressions (sources/cdc_envelope.py)",
     """
     WITH e AS (
       SELECT event_id, user_id, event_id * 13 + 100000 AS ts_ms,
@@ -3828,7 +3829,9 @@ def s11_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'v_' || CAST(user_id % 97 AS VARCHAR) END AS val,
            CASE WHEN h < 9 OR h = 16 THEN 'I'
                 WHEN h < 13 THEN 'U' ELSE 'D' END AS op,
-           CAST(CASE WHEN event_id % 4 IN (0, 1) THEN event_id * 7 + 1
+           CAST(CASE WHEN h BETWEEN 5 AND 8
+                     THEN event_id * 3 * 65536 + event_id % 7
+                     WHEN event_id % 4 IN (0, 1) THEN event_id * 7 + 1
                      WHEN event_id % 4 = 2 THEN event_id * 11 + 3
                      ELSE ts_ms * 1000 + event_id % 5 END AS BIGINT) AS seq
     FROM e
@@ -3838,10 +3841,11 @@ def s11_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s19_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesizes the wire stream a binlog tailer would publish — every
     op class, both payload nestings, minimal-replica-identity deletes,
-    all three seq sources, plus tombstones / malformed JSON / unknown
-    ops — then proves ``parse_cdc_envelope`` inverts it: the oracle
-    computes the expected flat change rows directly from the events
-    table with no JSON anywhere."""
+    all four seq sources (lsn / pos / Maxwell xid / ts fallback), the
+    Maxwell type/data/ts/xid dialect (h in 5..8), plus tombstones /
+    malformed JSON / unknown ops — then proves ``parse_cdc_envelope``
+    inverts it: the oracle computes the expected flat change rows
+    directly from the events table with no JSON anywhere."""
     from mex_extractors_spark.sources.cdc_envelope import parse_cdc_envelope
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
@@ -3888,9 +3892,19 @@ def s19_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("event_id"), F.lit(5)).alias("total_order")
         ).alias("transaction"),
     )
+    # Maxwell wire shape for h in 5..8 (still op I): the row in `data`,
+    # op in `type`, ts in SECONDS, ordering from xid*2^16 + xoffset
+    maxwell = F.struct(
+        after.alias("data"),
+        F.lit("insert").alias("type"),
+        (F.col("event_id") + 1_400_000_000).alias("ts"),
+        (F.col("event_id") * 3).alias("xid"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("xoffset"),
+    )
     value = (
         F.when(h == 17, F.lit(None).cast("string"))  # compaction tombstone
         .when(h == 18, F.lit('{"oops": '))  # malformed JSON
+        .when((h >= 5) & (h <= 8), F.to_json(maxwell))  # Maxwell dialect
         .when(  # JsonConverter-with-schemas wrapped form
             F.pmod(F.col("event_id"), F.lit(3)) == 0,
             F.to_json(F.struct(env.alias("payload"))),
