@@ -311,3 +311,72 @@ def test_stratified_sample_law(spark, rows, quota, margin):
         ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         expect.update((i, s) for i in ids[:quota])
     assert got == expect
+
+
+# ---------------------------------------------------------------- envelope law
+#
+# Roundtrip property for the CDC envelope decoder: ANY change event,
+# rendered in ANY of the four wire shapes (Debezium flat / Debezium
+# wrapped / Maxwell / with per-record seq source varying), decodes back
+# to exactly the row that was rendered. The Python oracle is the
+# renderer's own inputs — no SQL, no Spark on the oracle side.
+
+_ENVELOPE_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key id
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=0, max_value=99),  # payload
+        st.sampled_from(["dbz-flat", "dbz-wrapped", "maxwell"]),
+        st.sampled_from(["lsn", "pos", "ts"]),  # seq source (dbz only)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=_ENVELOPE_EVENTS)
+@settings(**SETTINGS)
+def test_envelope_roundtrip_law(spark, events):
+    import json as _json
+
+    from mex_extractors_spark.sources.cdc_envelope import parse_cdc_envelope
+
+    values, expected = [], []
+    for i, (k, op, v, shape, seqsrc) in enumerate(events):
+        seq = i + 1
+        row = {"repo": f"repo{k % 3}", "path": f"f{k}.py", "content": f"p-{v}"}
+        if shape == "maxwell":
+            rec = {
+                "type": {"I": "insert", "U": "update", "D": "delete"}[op],
+                "data": row,
+                "ts": 1_400_000_000 + i,
+                # xid*2^16 + xoffset == seq, so expectations stay uniform
+                "xid": 0,
+                "xoffset": seq,
+            }
+        else:
+            env = {
+                "op": {"I": "c", "U": "u", "D": "d"}[op],
+                ("before" if op == "D" else "after"): row,
+            }
+            if seqsrc == "lsn":
+                env["source"] = {"lsn": seq}
+            elif seqsrc == "pos":
+                env["source"] = {"pos": seq}
+            else:  # ts fallback: ts_ms*1000 + total_order must equal seq
+                env["ts_ms"] = 0
+                env["transaction"] = {"total_order": seq}
+            rec = {"payload": env} if shape == "dbz-wrapped" else env
+        values.append(_json.dumps(rec))
+        expected.append((row["repo"], row["path"], row["content"], op, seq))
+
+    df = spark.createDataFrame([(x,) for x in values], "value string")
+    changes, bad = parse_cdc_envelope(
+        df, "repo string, path string, content string", key_cols=["repo", "path"]
+    )
+    assert bad.count() == 0
+    got = sorted(
+        (r["repo"], r["path"], r["content"], r["op"], r["seq"])
+        for r in changes.collect()
+    )
+    assert got == sorted(expected)
