@@ -67,9 +67,19 @@ _ZORDERABLE = (
 
 
 def zorder_supported(dt: T.DataType) -> bool:
-    """Whether a column type can carry a quantile code (castable to
-    double with order preserved)."""
+    """Whether a column type can carry a quantile code (projectable to
+    double with order preserved — see ``numeric_expr``)."""
     return isinstance(dt, _ZORDERABLE)
+
+
+def numeric_expr(c: str, dt: T.DataType) -> Column:
+    """Order-preserving double projection of a zorderable column.
+    DATE cannot cast to double directly (Spark rejects it) — it goes
+    through ``unix_date``; TIMESTAMP casts to epoch seconds natively."""
+    col = F.col(c)
+    if isinstance(dt, T.DateType):
+        return F.unix_date(col).cast("double")
+    return col.cast("double")
 
 
 def column_cutpoints(
@@ -83,9 +93,10 @@ def column_cutpoints(
     is a partial-merge sketch — no shuffle of the data, one job — and
     the result is O(2^bits) floats per column on the driver."""
     fracs = [(i + 1) / (1 << bits) for i in range((1 << bits) - 1)]
+    fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [
         F.percentile_approx(
-            F.col(c).cast("double"), fracs, accuracy
+            numeric_expr(c, fields[c]), fracs, accuracy
         ).alias(c)
         for c in cols
     ]
@@ -112,14 +123,36 @@ def zvalue_expr(
     cols: Sequence[str],
     cutpoints: Mapping[str, Sequence[float]],
     bits: int = ZORDER_BITS,
+    schema: T.StructType | None = None,
 ) -> Column:
     """Morton value interleaving the per-column quantile codes, most
     significant bits first, column order breaking ties at equal bit
     significance. Sorting by this value and rolling files at a row
     budget gives each file a compact z-range — a bounded rectangle in
-    every clustered dimension."""
-    codes = [code_expr(F.col(c), cutpoints[c]) for c in cols]
-    n = len(codes)
+    every clustered dimension.
+
+    ``schema`` enables the order-preserving date projection
+    (``numeric_expr``); without it columns cast straight to double."""
+    n = len(cols)
+    if bits * n > 64:
+        # Java's shiftleft masks the shift amount to 6 bits, so a
+        # >=64-bit Morton value would silently wrap high-significance
+        # bits onto low ones — garbage interleaving with no error
+        raise ValueError(
+            f"zorder Morton value needs bits*len(cols) <= 64 "
+            f"(got {bits}*{n} = {bits * n}); lower ZORDER_BITS or "
+            "cluster on fewer columns"
+        )
+    fields = (
+        {f.name: f.dataType for f in schema.fields} if schema is not None else {}
+    )
+
+    def _num(c: str) -> Column:
+        if c in fields:
+            return numeric_expr(c, fields[c])
+        return F.col(c).cast("double")
+
+    codes = [code_expr(_num(c), cutpoints[c]) for c in cols]
     z: Column = F.lit(0).cast("long")
     for b in range(bits):
         for ci, code in enumerate(codes):

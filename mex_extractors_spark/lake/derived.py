@@ -40,7 +40,6 @@ a ``full_refresh``).
 
 from __future__ import annotations
 
-import re
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -48,8 +47,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mex_extractors_spark.lake.table import LakeTable
-
-_BATCH_RE = re.compile(r"^cdf:v(\d+)->(\d+)$")
 
 
 @dataclass
@@ -71,18 +68,13 @@ def last_refreshed_version(
     instead of main — catalog transactions pass their staged view: main
     can lag the catalog pin (fast-forward is best-effort housekeeping),
     and a watermark from stale main would double-apply CDF deltas."""
-    if at_version is not None:
-        snap = derived.snapshot_at(at_version) if at_version else None
-    else:
-        snap = derived.current_snapshot()
-    if snap is None:
-        return 0
-    versions = [
-        int(m.group(2))
-        for b in snap["applied_batches"]
-        if (m := _BATCH_RE.match(b))
-    ]
-    return max(versions, default=0)
+    from mex_extractors_spark.lake.index import last_indexed_version
+
+    # one shared version-window parser for every derived-table
+    # maintainer (index.py's docstring declares it the ONE place the
+    # applied-batch bookkeeping question is answered) — a private copy
+    # here could silently desynchronize on a bookkeeping change
+    return last_indexed_version(derived, at_version=at_version, prefix="cdf")
 
 
 def _agg_exprs(count_alias: str, sum_cols: dict[str, str], sign) -> list:
@@ -126,11 +118,17 @@ def refresh_aggregates(
         return RefreshStats(0, 0, full_build=False, applied=False)
     # staged on a branch: the from-watermark must come from the BRANCH
     # head (the catalog pin / this txn's prior writes), never main —
-    # main can lag the pin when post-commit fast-forward was skipped
-    from_version = last_refreshed_version(
-        derived,
-        at_version=derived.resolve_ref(branch) if branch is not None else None,
+    # main can lag the pin when post-commit fast-forward was skipped.
+    # Resolve the derived head ONCE and pin both the watermark and the
+    # current-values read to it: resolving twice opens a window where a
+    # concurrent refresh commits in between and this refresh would add
+    # its CDF deltas on top of values that already include them
+    derived_version = (
+        derived.resolve_ref(branch)
+        if branch is not None
+        else (derived.current_snapshot() or {}).get("version")
     )
+    from_version = last_refreshed_version(derived, at_version=derived_version)
     batch_id = f"cdf:v{from_version}->{to_version}"
     if from_version >= to_version:
         return RefreshStats(from_version, to_version, False, applied=False)
@@ -160,8 +158,9 @@ def refresh_aggregates(
         *_agg_exprs(count_alias, sum_cols, sign)
     )
     # merge deltas with the derived table's current values for ONLY the
-    # changed groups; groups whose live row count reaches 0 are deleted
-    cur = derived.read(spark, ref=branch).select(
+    # changed groups (read pinned to the SAME snapshot the watermark
+    # came from); groups whose live row count reaches 0 are deleted
+    cur = derived.read(spark, version=derived_version).select(
         *group_cols,
         F.col(count_alias).alias("__cur_cnt"),
         *[F.col(a).alias(f"__cur_{a}") for a in sum_cols],
@@ -202,16 +201,25 @@ def full_refresh(
     if snap is None:
         return RefreshStats(0, 0, full_build=False, applied=False)
     to_version = int(snap["version"])
-    from_version = last_refreshed_version(derived)
+    derived_version = (derived.current_snapshot() or {}).get("version")
+    from_version = last_refreshed_version(derived, at_version=derived_version)
     if from_version >= to_version:
         return RefreshStats(from_version, to_version, False, applied=False)
+    # both reads pinned: the source at the version this refresh records
+    # as absorbed (an unpinned read could absorb a concurrent commit
+    # BEYOND to_version, and the next incremental refresh would then
+    # double-apply that range), the derived at the watermark's snapshot
     fresh = (
-        source.read(spark)
+        source.read(spark, version=to_version)
         .groupBy(*group_cols)
         .agg(*_agg_exprs(count_alias, sum_cols, F.lit(1)))
     )
     gone = (
-        derived.read(spark)
+        (
+            derived.read(spark, version=derived_version)
+            if derived_version
+            else derived.read(spark)
+        )
         .select(*group_cols)
         .join(fresh.select(*group_cols), on=group_cols, how="left_anti")
         .select(

@@ -136,6 +136,13 @@ def refresh_inverted_index(
             f"index table must have key_cols={expected} and "
             f"seq_col='_src_version' (got {index.key_cols}, {index.seq_col!r})"
         )
+    if index.op_col != "op":
+        # _pairs hardcodes the 'op' column name in the index batches it
+        # builds — a custom op_col would pass this validation and then
+        # die deep inside apply_batch with an unresolved-column error
+        raise ValueError(
+            f"index table must use op_col='op' (got {index.op_col!r})"
+        )
     if to_version is None:
         cur = source.current_snapshot()
         if cur is None:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import math
 from typing import Any, Mapping, Sequence
 
 # predicate ops the pruner understands; anything else keeps the file
@@ -146,6 +147,10 @@ def bloom_may_contain(bloom: Mapping[str, Any], value: Any) -> bool:
         return True
 
 
+def _has_nan(values: Sequence[Any]) -> bool:
+    return any(isinstance(v, float) and math.isnan(v) for v in values)
+
+
 def _comparable(a: Any, b: Any) -> bool:
     if isinstance(a, bool) != isinstance(b, bool):
         return False
@@ -172,6 +177,11 @@ def file_may_match(
         return True
     if not col_present:
         return False
+    # NaN predicate values defeat every evidence form: parquet footers
+    # exclude NaN from min/max, Python's nan != nan breaks value-set
+    # membership, and Spark's NaN==NaN is TRUE — keep the file
+    if _has_nan(value if op == "in" else [value]):
+        return True
     st = (stats or {}).get(col)
     if st is None:
         return True
@@ -224,10 +234,15 @@ def file_may_match(
             return mn < value
         if op == "<=":
             return mn <= value
+        # floating columns: parquet min/max EXCLUDE NaN, but Spark
+        # orders NaN above every value, so an unseen NaN row satisfies
+        # any '>'/'>=' predicate — max-based refutation is unsound
+        # there (Iceberg tracks nan_counts for exactly this reason);
+        # '<'/'<=' stay sound because NaN never satisfies them
         if op == ">":
-            return mx > value
+            return True if isinstance(mx, float) else mx > value
         if op == ">=":
-            return mx >= value
+            return True if isinstance(mx, float) else mx >= value
     except TypeError:
         return True
     return True

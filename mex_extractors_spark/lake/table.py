@@ -2807,6 +2807,14 @@ class LakeTable:
                     "zorder needs numeric/date/timestamp columns "
                     f"(use cluster_strategy='sort' for): {bad}"
                 )
+            from mex_extractors_spark.lake.cluster import ZORDER_BITS
+
+            if ZORDER_BITS * len(cols) > 64:
+                raise ValueError(
+                    f"zorder Morton value exceeds 64 bits with "
+                    f"{len(cols)} columns at {ZORDER_BITS} bits each — "
+                    "cluster on fewer columns"
+                )
         return {"by": list(cols), "strategy": strategy}
 
     def _cluster_target_rows(self, snap: dict, candidates: list[int]) -> int:
@@ -2933,7 +2941,10 @@ class LakeTable:
                 # rows (partial-merge sketch, no shuffle of the data)
                 cuts = column_cutpoints(rows_df, cluster_spec["by"])
                 rows_df = rows_df.withColumn(
-                    ZVALUE_COL, zvalue_expr(cluster_spec["by"], cuts)
+                    ZVALUE_COL,
+                    zvalue_expr(
+                        cluster_spec["by"], cuts, schema=rows_df.schema
+                    ),
                 )
                 sort_cols = [ZVALUE_COL]
             else:

@@ -77,6 +77,14 @@ def _exploded_shingles(
     parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        # NULL/empty documents have no k-grams — without this filter
+        # they all degenerate to one shared shingle ('' via the
+        # greatest(...,1) position floor; NULL via hash null-skipping),
+        # land in the SAME bucket of every band, and the candidate join
+        # goes quadratic in their count — the exact blow-up banded LSH
+        # exists to avoid. They simply have no signature and no
+        # candidacy (same contract as exact_duplicates' null handling).
+        .where(F.col("_text").isNotNull() & (F.length("_text") > 0))
         .repartition(parallelism, F.col("_id"))
         .select(
             "_id",
@@ -435,7 +443,13 @@ def simhash_signatures(
     c = F.col(text_col)
     toks = F.split(F.trim(F.lower(c)), "\\s+")
     ex = (
-        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        # NULL/blank documents tokenize to nothing (or the single ''
+        # token) — every such doc would share one signature and pair
+        # with every other in each chunk bucket, the quadratic blow-up
+        # the bucketing exists to avoid; they get no signature instead
+        # (same contract as the minhash shingle path)
+        df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+        .select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .repartition(parallelism, F.col("_id"))  # fan out big input files
         .select("_id", F.explode("_toks").alias("_tok"))
     )

@@ -121,12 +121,18 @@ def _running_totals_fn(
     """Vectorized per-key running totals across micro-batches: the shape
     of any custom accumulating operator (dedup counters, per-repo quota
     enforcement) that outlives a single batch."""
-    n, max_seq = state.get if state.exists else (0, 0)
+    n, max_seq = state.get if state.exists else (0, None)
     batch_n = 0
     for pdf in pdfs:
         batch_n += len(pdf)
-        if len(pdf):
-            max_seq = max(max_seq, int(pdf["seq"].max()))
+        # NULL seqs count as events but carry no watermark (int(NaN)
+        # would raise and kill the stream); the watermark bootstraps as
+        # None, not 0 — a key whose seqs are all negative must not
+        # report a high watermark it never observed
+        vals = pdf["seq"].dropna()
+        if len(vals):
+            m = int(vals.max())
+            max_seq = m if max_seq is None else max(max_seq, m)
     n += batch_n
     state.update((n, max_seq))
     yield pd.DataFrame(
@@ -147,7 +153,12 @@ def running_totals(
     """applyInPandasWithState wrapper: per-key event totals + high
     watermark maintained as stream state (Arrow-batched, no per-row
     Python). Works only on streaming DataFrames."""
-    src = df.select(F.col(key_col).alias("key"), F.col(seq_col).alias("seq"))
+    # the output schema declares key:string — cast so a numeric key
+    # column works instead of dying in Arrow conversion mid-stream
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
     return src.groupBy("key").applyInPandasWithState(
         _running_totals_fn,
         outputStructType=RUNNING_OUT_SCHEMA,

@@ -321,3 +321,26 @@ def test_branch_refresh_requires_explicit_to_version(spark, tmp_path):
     idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)
     with pytest.raises(ValueError, match="to_version"):
         idx.refresh(spark, src, branch="txn-x")
+
+
+def test_minhash_ignores_null_and_empty_texts(spark):
+    """NULL/empty documents must have no signature and no candidacy —
+    without the filter they all share one degenerate shingle and the
+    banded join goes quadratic in their count."""
+    from mex_extractors_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+            (3, None), (4, ""), (5, None), (6, ""), (7, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id")
+    assert {r["_id"] for r in sigs.collect()} <= {1, 2, 7}  # no null/empty
+    cands = minhash_lsh_candidates(df, "text", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (3, 5) not in pairs and (4, 6) not in pairs
+    assert (1, 2) in pairs  # real duplicates still found
+    ssigs = simhash_signatures(df, "text", "doc_id")
+    assert {r["_id"] for r in ssigs.collect()} == {1, 2}  # blank-only drops too

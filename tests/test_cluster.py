@@ -294,3 +294,40 @@ def test_cutpoints_single_aggregate(spark):
     assert len(cuts["a"]) <= 7 and len(cuts["b"]) <= 7
     assert cuts["b"] == sorted(cuts["b"])
     assert 0 < cuts["b"][0] < cuts["b"][-1] < 10_000
+
+
+def test_zorder_on_date_column_works(spark, lake_dir):
+    """DateType is advertised as zorderable but cannot cast to double —
+    the numeric projection must go through unix_date (regression: the
+    percentile/code exprs crashed with DATATYPE_MISMATCH on dates)."""
+    rows = [
+        ("r", f"f{i}.py", i + 1, f"2024-{(i % 12) + 1:02d}-01", "I")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, seq long, d string, op string"
+    ).withColumn("d", F.to_date("d"))
+    t = LakeTable(lake_dir, num_buckets=2, stats_cols=["d"])
+    t.apply_batch(spark, df, "b1")
+    t.compact(
+        spark, cluster_by=["d"], cluster_strategy="zorder", target_file_rows=15
+    )
+    got = sorted(r["path"] for r in t.read(spark).collect())
+    assert got == sorted(r[1] for r in rows)
+
+
+def test_zorder_rejects_morton_overflow(spark, lake_dir):
+    """bits*len(cols) > 64 would silently wrap shift amounts (Java
+    masks to 6 bits) — must raise instead."""
+    cols = [f"c{i}" for i in range(11)]  # 6 bits * 11 = 66 > 64
+    with pytest.raises(ValueError, match="64 bits|<= 64"):
+        zvalue_expr(cols, {c: [0.5] for c in cols})
+    ddl = ", ".join(["repo string", "path string", "seq long", "op string"]
+                    + [f"{c} long" for c in cols])
+    df = spark.createDataFrame(
+        [tuple(["r", "f.py", 1, "I"] + [0] * 11)], ddl
+    )
+    t = LakeTable(lake_dir, num_buckets=2)
+    t.apply_batch(spark, df, "b1")
+    with pytest.raises(ValueError, match="64 bits"):
+        t.compact(spark, cluster_by=cols, cluster_strategy="zorder")

@@ -289,3 +289,20 @@ def test_probe_near_duplicates_validates_table_shapes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key_cols="):
         probe_near_duplicates(spark, bad_idx, corpus, batch)
+
+
+def test_index_rejects_custom_op_col(spark, tmp_path):
+    """_pairs hardcodes 'op'; a custom op_col must fail the upfront
+    validation, not die deep inside apply_batch."""
+    import pytest
+
+    from mex_extractors_spark.lake.index import refresh_inverted_index
+    from mex_extractors_spark.lake.table import LakeTable
+
+    src = LakeTable(str(tmp_path / "src"), key_cols=["k"], num_buckets=2)
+    idx = LakeTable(
+        str(tmp_path / "idx"), key_cols=["term", "k"],
+        seq_col="_src_version", op_col="_op", num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="op_col='op'"):
+        refresh_inverted_index(spark, src, idx, terms_fn=lambda df: df["t"])

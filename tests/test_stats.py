@@ -636,3 +636,31 @@ def test_read_key_proves_absent_keys_from_manifest(spark, lake_dir):
     assert miss.inputFiles() == []
     assert miss.count() == 0
 
+
+
+def test_nan_soundness_of_min_max_pruning():
+    """Parquet footers exclude NaN from float min/max while Spark orders
+    NaN above everything and NaN == NaN is TRUE — so '>' / '>=' must
+    never refute on a floating column, and a NaN predicate value must
+    never prune at all."""
+    from mex_extractors_spark.lake.stats import file_may_match
+
+    fstats = {"x": {"min": 1.0, "max": 2.0}}  # file may ALSO hold NaN
+    # an unseen NaN row satisfies > 100.0 — keep
+    assert file_may_match(fstats, True, "x", ">", 100.0)
+    assert file_may_match(fstats, True, "x", ">=", 100.0)
+    # NaN predicate value: no evidence form can refute it
+    nan = float("nan")
+    assert file_may_match(fstats, True, "x", "=", nan)
+    assert file_may_match(fstats, True, "x", "in", [5.0, nan])
+    assert file_may_match({"x": {"min": 1.0, "max": 2.0, "values": [1.0, 2.0]}},
+                          True, "x", "=", nan)
+    # '<' / '<=' stay sound (NaN never satisfies them): still prunable
+    assert not file_may_match(fstats, True, "x", "<", 0.5)
+    assert not file_may_match(fstats, True, "x", "<=", 0.5)
+    # '=' with a finite value keeps min/max refutation on floats
+    assert not file_may_match(fstats, True, "x", "=", 50.0)
+    # integer columns keep full '>' refutation power
+    istats = {"n": {"min": 1, "max": 10}}
+    assert not file_may_match(istats, True, "n", ">", 10)
+    assert not file_may_match(istats, True, "n", ">=", 11)
