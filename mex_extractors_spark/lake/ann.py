@@ -194,6 +194,36 @@ class IvfIndex:
             self.centroids(), "_cid long, _cvec array<double>"
         )
 
+
+    def _upsert_rows(self, spark, df, version: int):
+        """Index-batch projection of freshly assigned vectors — THE one
+        place the 6-column index schema is spelled (shared by build /
+        refresh / full rebuild, so a schema change cannot fork)."""
+        return assign_to_centroids(
+            df,
+            self._centroids_df(spark),
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            keep_vec=True,
+        ).select(
+            F.col(self.id_col),
+            F.col("centroid_id").cast("long"),
+            F.col("l2_dist"),
+            F.col(self.vec_col),
+            F.lit(version).cast("long").alias("_src_version"),
+            F.lit("U").alias("op"),
+        )
+
+    def _tombstone_cols(self, version: int) -> list:
+        """The all-null delete projection matching ``_upsert_rows``."""
+        return [
+            F.col(self.id_col),
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.lit(None).cast("double").alias("l2_dist"),
+            F.lit(None).cast("array<double>").alias(self.vec_col),
+            F.lit(version).cast("long").alias("_src_version"),
+            F.lit("D").alias("op"),
+        ]
     def last_indexed_version(self, at_version: int | None = None) -> int:
         # shared with the inverted index: ONE parser for the
         # `{prefix}:v{from}->{to}` exactly-once version window;
@@ -255,21 +285,7 @@ class IvfIndex:
             self._save_centroids(cents, built_at=source_version)
         else:
             self._check_quantizer(self._applied_at(branch))
-        assigned = assign_to_centroids(
-            df,
-            self._centroids_df(spark),
-            vec_col=self.vec_col,
-            id_col=self.id_col,
-            keep_vec=True,
-        )
-        batch = assigned.select(
-            F.col(self.id_col),
-            F.col("centroid_id").cast("long"),
-            F.col("l2_dist"),
-            F.col(self.vec_col),
-            F.lit(source_version).cast("long").alias("_src_version"),
-            F.lit("U").alias("op"),
-        )
+        batch = self._upsert_rows(spark, df, source_version)
         st = self.table.apply_batch(spark, batch, batch_id, branch=branch)
         if st.applied and cents is not None:
             # heal a pre-apply clobber: a concurrent bootstrap that
@@ -422,27 +438,9 @@ class IvfIndex:
         )
         ct = F.col("_change_type")
         post = changes.where(ct.isin("insert", "update_postimage"))
-        upserts = assign_to_centroids(
-            post,
-            self._centroids_df(spark),
-            vec_col=self.vec_col,
-            id_col=self.id_col,
-            keep_vec=True,
-        ).select(
-            F.col(self.id_col),
-            F.col("centroid_id").cast("long"),
-            F.col("l2_dist"),
-            F.col(self.vec_col),
-            F.lit(to_version).cast("long").alias("_src_version"),
-            F.lit("U").alias("op"),
-        )
+        upserts = self._upsert_rows(spark, post, to_version)
         deletes = changes.where(ct == "delete").select(
-            F.col(self.id_col),
-            F.lit(None).cast("long").alias("centroid_id"),
-            F.lit(None).cast("double").alias("l2_dist"),
-            F.lit(None).cast("array<double>").alias(self.vec_col),
-            F.lit(to_version).cast("long").alias("_src_version"),
-            F.lit("D").alias("op"),
+            *self._tombstone_cols(to_version)
         )
         st = self.table.apply_batch(
             spark, upserts.unionByName(deletes), f"ivf:v{last}->{to_version}",
@@ -516,32 +514,12 @@ class IvfIndex:
         the watermark advances and later refreshes go back to
         incremental. O(corpus) — the price of expiring the CDF base."""
         state = source.read(spark, version=to_version)
-        upserts = assign_to_centroids(
-            state,
-            self._centroids_df(spark),
-            vec_col=self.vec_col,
-            id_col=self.id_col,
-            keep_vec=True,
-        ).select(
-            F.col(self.id_col),
-            F.col("centroid_id").cast("long"),
-            F.col("l2_dist"),
-            F.col(self.vec_col),
-            F.lit(to_version).cast("long").alias("_src_version"),
-            F.lit("U").alias("op"),
-        )
+        upserts = self._upsert_rows(spark, state, to_version)
         stale = (
             self.table.read(spark, ref=branch)  # ref=None reads main
             .select(self.id_col)
             .join(state.select(self.id_col), on=self.id_col, how="left_anti")
-            .select(
-                F.col(self.id_col),
-                F.lit(None).cast("long").alias("centroid_id"),
-                F.lit(None).cast("double").alias("l2_dist"),
-                F.lit(None).cast("array<double>").alias(self.vec_col),
-                F.lit(to_version).cast("long").alias("_src_version"),
-                F.lit("D").alias("op"),
-            )
+            .select(*self._tombstone_cols(to_version))
         )
         st = self.table.apply_batch(
             spark, upserts.unionByName(stale), f"ivf:v{last}->{to_version}",

@@ -36,7 +36,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not '/': the session runs with ANSI on (Spark 4
+    # default), where a zero-norm vector — zero/padding embeddings
+    # occur in real corpora — would throw DIVIDE_BY_ZERO and kill the
+    # whole job. Undefined similarity is NULL instead, which sorts
+    # after every real score in the desc top-k orderings
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -144,16 +149,14 @@ def ann_lsh_topk(
     probe = {q_bucket}
     if multiprobe_bits >= 1:
         probe |= {q_bucket ^ (1 << p) for p in range(num_planes)}
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.withColumn(
         "_bucket", sign_lsh_bucket(F.col(vec_col).cast("array<double>"), num_planes, dim, seed)
     )
-    cand = bucketed.where(F.col("_bucket").isin(list(probe)))
-    scored = cand.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine_sim"),
-    )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+    cand = bucketed.where(F.col("_bucket").isin(list(probe))).drop("_bucket")
+    # one scoring/ordering contract for every top-k path: delegate to
+    # cosine_topk so a change there (rounding, tie order) cannot
+    # silently diverge the LSH path from the shared oracle
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def sample_centroids(
@@ -295,20 +298,22 @@ def kmeans_refine(
     centroids: list[tuple] = [(r["_id"], list(r["_v"])) for r in seed_rows]
 
     def _assign(cent: list[tuple]) -> DataFrame:
+        # ONE argmin kernel for the whole similarity family: delegating
+        # to assign_to_centroids keeps the tie-break (6dp-rounded l2,
+        # then centroid id) identical to ivf_assignments / the
+        # persistent index, so a near-tie can never be assigned
+        # differently by two code paths; keep_vec carries the vector
+        # through the argmin for the next round's mean recompute
         spark = df.sparkSession
         cent_df = spark.createDataFrame(cent, "_cid long, _cvec array<double>")
-        l2sq = F.aggregate(
-            F.zip_with(F.col("_v"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+        return assign_to_centroids(
+            data, cent_df, vec_col="_v", id_col="_id", keep_vec=True
+        ).select(
+            "_id",
+            "_v",
+            F.col("centroid_id").alias("_cid"),
+            F.col("l2_dist").alias("_l2"),
         )
-        scored = data.crossJoin(F.broadcast(cent_df)).select(
-            "_id", "_v", "_cid", F.sqrt(l2sq).alias("_l2")
-        )
-        return scored.groupBy("_id").agg(
-            F.min_by(F.struct("_cid", "_v", "_l2"), F.struct("_l2", "_cid")).alias("_w")
-        ).select("_id", F.col("_w._v").alias("_v"), F.col("_w._cid").alias("_cid"),
-                 F.col("_w._l2").alias("_l2"))
 
     assigned = _assign(centroids)
     for _ in range(max(iterations, 1) - 1):
@@ -407,15 +412,15 @@ def ivf_topk(
         dc, dp = derive_ivf_params(df.count())
         num_centroids = num_centroids if num_centroids is not None else dc
         nprobe = nprobe if nprobe is not None else dp
-    cent_rows = (
-        df.select(
-            F.col(id_col).alias("_cid"),
-            F.col(vec_col).cast("array<double>").alias("_cvec"),
-        )
-        .orderBy(F.md5(F.col("_cid").cast("string")))
-        .limit(num_centroids)
-        .collect()
-    )
+    # ONE centroid sample, shared verbatim between the driver-side
+    # probe selection and the executor-side assignment: collecting
+    # sample_centroids (instead of an inline re-implementation) keeps
+    # the two selections structurally identical, and rebuilding the
+    # centroid frame from the collected rows saves the second
+    # corpus-wide orderBy/limit ivf_assignments would otherwise run
+    cent_rows = sample_centroids(
+        df, num_centroids, vec_col=vec_col, id_col=id_col
+    ).collect()
     probes = sorted(
         (
             math.sqrt(sum((x - y) ** 2 for x, y in zip(r["_cvec"], query_vec))),
@@ -424,7 +429,11 @@ def ivf_topk(
         for r in cent_rows
     )[:nprobe]
     probe_ids = [cid for _d, cid in probes]
-    assigned = ivf_assignments(df, num_centroids, vec_col=vec_col, id_col=id_col)
+    cent_df = df.sparkSession.createDataFrame(
+        [(r["_cid"], list(r["_cvec"])) for r in cent_rows],
+        "_cid long, _cvec array<double>",
+    )
+    assigned = assign_to_centroids(df, cent_df, vec_col=vec_col, id_col=id_col)
     candidates = df.join(
         assigned.where(F.col("centroid_id").isin(probe_ids)).select(id_col),
         on=id_col,

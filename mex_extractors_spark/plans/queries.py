@@ -278,11 +278,12 @@ def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
     )
 
     def assign(cent: str, name: str) -> str:
+        # tie-break mirrors assign_to_centroids: 6dp-rounded l2, then cid
         return f"""{name} AS (
       SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid, {l2} AS l2
         FROM embeddings e CROSS JOIN {cent} c)
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) = 1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(l2, 6), cid) = 1
     )"""
 
     def recompute(assigned: str, name: str) -> str:
@@ -309,7 +310,7 @@ def _sim4_oracle(num_centroids: int, iterations: int, dim: int) -> str:
     SELECT vec_id, cid AS centroid_id, round(l2, 6) AS l2_dist FROM (
       SELECT e.vec_id, c.cid, {l2} AS l2
       FROM embeddings e CROSS JOIN cent{max(iterations, 1) - 1} c)
-    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY l2, cid) = 1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(l2, 6), cid) = 1
     """
     return "WITH " + ",\n    ".join(ctes) + final
 

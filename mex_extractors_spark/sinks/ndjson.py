@@ -26,7 +26,12 @@ Checksum scheme by layout:
   never opens a part file, so a large export never serializes through
   one machine's NIC/disk. Verifiability is unchanged: each part's bytes
   are certified by its own (executor-verified) sha256, and the part-sha
-  list is pinned by the hash-of-hashes.
+  list is pinned by the hash-of-hashes. NOTE: that hash is LAYOUT-bound
+  (part boundaries move with shuffle partitioning / AQE coalescing);
+  the cross-environment golden number for parts mode is
+  ``content_sum64`` — the mod-2^64 sum of per-line sha256 prefixes,
+  identical however the sorted stream is split (recorded for both
+  layouts).
 """
 
 from __future__ import annotations
@@ -42,7 +47,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mex_extractors_spark.functions.canonical import canonical_json
 
-_PART_SCHEMA = "part long, file_name string, n_rows long, part_sha256 string"
+_PART_SCHEMA = (
+    "part long, file_name string, n_rows long, part_sha256 string, "
+    "line_sum64 long"
+)
 
 
 def _concat_and_hash_parts(
@@ -85,6 +93,15 @@ def export_ndjson(
     order_cols = list(order_cols or sorted(df.columns))
     target = os.path.join(out_dir, version_label)
     os.makedirs(target, exist_ok=True)
+    # a fresh export owns the version dir: clear artifacts of any prior
+    # (possibly crashed) run — a re-run with fewer partitions would
+    # otherwise leave orphan part files next to the new output that a
+    # globbing consumer reads as data metadata.json never mentions
+    for stale in os.listdir(target):
+        if (
+            stale.startswith("part-") and stale.endswith(".ndjson")
+        ) or stale in ("items.ndjson", "metadata.json"):
+            os.remove(os.path.join(target, stale))
 
     lines = df.select(canonical_json(df).alias("_line"), *[
         c for c in order_cols
@@ -96,6 +113,7 @@ def export_ndjson(
         pid = TaskContext.get().partitionId()
         h = hashlib.sha256()
         n = 0
+        line_sum = 0  # order/partitioning-independent content evidence
         path = os.path.join(target, f"part-{pid:05d}.ndjson")
         fh = None
         for pdf in batches:
@@ -105,6 +123,10 @@ def export_ndjson(
                 payload = (line + "\n").encode("utf-8")
                 fh.write(payload)
                 h.update(payload)
+                line_sum = (
+                    line_sum
+                    + int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+                ) % (1 << 64)
                 n += 1
         if fh is None:
             return  # empty partition: no file, no manifest row
@@ -123,14 +145,21 @@ def export_ndjson(
                 "file_name": [os.path.basename(path)],
                 "n_rows": [n],
                 "part_sha256": [h.hexdigest()],
+                # signed view of the mod-2^64 sum (Spark long)
+                "line_sum64": [line_sum - (1 << 64) if line_sum >= (1 << 63) else line_sum],
             }
         )
 
+    rows = lines.mapInPandas(write_part, _PART_SCHEMA).collect()
     manifest = sorted(
-        (r.part, r.file_name, r.n_rows, r.part_sha256)
-        for r in lines.mapInPandas(write_part, _PART_SCHEMA).collect()
+        (r.part, r.file_name, r.n_rows, r.part_sha256) for r in rows
     )
     total = sum(n_rows for _pid, _f, n_rows, _s in manifest)
+    # order- AND partitioning-independent content checksum: the mod-2^64
+    # sum of per-line sha256 prefixes is identical however the sorted
+    # stream was split into parts — THE cross-environment golden number
+    # for parts mode (the per-part sha list is layout-bound evidence)
+    content_sum = sum(int(r.line_sum64) & ((1 << 64) - 1) for r in rows) % (1 << 64)
     if single_file:
         out_path = os.path.join(target, "items.ndjson")
         stream = _concat_and_hash_parts(target, manifest, out_path)
@@ -159,6 +188,8 @@ def export_ndjson(
                 for _p, f, n, s in manifest
             ]
         ),
+        "content_sum64": format(content_sum, "016x"),
+        "content_scheme": "sum64-of-line-sha256-prefixes",
         "versions": {"pyspark": spark.version},
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,6 +153,20 @@ class ReplayEngine:
                 raise ValueError(
                     f"buckets must be within 0..{self.table.num_buckets - 1}"
                 )
+            if self.normalize is not None:
+                # the ownership filter below hashes table.key_cols on
+                # the RAW frame; a normalize hook that renames or
+                # rewrites key columns would break it (missing column)
+                # or — worse — route events by pre-normalized values so
+                # every writer silently drops them. Parallel ingest
+                # takes pre-normalized streams only.
+                raise ValueError(
+                    "bucket-partitioned parallel ingest (buckets=...) "
+                    "cannot be combined with a normalize hook — the "
+                    "writer-ownership filter hashes the table key "
+                    "columns on the raw stream. Normalize the events "
+                    "first, then replay the normalized frame."
+                )
             ids = ",".join(map(str, owned))
             if len(ids) > 32:  # wide ownership sets: fixed-width digest
                 ids = "h" + hashlib.sha1(ids.encode()).hexdigest()[:12]
@@ -244,9 +259,18 @@ class ReplayEngine:
         stream = (
             spark.readStream.format(file_format).schema(schema).load(source_dir)
         )
+        # ledger ids are namespaced by the CHECKPOINT: Spark's batch ids
+        # restart at 0 for every fresh checkpoint, so a bare
+        # "stream:{id}" from a second stream (new source dir, reset
+        # checkpoint) would collide with the first stream's applied ids
+        # and silently no-op its first micro-batches. Same checkpoint →
+        # same namespace → restarts stay exactly-once.
+        ns = hashlib.sha1(
+            os.path.abspath(checkpoint_dir).rstrip("/").encode()
+        ).hexdigest()[:10]
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            self._apply_one(spark, batch_df, f"stream:{batch_id}")
+            self._apply_one(spark, batch_df, f"stream:{ns}:{batch_id}")
 
         writer = stream.writeStream.foreachBatch(_sink).option(
             "checkpointLocation", checkpoint_dir
