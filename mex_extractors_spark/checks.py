@@ -103,16 +103,29 @@ def rules_to_checks(
     metrics.MetricsLog` so each historical rule compares against the
     count closest to ``now - time_frame`` (the reference's historic
     selection, pipeline/checks/main.py:130-155). Static rules ignore the
-    provider. Pass the result to ``ReplayEngine(pre_commit_checks=)``."""
-    out = []
-    for r in rules:
-        provider = (
-            (lambda rr=r: metrics_log.counts_at(field=field, time_frame=rr.time_frame))
-            if metrics_log is not None
-            else None
-        )
-        out.append(count_check(r, provider))
-    return out
+    provider. Pass the result to ``ReplayEngine(pre_commit_checks=)``.
+
+    Returns ONE composite check: the batch is counted exactly once per
+    micro-batch however many rules are bound (N independent checks
+    would run N count jobs over the same uncached lineage), and the
+    metrics-ledger read happens only for the historical rules that
+    actually consult it. Failures of several rules join into one
+    blocking message."""
+    def composite(batch: DataFrame) -> str | None:
+        current = batch.count()
+        errs = []
+        for r in rules:
+            history = (
+                metrics_log.counts_at(field=field, time_frame=r.time_frame)
+                if metrics_log is not None and r.fail_if in HISTORICAL_RULES
+                else None
+            )
+            err = r.evaluate(current, history)
+            if err:
+                errs.append(err)
+        return "; ".join(errs) if errs else None
+
+    return [composite] if rules else []
 
 
 _VALID_FAIL_IF = {

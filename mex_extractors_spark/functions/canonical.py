@@ -18,13 +18,20 @@ from pyspark.sql import functions as F
 
 
 def canonical_json(df_or_cols: DataFrame | Sequence[str]) -> Column:
-    """Sorted-field JSON for each row (the canonical bytes)."""
+    """Sorted-field JSON for each row (the canonical bytes).
+
+    ``ignoreNullFields=false`` matters: the reference serializes with
+    ``exclude_none=False`` (sinks/s3.py:173) and ``json.dumps`` keeps
+    null keys, so a null-valued field must appear as ``"field":null``
+    — Spark's default silently omits it, which would make the canonical
+    bytes (and every checksum built on them) diverge from the
+    reference's for any row containing a null."""
     names = (
         sorted(df_or_cols.columns)
         if isinstance(df_or_cols, DataFrame)
         else sorted(df_or_cols)
     )
-    return F.to_json(F.struct(*names))
+    return F.to_json(F.struct(*names), {"ignoreNullFields": "false"})
 
 
 def row_sha256(df_or_cols: DataFrame | Sequence[str]) -> Column:

@@ -342,9 +342,16 @@ class LakeCatalog:
             v = snap.get("parent") if snap else None
         expired = 0
         for f in os.listdir(self.cat_dir):
-            if ".tmp-" in f:  # crash leftover between write and link/replace
+            if ".tmp-" in f:
+                # crash leftover between write and link/replace — but
+                # only reclaim AGED ones: a concurrent committer's
+                # in-flight tmp (written, not yet linked) must survive,
+                # or its os.link dies with FileNotFoundError instead of
+                # a classified CommitConflict
+                p = os.path.join(self.cat_dir, f)
                 try:
-                    os.remove(os.path.join(self.cat_dir, f))
+                    if time.time() - os.path.getmtime(p) > 3600:
+                        os.remove(p)
                 except OSError:
                     pass
                 continue

@@ -115,7 +115,12 @@ def exactly_one_gate(
 def author_count_cutoff(
     df: DataFrame, authors_col: str, max_authors: int
 ) -> DataFrame:
-    """Drop records with too many authors (endnote/extract.py:36-44)."""
+    """Drop records whose author count REACHES the cutoff — strict
+    ``<`` keep, mirroring the reference exactly (endnote/extract.py:38
+    drops when ``len(authors) >= settings.cutoff_number_authors``); a
+    record with exactly ``max_authors`` authors is dropped. NULL author
+    arrays (size = -1) are kept, matching the reference's findall
+    returning an empty list only for present-but-empty nodes."""
     return df.where(F.size(F.col(authors_col)) < F.lit(max_authors))
 
 
@@ -132,7 +137,11 @@ def subtree_members(
     frontier is tiny (dimension table) so each step broadcasts.
     """
     spark = edges.sparkSession
-    frontier = spark.createDataFrame([(r,) for r in root_ids], [id_col])
+    # explicit schema: createDataFrame cannot infer one from an empty
+    # root list, and "no configured roots" is a legal (empty) subtree
+    frontier = spark.createDataFrame(
+        [(r,) for r in root_ids], f"{id_col} string"
+    )
     seen = frontier
     cached: list[DataFrame] = []
     for _ in range(max_depth):

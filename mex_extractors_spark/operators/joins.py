@@ -74,11 +74,26 @@ def synonym_lookup(
     dim: DataFrame,
     fact_name_col: str,
     synonyms_col: str = "synonyms",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Resolve a free-text name against a dimension's synonym arrays —
     unit-by-synonym lookup (organigram/helpers.py:70-85). Explode the
-    (small) dim's synonyms, broadcast, equi-join."""
+    (small) dim's synonyms, broadcast, equi-join.
+
+    ``id_col``: when set, a synonym shared by several dim rows resolves
+    to exactly ONE (the row with the greatest ``id_col`` — the
+    deterministic stand-in for the reference's dict build, where the
+    last insert wins). Without it the join keeps SQL semantics: a
+    duplicated synonym fans the fact row out once per owner."""
     exploded = dim.withColumn(fact_name_col, F.explode(F.col(synonyms_col))).drop(synonyms_col)
+    if id_col is not None:
+        others = [c for c in exploded.columns if c != fact_name_col]
+        exploded = exploded.groupBy(fact_name_col).agg(
+            *[
+                F.max_by(F.col(c), F.col(id_col)).alias(c)
+                for c in others
+            ]
+        )
     return fact.join(F.broadcast(exploded), on=fact_name_col, how="left")
 
 
@@ -88,11 +103,19 @@ def self_link_successor(
     ref_name_col: str,
     id_col: str,
     out_col: str = "succeeds",
+    unique_names: bool = True,
 ) -> DataFrame:
     """Successor linking: set ``succeeds`` from a name reference to
     another row's id (synopse/transform.py:542-587 two-pass dict build
-    → self broadcast join)."""
+    → self broadcast join).
+
+    ``unique_names=True`` (default) mirrors the reference's dict
+    semantics: a name carried by several rows links to exactly one id
+    (the greatest — deterministic, unlike the dict's insertion-order
+    overwrite); ``False`` keeps SQL join semantics and fans out."""
     lookup = df.select(F.col(name_col).alias(ref_name_col), F.col(id_col).alias(out_col))
+    if unique_names:
+        lookup = lookup.groupBy(ref_name_col).agg(F.max(out_col).alias(out_col))
     return df.join(F.broadcast(lookup), on=ref_name_col, how="left")
 
 
@@ -112,8 +135,18 @@ def topological_levels(
     deterministic parent-first, pk-tiebreak ordering.
     """
     nodes = edges.select(id_col, parent_col)
+    # roots: no parent, OR a DANGLING parent (an id that never appears
+    # as a node row — an incomplete dimension extract, not a cycle).
+    # networkx auto-creates such a parent node and sorts on; without
+    # this seed the whole dangling subtree would stay level-null and be
+    # misdiagnosed as a cycle by the caller's fail-loudly contract
+    known = nodes.select(F.col(id_col).alias("_known")).distinct()
     levels = nodes.where(F.col(parent_col).isNull()).select(
         id_col, F.lit(0).alias("level")
+    ).unionByName(
+        nodes.where(F.col(parent_col).isNotNull())
+        .join(known, F.col(parent_col) == F.col("_known"), "left_anti")
+        .select(id_col, F.lit(1).alias("level"))
     )
     frontier = levels
     cached: list[DataFrame] = []

@@ -50,17 +50,27 @@ def _csv_field(v: object) -> str:
     quote, or a line break are quoted with doubled inner quotes; clean
     values pass through byte-identical (keeps the SQL-expressible
     sha256 oracle valid for clean data)."""
-    s = "" if v is None else str(v)
+    # pandas represents nullable numeric/timestamp nulls as NaN/NaT,
+    # not None — both must render as the empty field, never 'nan'
+    s = "" if v is None or (v != v) or v is pd.NaT else str(v)
     if any(ch in s for ch in (",", '"', "\n", "\r")):
         s = '"' + s.replace('"', '""') + '"'
     return s
 
 
+def _sort_cols(order_col: str, row_cols: Sequence[str]) -> list[str]:
+    return [order_col, *[c for c in row_cols if c != order_col]]
+
+
 def render_csv_bytes(pdf: pd.DataFrame, row_cols: Sequence[str], order_col: str) -> bytes:
     """Canonical CSV rendering: fixed column order, rows sorted by
-    ``order_col`` — byte-stable across partitionings, so the manifest
-    sha256 is deterministic (and expressible as a SQL oracle)."""
-    body = pdf.sort_values(order_col)[list(row_cols)]
+    ``order_col`` with the remaining row columns as tiebreak — rows
+    tied on order_col alone would otherwise keep the shuffle's
+    nondeterministic arrival order, and the manifest sha256 would not
+    be byte-stable across re-runs as documented."""
+    body = pdf.sort_values(_sort_cols(order_col, row_cols), kind="mergesort")[
+        list(row_cols)
+    ]
     lines = [",".join(_csv_field(c) for c in row_cols)]
     lines += [
         ",".join(_csv_field(v) for v in row) for row in body.itertuples(index=False)
@@ -97,7 +107,9 @@ def write_group_reports(
             from mex_extractors_spark.sources.xlsx import xlsx_bytes
 
             file_name = f"{entity_name}_{_safe(group)}.xlsx"
-            body = pdf.sort_values(order_col)[row_cols].reset_index(drop=True)
+            body = pdf.sort_values(
+                _sort_cols(order_col, row_cols), kind="mergesort"
+            )[row_cols].reset_index(drop=True)
             payload = xlsx_bytes({entity_name: body})
         else:
             file_name = f"{entity_name}_{_safe(group)}.csv"
@@ -112,7 +124,8 @@ def write_group_reports(
             }
         )
 
-    cols = list(dict.fromkeys([group_col, *row_cols]))  # group may be a row col
+    # the sort column must ride along even when it is not reported
+    cols = list(dict.fromkeys([group_col, *row_cols, order_col]))
     return (
         df.select(*cols)
         .groupBy(group_col)

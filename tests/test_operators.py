@@ -753,3 +753,33 @@ def test_derive_ivf_params_tracks_measured_curve():
     # per-query work 2*nprobe*sqrt(n) stays sublinear at 10^10 rows
     c, p = derive_ivf_params(10**10)
     assert c * p < 10**10 / 100
+
+
+def test_lookup_duplicate_keys_resolve_like_reference_dict(spark):
+    """A name/synonym carried by several rows must resolve to exactly
+    ONE id (greatest — the deterministic analog of the reference's
+    dict-overwrite build), not fan the fact row out per candidate."""
+    df = spark.createDataFrame(
+        [("A", None, 1), ("A", None, 2), ("B", "A", 3)],
+        "shortName string, anschlussprojekt string, stableTargetId long",
+    )
+    linked = self_link_successor(
+        df, "shortName", "anschlussprojekt", "stableTargetId"
+    )
+    rows = linked.where(F.col("stableTargetId") == 3).collect()
+    assert len(rows) == 1 and rows[0]["succeeds"] == 2
+    # opt-out keeps SQL fan-out semantics
+    fan = self_link_successor(
+        df, "shortName", "anschlussprojekt", "stableTargetId",
+        unique_names=False,
+    )
+    assert fan.where(F.col("stableTargetId") == 3).count() == 2
+
+    dim = spark.createDataFrame(
+        [(10, ["x"]), (20, ["x"])], "unit_id long, synonyms array<string>"
+    )
+    fact = spark.createDataFrame([(1, "x")], "id long, unit_name string")
+    resolved = synonym_lookup(fact, dim, "unit_name", id_col="unit_id")
+    got = resolved.collect()
+    assert len(got) == 1 and got[0]["unit_id"] == 20
+    assert synonym_lookup(fact, dim, "unit_name").count() == 2  # default: SQL
