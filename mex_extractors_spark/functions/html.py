@@ -12,6 +12,8 @@ scan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -29,8 +31,12 @@ def extract_item_urls(html: str | Column, pattern: str = r'href="([^"]+)"') -> C
 
 def extract_field(html: str | Column, field: str) -> Column:
     """One field from an item page's ``<td id="...">value</td>`` table
-    (the ``parse_single_item_html`` analog, one expression per field)."""
-    return F.regexp_extract(_c(html), f'<td id="{field}">([^<]*)</td>', 1)
+    (the ``parse_single_item_html`` analog, one expression per field).
+    The field name is regex-escaped: an id containing ``(``/``.``/``+``
+    would otherwise shift capture-group numbering or match wrong ids."""
+    return F.regexp_extract(
+        _c(html), f'<td id="{re.escape(field)}">([^<]*)</td>', 1
+    )
 
 
 def url_item_id(url: str | Column) -> Column:

@@ -28,7 +28,15 @@ def stable_id(*parts: Column | str, length: int = 22) -> Column:
     no shuffle, no UDF.
     """
     cols = [F.col(p) if isinstance(p, str) else p for p in parts]
-    digest = F.sha2(F.concat_ws(_SEP, *cols), 256)
+    # NULL parts must not silently collapse distinct keys: concat_ws
+    # SKIPS nulls, so ('a', NULL) and ('a',) would join identically and
+    # every row missing a key component would share ONE identity. A
+    # null component makes the whole id NULL instead — visible, never
+    # colliding.
+    any_null = F.lit(False)
+    for c in cols:
+        any_null = any_null | c.isNull()
+    digest = F.when(~any_null, F.sha2(F.concat_ws(_SEP, *cols), 256))
     # fold hex into base62: take 2-hex windows, index the alphabet
     chars = [
         F.substring(

@@ -119,9 +119,11 @@ def author_count_cutoff(
     ``<`` keep, mirroring the reference exactly (endnote/extract.py:38
     drops when ``len(authors) >= settings.cutoff_number_authors``); a
     record with exactly ``max_authors`` authors is dropped. NULL author
-    arrays (size = -1) are kept, matching the reference's findall
-    returning an empty list only for present-but-empty nodes."""
-    return df.where(F.size(F.col(authors_col)) < F.lit(max_authors))
+    arrays are kept — ``size(NULL)`` is NULL in non-legacy Spark and
+    would silently drop no-authors records the reference keeps (its
+    findall yields an empty list, len 0 < cutoff)."""
+    a = F.col(authors_col)
+    return df.where(a.isNull() | (F.size(a) < F.lit(max_authors)))
 
 
 def subtree_members(

@@ -47,9 +47,14 @@ def windows_path_to_uri(col: Column | str) -> Column:
     expression: backslashes → slashes, drive letter → file:/// prefix."""
     c = F.col(col) if isinstance(col, str) else col
     fwd = F.regexp_replace(c, "\\\\", "/")
-    return F.when(
-        fwd.rlike("^[A-Za-z]:"), F.concat(F.lit("file:///"), fwd)
-    ).otherwise(F.concat(F.lit("file://"), fwd))
+    return (
+        F.when(fwd.rlike("^[A-Za-z]:"), F.concat(F.lit("file:///"), fwd))
+        # UNC \\\\server\\share -> //server/share: as_uri() renders it
+        # file://server/share (the authority IS the server) — a blanket
+        # file:// prefix would double the slashes into file:////server
+        .when(fwd.rlike("^//"), F.concat(F.lit("file:"), fwd))
+        .otherwise(F.concat(F.lit("file://"), fwd))
+    )
 
 
 _PERSON_TYPE = ArrayType(
@@ -58,7 +63,14 @@ _PERSON_TYPE = ArrayType(
     )
 )
 
-_TITLE_RE = re.compile(r"\b(?:Dr|Prof|Med|Dipl|Ing|MSc|BSc|PhD|MD)\.?\s*", re.IGNORECASE)
+# the lookahead is load-bearing: without a boundary AFTER the token,
+# 'Ing' would strip the front of 'Ingrid', 'Med' of 'Medina', 'Dr' of
+# 'Drew' — a title counts only as a whole token ending in '.', space,
+# or end-of-part
+_TITLE_RE = re.compile(
+    r"\b(?:Dr|Prof|Med|Dipl|Ing|MSc|BSc|PhD|MD)(?:\.|(?=\s|$))\s*",
+    re.IGNORECASE,
+)
 
 
 @pandas_udf(_PERSON_TYPE)

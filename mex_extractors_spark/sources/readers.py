@@ -29,7 +29,11 @@ def read_json_validated(
     filtering (voxco/extract.py:25-27 skips ``test_`` files)."""
     df = spark.read.schema(schema).json(paths)
     if skip_file_substring:
-        df = df.where(~F.input_file_name().contains(skip_file_substring))
+        # match on the file NAME like the reference ("test_" not in
+        # file_name, voxco/extract.py:26) — the full URI would also
+        # skip files under any directory whose path contains the substr
+        base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.where(~base.contains(skip_file_substring))
     if aliases:
         df = df.withColumnsRenamed(aliases)
     return df
@@ -65,9 +69,15 @@ def read_xml_records(
     reader = spark.read.format("xml").option("rowTag", row_tag)
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.load(path if isinstance(path, str) else ",".join(path))
+    # load() takes a list directly; a comma-joined string would be
+    # treated as ONE literal path and fail with PATH_NOT_FOUND
+    df = reader.load(path)
     if max_authors is not None:
-        df = df.where(F.size(F.col(authors_col)) < F.lit(max_authors))
+        # size(NULL) is NULL (not -1) in non-legacy Spark, which would
+        # silently drop records with no authors block — the reference
+        # cutoff only drops records with TOO MANY authors
+        a = F.col(authors_col)
+        df = df.where(a.isNull() | (F.size(a) < F.lit(max_authors)))
     return df
 
 
@@ -110,6 +120,8 @@ def columnar_pivot(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """S8 columnar exception (grippeweb/connector.py:64-75): table →
     one row per column name with its distinct sorted values — what the
     reference pivots dicts for, free in a columnar engine."""
+    if not columns:
+        raise ValueError("columnar_pivot needs at least one column")
     parts = [
         df.select(
             F.lit(c).alias("column_name"),

@@ -49,6 +49,11 @@ def events(
     Fully distributed: ``spark.range`` partitions the sequence space, and
     every column is a pure expression of ``seq`` — no shuffle, no driver
     data, safe at 1e10 rows.
+
+    ``n_repos`` bounds the repo keyspace: the log-uniform derivation
+    emits ids in ``[0, n_repos-2]`` (the zipf-ish density is the
+    contract, not the exact cardinality — kept as-is deliberately so
+    every pinned bench corpus across rounds regenerates byte-identical).
     """
     df = spark.range(1, n_events + 1, numPartitions=num_partitions).withColumnRenamed(
         "id", "seq"
@@ -128,10 +133,17 @@ def with_evolution_columns(df: DataFrame, size_type: str = "int") -> DataFrame:
     carry ``content_sha`` (content-derived) and ``size_bytes`` — generated
     first as ``int`` and later widened to ``long`` to exercise the
     schema-merge step (SURVEY.md §7 Phase 4).
+
+    Semantics match ``normalize_change_events`` for the same column
+    names (NULL content → NULL sha; byte length via ``octet_length``) —
+    evolution events merged without renormalization must not violate
+    the table's documented sha/size invariants on multi-byte content.
     """
     return df.withColumns(
         {
-            "content_sha": F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
-            "size_bytes": F.length(F.coalesce(F.col("content"), F.lit(""))).cast(size_type),
+            "content_sha": F.when(
+                F.col("content").isNotNull(), F.sha2(F.col("content"), 256)
+            ),
+            "size_bytes": F.octet_length(F.col("content")).cast(size_type),
         }
     )

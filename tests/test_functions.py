@@ -295,3 +295,66 @@ def test_nfc_normalize_collapses_decomposed_forms(spark):
     assert got[1] == got[2] == "café"
     assert len(got[1]) == 4
     assert got[3] == "" and got[4] is None and got[5] == "plain ascii"
+
+
+def test_title_regex_never_strips_name_prefixes(spark):
+    from mex_extractors_spark.sources.normalize import analyse_person_string
+
+    df = spark.createDataFrame(
+        [("Ingrid Curie, Medina Lopez, Drew Barry, Dr. Ada Lovelace",)],
+        "s string",
+    )
+    rows = df.select(analyse_person_string("s").alias("p")).collect()[0]["p"]
+    got = [(r["givenname"], r["surname"]) for r in rows]
+    assert got == [
+        ("Ingrid", "Curie"),
+        ("Medina", "Lopez"),
+        ("Drew", "Barry"),
+        ("Ada", "Lovelace"),  # a real title still strips
+    ]
+
+
+def test_stable_id_null_part_yields_null_not_collision(spark):
+    from mex_extractors_spark.functions.ids import stable_id
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], "p string, q string"
+    )
+    out = df.select(stable_id("p", "q").alias("sid")).collect()
+    assert out[0]["sid"] is not None
+    # null components do NOT collapse to one shared identity
+    assert out[1]["sid"] is None and out[2]["sid"] is None
+
+
+def test_windows_path_to_uri_unc(spark):
+    from mex_extractors_spark.sources.normalize import windows_path_to_uri
+
+    df = spark.createDataFrame(
+        [("\\\\server\\share\\f.txt",), ("C:\\data\\f.txt",)], "p string"
+    )
+    got = [r["u"] for r in df.select(windows_path_to_uri("p").alias("u")).collect()]
+    assert got == ["file://server/share/f.txt", "file:///C:/data/f.txt"]
+
+
+def test_author_cutoff_keeps_null_author_arrays(spark):
+    from mex_extractors_spark.operators.filters import author_count_cutoff
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None), (3, ["a", "b", "c"])],
+        "id long, authors array<string>",
+    )
+    kept = {r["id"] for r in author_count_cutoff(df, "authors", 3).collect()}
+    assert kept == {1, 2}  # null authors kept, 3-author record dropped
+
+
+def test_read_xml_records_accepts_path_list(spark, tmp_path):
+    from mex_extractors_spark.sources.readers import read_xml_records
+
+    for i, name in enumerate(["a.xml", "b.xml"]):
+        (tmp_path / name).write_text(
+            f"<root><rec><id>{i}</id></rec></root>"
+        )
+    df = read_xml_records(
+        spark, [str(tmp_path / "a.xml"), str(tmp_path / "b.xml")], row_tag="rec"
+    )
+    assert sorted(r["id"] for r in df.collect()) == [0, 1]
