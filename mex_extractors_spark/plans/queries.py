@@ -4399,6 +4399,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_update_where",
     "cdc_rollback",
     "cdc_txn_purge",
+    "cdc_metadata_snapshots",
     "cdc_time_travel",
     "cdc_schema_evolution",
     "cdc_expire_vacuum",
@@ -4455,16 +4456,29 @@ _DRIVER_WINDOW_PRIORITY = [
     "c7_date_parse_fallback",
     "j4_synonym_lookup",
     "f8_exactly_one_gate",
-    "t1_token_stats",
     # round-4 temporal-join additions (never driver-checked) — they take
     # slots 50-51, displacing the sim4 insurance re-check past the
     # window. sim4 keeps its r3 driver row + per-run pytest parity, and
     # its round-4 code changes stay driver-covered through sim6 (slot
     # 12, same refactored assignment kernel); only j10 lands in the
-    # 50-slot window this round, j11 is next in line for round 5
-    # (with t4_fingerprint, displaced by s19 above).
+    # 50-slot window this round.
+    #
+    # ROUND-5 WINDOW PLAN (computed against CORRECTNESS_r01-r03 ∪ the
+    # r4 window): after r4, exactly these 11 entries lack a row within
+    # the last two rounds and MUST lead r5's first 50 —
+    #   j11_interval_join (never driver-checked; one slot short in r4),
+    #   t1_token_stats, t4_fingerprint, t2_quality_scores (r2-green,
+    #   displaced by s19/t15/cdc_metadata_snapshots),
+    #   j2_inner_skip_join, a1_group_minmax, u5_except_values,
+    #   c8_year_extract, c_json_extract, s4_style_scan,
+    #   u34_array_intersect_except (r2-green, rotated out in r3 AND r4).
+    # Plus: any r4 row that FAILS (check CORRECTNESS_r04.json first),
+    # the three permanent canaries, and r3-green re-checks for whatever
+    # round 5 touches. Everything else stays covered per run by
+    # tests/test_queries_parity.py.
     "j10_asof_join",
     "j11_interval_join",
+    "t1_token_stats",
     "t4_fingerprint",
     "t2_quality_scores",
     # r3-green, re-verified because round 4 touched their code paths
