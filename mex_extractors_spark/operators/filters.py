@@ -140,9 +140,15 @@ def subtree_members(
     """
     spark = edges.sparkSession
     # explicit schema: createDataFrame cannot infer one from an empty
-    # root list, and "no configured roots" is a legal (empty) subtree
+    # root list, and "no configured roots" is a legal (empty) subtree.
+    # The id type is taken from the edge table, not hardcoded — a
+    # string frontier against bigint edge ids would join through an
+    # implicit cast (lossy above 2^53)
+    from pyspark.sql.types import StructField, StructType
+
     frontier = spark.createDataFrame(
-        [(r,) for r in root_ids], f"{id_col} string"
+        [(r,) for r in root_ids],
+        StructType([StructField(id_col, edges.schema[id_col].dataType)]),
     )
     seen = frontier
     cached: list[DataFrame] = []

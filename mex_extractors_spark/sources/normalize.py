@@ -173,10 +173,27 @@ def to_common_model(
     """Attach the common-model identity + Text columns: deterministic
     identifier/stableTargetId from (hadPrimarySource,
     identifierInPrimarySource) — SURVEY.md §1.1."""
+    # common-model identity requires a TOTAL natural key: stable_id
+    # null-propagates (functions/ids.py), so a NULL key would yield a
+    # NULL identifier that silently drops out of downstream equi-joins.
+    # Fail loudly at execution instead — the reference's pydantic
+    # validation rejects a missing identifierInPrimarySource the same
+    # way (models via mex.common, SURVEY.md §1.1).
+    key = F.col(natural_key_col).cast("string")
+    key = F.when(
+        key.isNull(),
+        F.raise_error(
+            F.lit(
+                f"to_common_model: NULL {natural_key_col} — the common-model "
+                "identity needs a total natural key; filter or quarantine "
+                "null-keyed rows first"
+            )
+        ),
+    ).otherwise(key)
     out = df.withColumns(
         {
             "hadPrimarySource": F.lit(primary_source),
-            "identifierInPrimarySource": F.col(natural_key_col).cast("string"),
+            "identifierInPrimarySource": key,
         }
     )
     out = out.withColumns(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -268,8 +269,22 @@ class ReplayEngine:
         ns = hashlib.sha1(
             os.path.abspath(checkpoint_dir).rstrip("/").encode()
         ).hexdigest()[:10]
+        # continuity with pre-namespacing ledgers: a table written by the
+        # old bare "stream:{N}" format has acked entries the new ids no
+        # longer match, so Spark's restart redelivery of the last
+        # in-flight batch would re-apply once (masked by LWW idempotence
+        # but drifting counts/provenance). Legacy ids can never be
+        # written again, so snapshot them once and treat a matching
+        # redelivered batch as already applied.
+        legacy_applied = {
+            b
+            for b in self.table.applied_batches()
+            if re.fullmatch(r"stream:\d+", b)
+        }
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if f"stream:{batch_id}" in legacy_applied:
+                return
             self._apply_one(spark, batch_df, f"stream:{ns}:{batch_id}")
 
         writer = stream.writeStream.foreachBatch(_sink).option(

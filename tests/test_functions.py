@@ -219,6 +219,17 @@ def test_to_common_model_identity_golden(spark):
     assert out.title[0].value == "T"
 
 
+def test_to_common_model_null_key_raises(spark):
+    """stable_id null-propagates, so a NULL natural key would mint a
+    NULL identifier that silently vanishes from downstream equi-joins —
+    to_common_model must fail loudly instead (the reference's pydantic
+    validation rejects a missing identifierInPrimarySource the same
+    way)."""
+    df = spark.createDataFrame([("rec-1",), (None,)], ["rid"])
+    with pytest.raises(Exception, match="total natural key"):
+        to_common_model(df, "src-sys", "rid").collect()
+
+
 def test_quarantine_split(spark):
     df = spark.createDataFrame(
         [(1, "ok"), (2, None), (3, "bad")], ["id", "v"]

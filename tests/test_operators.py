@@ -105,6 +105,19 @@ def test_subtree_members(spark):
     assert got == ["a", "b", "c"]
 
 
+def test_subtree_members_numeric_ids(spark):
+    """Frontier column type is derived from the edge table — bigint ids
+    must join as bigint, never through an implicit string cast (lossy
+    above 2^53)."""
+    edges = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (9, None)],
+        "unit_id bigint, parent_unit_id bigint",
+    )
+    sub = subtree_members(edges, [2])
+    assert sub.schema["unit_id"].dataType.typeName() == "long"
+    assert sorted(r.unit_id for r in sub.collect()) == [2, 3]
+
+
 def test_broadcast_lookup_and_fallback(spark):
     fact = spark.createDataFrame([(1, "u1"), (2, "u9")], ["id", "unit"])
     dim = spark.createDataFrame([("u1", "Unit One")], ["unit", "unit_name"])

@@ -51,10 +51,29 @@ ORACLED = sorted(name for name, qd in REGISTRY.items() if qd.oracle is not None)
 ROWS_ONLY = sorted(name for name, qd in REGISTRY.items() if qd.oracle is None)
 
 
+def _assert_driver_canonicalizable(name, sdf):
+    """Registry guard: the driver's oracle harness canonicalizes results
+    via pandas sort_values, which cannot sort array/map/struct cells
+    (CORRECTNESS_r04's only err, s13_openapi_classify). Every registered
+    query must emit scalar top-level columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} break the driver's "
+        "pandas canonicalization — array_join/to_json them to scalars"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, ddb, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF_DIR)
+    _assert_driver_canonicalizable(name, sdf)
     spark_cols = sdf.columns
     spark_rows = _rows_to_set([tuple(r) for r in sdf.collect()], spark_cols)
 
@@ -75,5 +94,6 @@ def test_query_matches_oracle(spark, ddb, name):
 def test_rows_only_query_runs(spark, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF_DIR)
+    _assert_driver_canonicalizable(name, sdf)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0

@@ -80,6 +80,21 @@ def test_pack_shards_matches_naive_cumsum(spark):
     assert sorted(set(got.values())) == list(range(max(got.values()) + 1))
 
 
+def test_prefix_sum_keeps_fractional_costs(spark):
+    """The prefix-sum kernel keeps the SOURCE numeric type: a double
+    cost column must yield double, untruncated _cum0 values (a long
+    cast would floor every prefix — costs here are 0.25 multiples, so
+    all partial sums are exact in binary and association-independent)."""
+    from mex_extractors_spark.operators.sampling import _exclusive_prefix_sum
+
+    rows = [(i, 0.25) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, cost double")
+    out = _exclusive_prefix_sum(df, "doc_id", "cost", range_width=4)
+    assert out.schema["_cum0"].dataType.typeName() == "double"
+    got = {r["doc_id"]: r["_cum0"] for r in out.collect()}
+    assert got == {i: 0.25 * i for i in range(10)}
+
+
 def test_pack_shards_window_is_bucket_partitioned(spark):
     """The full-data window must be partitioned (parallel), never a
     global single-partition sort; only the ~n_buckets offsets row-set

@@ -45,6 +45,33 @@ def test_stream_from_files_converges(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_stream_legacy_ledger_id_treated_as_applied(spark, tmp_path):
+    """Ledger continuity across the stream-id format change: a table
+    whose ledger holds a pre-namespacing 'stream:{N}' entry must NOT
+    re-apply that micro-batch when Spark redelivers it under the new
+    'stream:{ns}:{N}' id — the legacy ack stands."""
+    events = synth.events(spark, 200, n_repos=5)
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    # simulate a pre-change stream having already applied batch 0
+    ReplayEngine(table)._apply_one(spark, events, "stream:0")
+    before = sorted(map(tuple, table.read(spark).collect()))
+
+    q = ReplayEngine(table).stream_from_files(
+        spark,
+        src,
+        schema=events.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    # the redelivered batch was skipped: no new ledger id, state unchanged
+    assert table.applied_batches() == {"stream:0"}
+    assert sorted(map(tuple, table.read(spark).collect())) == before
+
+
 def test_blocking_check_aborts_commit(spark, tmp_path):
     table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
     rule = CheckRule("fewer_than_x_items", 10_000, "min_batch_size")
