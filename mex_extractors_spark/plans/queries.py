@@ -3927,6 +3927,88 @@ def s19_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_envelope_replay",
+    "production-shape flagship: Debezium envelope FILES on disk -> one "
+    "scan+from_json decode (fused, sources/cdc_envelope.py) -> "
+    "exactly-once batched replay (streaming/replay.py) -> predicate "
+    "DML purge coexisting on the same lake table -> converged state. "
+    "The full binlog-tail->lake pipeline as one driver row",
+    """
+    WITH state AS (
+      SELECT user_id, event_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type
+    FROM state WHERE event_type <> 'purchase'
+    """,
+)
+def cdc_envelope_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end production shape: the events table becomes the wire
+    stream a binlog tailer would publish (Debezium JSON envelopes,
+    wrapped-or-flat nesting, minimal-replica-identity deletes, lsn seq),
+    written to disk as text segments and read back through a REAL scan —
+    ``parse_cdc_envelope`` is pure ``from_json`` expressions, so the
+    decode fuses into the scan stage (plan-gated in
+    test_cdc_envelope.py::test_envelope_replay_decode_fused). The flat
+    change rows replay through ``ReplayEngine`` in four seq-range
+    micro-batches (ledger-fenced exactly-once), then a predicate DELETE
+    purges 'purchase' rows — DML coexisting with CDC ingest on one
+    table. The oracle recomputes the converged state from the raw
+    events with no JSON anywhere: latest event per user wins, a latest
+    'error' tombstones, purged type excluded."""
+    from mex_extractors_spark.sources.cdc_envelope import parse_cdc_envelope
+    from mex_extractors_spark.streaming.replay import ReplayEngine
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    is_d = F.col("event_type") == "error"
+    after = F.struct(F.col("user_id"), F.col("event_type"))
+    # minimal replica identity: the delete's before image carries keys only
+    before_key = F.struct(
+        F.col("user_id"), F.lit(None).cast("string").alias("event_type")
+    )
+    env = F.struct(
+        F.when(is_d, before_key).alias("before"),
+        F.when(~is_d, after).alias("after"),
+        F.struct(
+            F.lit("postgresql").alias("connector"),
+            F.col("event_id").cast("long").alias("lsn"),
+        ).alias("source"),
+        F.when(is_d, "d")
+        .when(F.pmod(F.col("event_id"), F.lit(2)) == 0, "c")
+        .otherwise("u")
+        .alias("op"),
+    )
+    value = F.when(  # JsonConverter-with-schemas wrapped form, 1 in 3
+        F.pmod(F.col("event_id"), F.lit(3)) == 0,
+        F.to_json(F.struct(env.alias("payload"))),
+    ).otherwise(F.to_json(env))
+    # the tail arrives as many log segments on disk — a real scan, so
+    # the from_json decode has a scan stage to fuse into
+    src = _scratch_dir(sf_dir, "cdc_env_src")
+    ev.select(value.alias("value")).repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.text(src)
+    stream = spark.read.text(src)
+    changes, _quarantine = parse_cdc_envelope(
+        stream, "user_id bigint, event_type string", key_cols=["user_id"]
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    table = _scratch_lake(sf_dir, "cdc_env_lake")
+    ReplayEngine(table).replay(
+        spark, changes, 1, mx, batch_size=max(1, -(-mx // 4))
+    )
+    table.delete_where(spark, [("event_type", "=", "purchase")], "purge-purchase")
+    return table.read(spark).select(
+        "user_id",
+        F.col("seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@q(
     "k3_group_reports",
     "K3 per-group report sink: groupBy(group).applyInPandas renders and "
     "writes each group's file on the executor; only a (file_name, n_rows, "
@@ -4396,110 +4478,59 @@ def cdc_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r1/r2-green entry (which NEEDS an r4 row for that invariant) sits
 #   inside the first 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions — never driver-checked. The five DML/rollback/
-    # txn-purge rows displace five r3-green re-checks (sim3/sim5/sim1/
-    # sim2/m1) past 50 — each keeps its r3 driver row + per-run pytest
-    # parity, so the two-round invariant holds. Window after the
-    # addition: slot 50 is sim4 (the operator whose code round 4
-    # touched most: the posexplode centroid recompute).
-    "cdc_merge_into",
-    "cdc_delete_where",
-    "cdc_update_where",
-    "cdc_rollback",
-    "cdc_txn_purge",
-    "cdc_metadata_snapshots",
-    "cdc_time_travel",
-    "cdc_schema_evolution",
-    "cdc_expire_vacuum",
-    "t5b_session_windows",
-    "t5c_sliding_rates",
-    "cdc_point_lookup",
-    "sim6_ivf_indexed_topk",
-    "m1b_real_codec_features",
-    # round-4 continuation additions (never driver-checked; see the
-    # displacement note in the block comment above)
-    "m1c_png_codec_features",
-    "m2b_avi_frame_means",
-    "t11_vocab_build",
-    "t12_stratified_sample",
-    "t13_corpus_mix",
-    "d7_incremental_neardup",
-    "t14_unicode_nfc",
-    # round-4 long-tail §2 rows (A7/F13/S6/C10/C17/S13/S18) — never
-    # driver-checked; they displace seven rotated-back r1/r2-green entries
-    # whose code paths round 4 did not touch (those stay covered every run
-    # by tests/test_queries_parity.py)
-    "a7_outbound_connections",
-    "f13_author_cutoff",
-    "s6_xml_roundtrip",
-    "c10_path_to_uri",
-    "c17_person_parse",
+    # ROUND-5 WINDOW (executes the plan written at the end of round 4,
+    # reconciled against CORRECTNESS_r04.json). Slots 1-12: the twelve
+    # entries with NO driver row within the last two rounds —
+    # s13_openapi_classify (r4 FAIL, scalar-projection fix this round),
+    # j11_interval_join (never driver-checked), and the ten r2-green
+    # rotations. Slot 13: the round-5 flagship addition. Slots 14-16:
+    # the permanent canaries. Slots 17-50: r3-green re-checks — first
+    # the paths whose code rounds 4/5 touched (prefix-sum kernel → t10,
+    # subtree frontier type → f10, to_common_model null gate → n1/n2,
+    # k-means/IVF assignment → sim*, codec dispatch → m1/m2, XLSX →
+    # s5/k3, stats pruning → the cdc_* read family), then the dedup
+    # family (d6 is this round's perf-A/B subject). Fifteen r3-green
+    # entries whose code nothing touched since r3 rotate past 50 (j1,
+    # a4, f9, t3, t8, t9, j5way, subq, a9, t7, s9, s10, s11, k6, j7b) —
+    # each keeps its r3 driver row + per-run DuckDB parity via
+    # tests/test_queries_parity.py; with 109+ registered queries and a
+    # 50-slot window, 50/round is the coverage ceiling and the stale-
+    # first rotation is what keeps every entry's last green row recent.
     "s13_openapi_classify",
-    "s18_mapping_rules",
-    # round-4 continuation: the binlog/WAL envelope decode and the
-    # concat-and-chunk sequence packer (never driver-checked; they
-    # displace the t4_fingerprint / t2_quality_scores insurance
-    # re-checks — r2-green, code untouched since, parity-tested every
-    # run)
-    "s19_debezium_envelope",
-    "t15_sequence_packing",
-    # permanent canaries
-    "w1_lww_latest_event",
-    "cdc_converged_state",
-    "f4_first_wins_dedup",
-    # rotated out in r3 (green in r1/r2) — back in the window
-    "a1_pricing_summary",
-    "w2_topological_levels",
-    "c_scalar_string_pack",
-    "j3_left_join_fallback",
-    "j6_self_join_link",
-    "anti_join_missing_dim",
-    "f2_filter_cascade",
-    "f3_keep_singletons",
-    "w6_rank_topn_per_group",
-    "a3_distinct_value_set",
-    "a5_union_key_sets",
-    "s8_columnar_pivot",
-    "a2_group_collect_nested",
-    "c7_date_parse_fallback",
-    "j4_synonym_lookup",
-    "f8_exactly_one_gate",
-    # round-4 temporal-join additions (never driver-checked) — they take
-    # slots 50-51, displacing the sim4 insurance re-check past the
-    # window. sim4 keeps its r3 driver row + per-run pytest parity, and
-    # its round-4 code changes stay driver-covered through sim6 (slot
-    # 12, same refactored assignment kernel); only j10 lands in the
-    # 50-slot window this round.
-    #
-    # ROUND-5 WINDOW PLAN (computed against CORRECTNESS_r01-r03 ∪ the
-    # r4 window): after r4, exactly these 11 entries lack a row within
-    # the last two rounds and MUST lead r5's first 50 —
-    #   j11_interval_join (never driver-checked; one slot short in r4),
-    #   t1_token_stats, t4_fingerprint, t2_quality_scores (r2-green,
-    #   displaced by s19/t15/cdc_metadata_snapshots),
-    #   j2_inner_skip_join, a1_group_minmax, u5_except_values,
-    #   c8_year_extract, c_json_extract, s4_style_scan,
-    #   u34_array_intersect_except (r2-green, rotated out in r3 AND r4).
-    # Plus: any r4 row that FAILS (check CORRECTNESS_r04.json first),
-    # the three permanent canaries, and r3-green re-checks for whatever
-    # round 5 touches. Everything else stays covered per run by
-    # tests/test_queries_parity.py.
-    "j10_asof_join",
     "j11_interval_join",
     "t1_token_stats",
     "t4_fingerprint",
     "t2_quality_scores",
-    # r3-green, re-verified because round 4 touched their code paths
-    "sim4_kmeans_refine",      # posexplode centroid recompute
-    "sim3_ivf_assignments",    # sample/assign refactor
-    "sim5_ivf_topk",           # shares assign_to_centroids
+    "j2_inner_skip_join",
+    "a1_group_minmax",
+    "u5_except_values",
+    "c8_year_extract",
+    "c_json_extract",
+    "s4_style_scan",
+    "u34_array_intersect_except",
+    # round-5 addition — the production-shape flagship (envelope files
+    # -> fused decode -> exactly-once replay -> coexisting DML)
+    "cdc_envelope_replay",
+    # permanent canaries
+    "w1_lww_latest_event",
+    "cdc_converged_state",
+    "f4_first_wins_dedup",
+    # r3-green re-checks, round-4/5-touched code paths first
+    "t10_shard_packing",       # r5: prefix-sum kernel keeps source type
+    "t15_sequence_packing",    # r5: same kernel (r4-green, re-verified)
+    "f10_subtree_filter",      # r5: frontier type derived from edges
+    "n1_common_model_identity",  # r5: to_common_model null-key gate
+    "n2_multi_source_union",     # r5: same normalize path
+    "sim4_kmeans_refine",      # r4: posexplode centroid recompute
+    "sim3_ivf_assignments",
+    "sim5_ivf_topk",
     "sim1_cosine_topk",
     "sim2_ann_lsh_topk",
-    "m1_multimodal_features",  # decode_features dispatch
+    "m1_multimodal_features",  # r4: decode_features dispatch
     "m2_frame_sample_plan",
-    "s5_excel_multisheet",     # XLSX writer hardening
-    "k3_group_reports",        # XLSX report branch
-    "cdc_stats_skipping_read",   # file_may_match evidence intersection
+    "s5_excel_multisheet",     # r4: XLSX writer hardening
+    "k3_group_reports",
+    "cdc_stats_skipping_read",  # r4: file_may_match evidence intersection
     "cdc_bloom_point_lookup",
     "cdc_zorder_clustered_read",
     "cdc_wap_guarded_publish",
@@ -4509,6 +4540,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_incremental_agg",
     "cdc_inverted_index",
     "k2_ndjson_export",
+    # dedup family (d6 = this round's perf-A/B subject) + remaining
+    # r3-green re-checks
+    "d6_dedup_components",
+    "d1_exact_duplicates",
+    "d2_ngram_jaccard",
+    "d3_minhash_lsh_neardup",
+    "d4_simhash_neardup",
+    "d5_embedding_cosine_pairs",
+    "d5b_embedding_lsh_neardup",
+    "t5_tumbling_window_counts",
+    "t6_repetition_signals",
+    "j7_reference_rewrite",
 ]
 
 

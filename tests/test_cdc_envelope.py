@@ -210,6 +210,34 @@ def test_envelope_stream_replays_to_same_state_as_flat_events(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_envelope_replay_decode_fused(spark, tmp_path):
+    """The decode must fuse into the scan stage: exactly ONE from_json
+    in the physical plan and no Exchange between the parse projection
+    and the file scan (the envelope parse is a per-row expression — at
+    10^10 events a shuffle here would dominate the job)."""
+    src = str(tmp_path / "segments")
+    env = F.concat(
+        F.lit('{"op":"c","after":{"user_id":'),
+        F.col("id").cast("string"),
+        F.lit('},"source":{"lsn":'),
+        F.col("id").cast("string"),
+        F.lit("}}"),
+    )
+    spark.range(100).select(env.alias("value")).write.text(src)
+    changes, _ = parse_cdc_envelope(
+        spark.read.text(src), "user_id bigint", key_cols=["user_id"]
+    )
+    plan = changes._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    lines = plan.splitlines()
+    fj = next(i for i, l in enumerate(lines) if "from_json" in l)
+    scan = next(
+        i for i, l in enumerate(lines) if "FileScan" in l or "Scan text" in l
+    )
+    assert fj < scan, plan
+    assert not any("Exchange" in l for l in lines[fj:scan]), plan
+
+
 def test_streaming_envelope_tail_converges(spark, tmp_path):
     """The full binlog-tail shape: a directory of envelope-JSON files
     tailed by Structured Streaming, decoded per micro-batch through the
