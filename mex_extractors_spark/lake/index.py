@@ -114,6 +114,26 @@ def _pairs(df: DataFrame, key_cols: Sequence[str], terms: Column, op: str, versi
     )
 
 
+def _bulk_or_row_pairs(
+    state: DataFrame,
+    key_cols: Sequence[str],
+    terms_fn: Callable[[DataFrame], Column],
+    bulk_pairs_fn: "Callable[[DataFrame], DataFrame] | None",
+    op: str,
+    version: int,
+) -> DataFrame:
+    """Corpus-sized (term, key) extraction: the caller's bulk
+    DataFrame formulation when provided, else the row-local terms_fn."""
+    if bulk_pairs_fn is None:
+        return _pairs(state, key_cols, terms_fn(state), op, version)
+    return bulk_pairs_fn(state).select(
+        "term",
+        *[F.col(c) for c in key_cols],
+        F.lit(version).cast("long").alias("_src_version"),
+        F.lit(op).alias("op"),
+    )
+
+
 def refresh_inverted_index(
     spark: SparkSession,
     source: LakeTable,
@@ -121,6 +141,7 @@ def refresh_inverted_index(
     terms_fn: Callable[[DataFrame], Column],
     to_version: int | None = None,
     branch: str | None = None,
+    bulk_pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> IndexRefreshStats:
     """Bring ``index`` up to the source's ``to_version`` (default:
     current). ``terms_fn(df) -> array<string> Column`` extracts the
@@ -129,6 +150,19 @@ def refresh_inverted_index(
     ``branch`` stages the index batch on a txn branch instead of main
     (catalog-transaction composition: state apply + index refresh
     become one atomic catalog commit).
+
+    ``bulk_pairs_fn(df) -> DataFrame[key_cols..., term]``: optional fast
+    formulation of the SAME terms for corpus-sized inputs, used only on
+    the full-build / full-rebuild paths. Row-local array Columns (the
+    terms_fn contract) are what the per-key CDF diff needs, but some
+    extractors have a DataFrame-shaped formulation that is an order of
+    magnitude faster over a whole corpus (e.g. minhash band keys:
+    ``dedup.minhash_band_terms`` recomputes the shingle array inside
+    every interpreted HOF lambda, while ``dedup.minhash_band_pairs``
+    explodes shingles once into a codegen'd hash aggregate — measured
+    10x+ on a 5k-doc bootstrap, and the gap widens with corpus size).
+    Must emit exactly the terms terms_fn would (equivalence is
+    pinned by tests); CDF diffs keep using terms_fn either way.
     """
     expected = ["term", *source.key_cols]
     if list(index.key_cols) != expected or index.seq_col != "_src_version":
@@ -160,7 +194,9 @@ def refresh_inverted_index(
     batch_id = f"idx:v{last}->{to_version}"
     if last == 0:
         state = source.read(spark, version=to_version)
-        batch = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
+        batch = _bulk_or_row_pairs(
+            state, source.key_cols, terms_fn, bulk_pairs_fn, "I", to_version
+        )
         st = index.apply_batch(spark, batch, batch_id, branch=branch)
         return IndexRefreshStats(0, to_version, full_build=True, applied=st.applied)
 
@@ -172,7 +208,8 @@ def refresh_inverted_index(
         # CURRENT state — upsert every live (term, key) pair and delete
         # index entries whose pair no longer exists.
         return _full_rebuild(
-            spark, source, index, terms_fn, last, to_version, branch=branch
+            spark, source, index, terms_fn, last, to_version,
+            branch=branch, bulk_pairs_fn=bulk_pairs_fn,
         )
 
     changes = source.read_changes(
@@ -209,6 +246,7 @@ def _full_rebuild(
     last: int,
     to_version: int,
     branch: str | None = None,
+    bulk_pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> IndexRefreshStats:
     """Recovery path when the CDF base snapshot has been expired:
     re-emit the current state's (term, key) pairs as upserts plus
@@ -216,7 +254,9 @@ def _full_rebuild(
     Committed under the standard ``idx:`` batch id, so the watermark
     advances and subsequent refreshes go back to incremental."""
     state = source.read(spark, version=to_version)
-    live = _pairs(state, source.key_cols, terms_fn(state), "I", to_version)
+    live = _bulk_or_row_pairs(
+        state, source.key_cols, terms_fn, bulk_pairs_fn, "I", to_version
+    )
     pair_cols = ["term", *source.key_cols]
     stale = (
         index.read(spark, ref=branch)

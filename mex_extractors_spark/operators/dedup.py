@@ -299,6 +299,26 @@ def banded_lsh_keys(
     )
 
 
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id_col, term) band keys — ``minhash_band_terms``'s bulk
+    counterpart for corpus-sized FULL index builds (the
+    ``bulk_pairs_fn`` contract of ``lake.index.refresh_inverted_index``):
+    same xxhash64 buckets through the fast explode+agg signature path
+    instead of the row-local HOF (which recomputes the shingle array
+    inside every interpreted lambda — 10x+ slower on a bootstrap and
+    the gap widens with corpus size)."""
+    return banded_lsh_keys(
+        df, text_col, id_col, num_hashes, bands, k
+    ).withColumnRenamed("_id", id_col)
+
+
 def probe_near_duplicates(
     spark,
     index,

@@ -3299,10 +3299,17 @@ def d7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def terms(df):
         return dedup.minhash_band_terms("text", num_hashes=16, bands=4, k=12)
 
+    def bulk(df):
+        return dedup.minhash_band_pairs(
+            df, "text", "doc_id", num_hashes=16, bands=4, k=12
+        )
+
     corpus.apply_batch(spark, docs.where(F.col("doc_id") <= mid), "d7-b1")
-    refresh_inverted_index(spark, corpus, index, terms)  # full build
+    # full build takes the bulk explode+agg path; the diff keeps the
+    # row-local terms (equivalence pinned in test_index.py)
+    refresh_inverted_index(spark, corpus, index, terms, bulk_pairs_fn=bulk)
     corpus.apply_batch(spark, docs.where(F.col("doc_id") > mid), "d7-b2")
-    refresh_inverted_index(spark, corpus, index, terms)  # CDF diff
+    refresh_inverted_index(spark, corpus, index, terms, bulk_pairs_fn=bulk)
     batch = docs.where(F.col("doc_id") % 7 == 3).select(
         (F.col("doc_id") + 10000).cast("long").alias("doc_id"), "text"
     )

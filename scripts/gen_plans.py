@@ -432,6 +432,40 @@ def main() -> None:
             formatted(REGISTRY["s19_debezium_envelope"].fn(spark, SF)),
         )
     )
+    # cdc_envelope_replay's ingest stage: envelope FILES -> fused decode
+    import tempfile as _tf
+
+    from mex_extractors_spark.sources.cdc_envelope import parse_cdc_envelope
+
+    env_dir = os.path.join(_tf.gettempdir(), "plans_env_src")
+    import shutil as _sh0
+
+    _sh0.rmtree(env_dir, ignore_errors=True)
+    env_expr = F.concat(
+        F.lit('{"op":"c","after":{"user_id":'),
+        F.col("id").cast("string"),
+        F.lit('},"source":{"lsn":'),
+        F.col("id").cast("string"),
+        F.lit("}}"),
+    )
+    spark.range(1000).select(env_expr.alias("value")).write.text(env_dir)
+    env_changes, _ = parse_cdc_envelope(
+        spark.read.text(env_dir), "user_id bigint", key_cols=["user_id"]
+    )
+    sections.append(
+        (
+            "cdc_envelope_replay ingest stage (file scan -> fused decode)",
+            "The production-shape flagship's first stage: envelope JSON "
+            "segments on disk, scanned and decoded in ONE stage — "
+            "`Scan text` -> Generate(one from_json) -> Project/Filter, "
+            "no Exchange anywhere in the decode (gated by "
+            "tests/test_cdc_envelope.py::test_envelope_replay_decode_fused). "
+            "The first shuffle of the whole pipeline is the merge "
+            "kernel's hashpartitioning on the key, downstream.",
+            formatted(env_changes),
+        )
+    )
+    _sh0.rmtree(env_dir, ignore_errors=True)
     sections.append(
         (
             "t15 sequence packing (concat-and-chunk prefix sum)",

@@ -75,10 +75,22 @@ _WRITER = textwrap.dedent(
         buckets={buckets!r},
     )
     wall = time.monotonic() - t0
+    applied = [s for s in stats if s.applied]
+    # commit latency = the batch's non-compute residual: total seconds
+    # minus the measured stats/write/checksum phases ~= manifest
+    # assembly + claim CAS + rebase retries
+    lat = sorted(
+        max(0.0, s.seconds - s.t_stats - s.t_write - s.t_checksum)
+        for s in applied
+    )
     print("RESULT " + json.dumps({{
         "wall": wall,
-        "applied": sum(1 for s in stats if s.applied),
-        "attempts": sum(s.commit_attempts for s in stats if s.applied),
+        "applied": len(applied),
+        "attempts": sum(s.commit_attempts for s in applied),
+        "max_attempts_one_commit": max(
+            (s.commit_attempts for s in applied), default=0),
+        "commit_latency_p50": round(lat[len(lat) // 2], 3) if lat else None,
+        "commit_latency_max": round(lat[-1], 3) if lat else None,
     }}))
     spark.stop()
     """
@@ -184,6 +196,10 @@ def main() -> None:
                  (list(range(half, nb)), 4, 7)]),
         ("4x2", [(list(range(i * quarter, (i + 1) * quarter)), i * 2, i * 2 + 1)
                  for i in range(4)]),
+        # 8 writers, 1 core each — the round-5 contention stress: all
+        # eight race the head CAS on every one of the same seq ranges
+        ("8x1", [(list(range(i * (nb // 8), (i + 1) * (nb // 8))), i, i)
+                 for i in range(8)]),
     ]
     results = []
     for tag, writers in modes:
@@ -204,6 +220,9 @@ def main() -> None:
         ),
         "throughput_ratio_4x2_vs_1x8": round(
             results[2]["events_per_sec"] / base["events_per_sec"], 3
+        ),
+        "throughput_ratio_8x1_vs_1x8": round(
+            results[3]["events_per_sec"] / base["events_per_sec"], 3
         ),
     }
     print(json.dumps(summary))

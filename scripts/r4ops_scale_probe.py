@@ -134,13 +134,26 @@ def probe_d7(spark, n: int) -> dict:
     def terms(df):
         return dedup.minhash_band_terms("text", num_hashes=16, bands=4, k=12)
 
-    _, build_s = _timed(lambda: refresh_inverted_index(spark, corpus, index, terms))
-    # fixed 500-doc probe batch: 250 exact twins of corpus docs + 250 fresh
+    def bulk(df):
+        return dedup.minhash_band_pairs(
+            df, "text", "doc_id", num_hashes=16, bands=4, k=12
+        )
+
+    _, build_s = _timed(
+        lambda: refresh_inverted_index(
+            spark, corpus, index, terms, bulk_pairs_fn=bulk
+        )
+    )
+    # fixed 500-doc probe batch: 250 twins of corpus docs (spread across
+    # the corpus via modulo, so the twin COUNT stays fixed as N grows)
+    # + 250 fresh docs
     batch = (
         spark.range(500)
         .select(
             (F.col("id") + 10_000_000).alias("doc_id"),
-            F.when(F.pmod("id", F.lit(2)) == 0, F.col("id") * 20)  # twin of corpus doc
+            F.when(
+                F.pmod("id", F.lit(2)) == 0, F.pmod(F.col("id") * 7919, F.lit(n))
+            )
             .otherwise(F.lit(None))
             .alias("twin"),
             F.col("id").alias("i"),
@@ -178,7 +191,14 @@ def probe_sim6(spark, n: int) -> dict:
     shutil.rmtree(base, ignore_errors=True)
     vecs = synth_vectors(spark, n)
     idx = IvfIndex(base, num_buckets=8)
-    _, build_s = _timed(lambda: idx.build(spark, vecs, num_centroids=16))
+    # pruning granularity = files per bucket x centroid span per file;
+    # 64 lists with ~n/128-row files keeps each file a narrow centroid
+    # band at every size, so scanned/total should track nprobe/lists
+    _, build_s = _timed(
+        lambda: idx.build(
+            spark, vecs, num_centroids=64, target_file_rows=max(64, n // 128)
+        )
+    )
     qvec = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
     total_files = len(idx.table.read(spark).inputFiles())
     res = idx.topk(spark, qvec, k=10, nprobe=2)
@@ -238,7 +258,7 @@ def probe_merge(spark, n: int) -> dict:
         "n": n,
         "merge_s": merge_s,
         "matched": int(st.matched),
-        "upserts": int(st.upserts),
+        "buckets_rewritten": int(st.buckets_rewritten),
     }
 
 
@@ -258,14 +278,23 @@ def main() -> None:
     os.makedirs(SCRATCH, exist_ok=True)
     spark = get_spark(cores=16, shuffle_partitions=32)
     results: dict[str, list[dict]] = {}
-    results["d7"] = [probe_d7(spark, n) for n in (5_000, 15_000, 50_000)]
-    print("d7:", results["d7"], flush=True)
-    results["sim6"] = [probe_sim6(spark, n) for n in (2_000, 6_000, 20_000)]
-    print("sim6:", results["sim6"], flush=True)
-    results["t15"] = [probe_t15(spark, n) for n in (5_000, 50_000, 500_000)]
-    print("t15:", results["t15"], flush=True)
-    results["merge"] = [probe_merge(spark, n) for n in (100_000, 300_000, 1_000_000)]
-    print("merge:", results["merge"], flush=True)
+    partial = os.path.join(REPO, "BENCH", "r4ops_scale_partial.json")
+
+    def _checkpoint() -> None:
+        with open(partial, "w") as f:
+            json.dump(results, f, indent=1)
+
+    for family, probe, sizes in (
+        ("d7", probe_d7, (5_000, 15_000, 50_000)),
+        ("sim6", probe_sim6, (2_000, 6_000, 20_000)),
+        ("t15", probe_t15, (5_000, 50_000, 500_000)),
+        ("merge", probe_merge, (100_000, 300_000, 1_000_000)),
+    ):
+        results[family] = []
+        for n in sizes:
+            results[family].append(probe(spark, n))
+            print(family, results[family][-1], flush=True)
+            _checkpoint()
 
     summary = {
         "d7_probe_exponents": _exponents(results["d7"], "n", "probe_s"),

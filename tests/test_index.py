@@ -273,6 +273,49 @@ def test_band_terms_formulations_agree(spark):
     assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, agg.collect()))
 
 
+def test_full_build_bulk_pairs_path_identical(spark, tmp_path):
+    """refresh_inverted_index's bulk_pairs_fn fast path (explode+agg
+    minhash, used for corpus-sized full builds) must commit a
+    byte-identical index to the row-local terms_fn path."""
+    from mex_extractors_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_band_terms,
+    )
+
+    rows = [
+        (i, f"document body number {i} sharing quite a few words", i, "U")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, seq long, op string"
+    )
+
+    def terms(df):
+        return minhash_band_terms("text", num_hashes=16, bands=4, k=5)
+
+    def bulk(df):
+        return minhash_band_pairs(df, "text", "doc_id", num_hashes=16, bands=4, k=5)
+
+    out = {}
+    for tag, bulk_fn in (("row", None), ("bulk", bulk)):
+        corpus = LakeTable(
+            str(tmp_path / f"src_{tag}"), key_cols=["doc_id"], num_buckets=2
+        )
+        index = LakeTable(
+            str(tmp_path / f"idx_{tag}"),
+            key_cols=["term", "doc_id"],
+            seq_col="_src_version",
+            num_buckets=2,
+        )
+        corpus.apply_batch(spark, docs, "b1")
+        st = refresh_inverted_index(
+            spark, corpus, index, terms, bulk_pairs_fn=bulk_fn
+        )
+        assert st.applied and st.full_build
+        out[tag] = sorted(map(tuple, index.read(spark).collect()))
+    assert out["row"] == out["bulk"] and len(out["bulk"]) > 0
+
+
 def test_probe_near_duplicates_validates_table_shapes(spark, tmp_path):
     from mex_extractors_spark.operators.dedup import probe_near_duplicates
 

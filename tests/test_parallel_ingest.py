@@ -126,3 +126,120 @@ def test_two_processes_converge_to_oracle(spark, tmp_path):
         v = snap["parent"] or 0
         seen += 1
     assert seen >= 2  # at least one commit per writer reached main
+
+
+_WRITER8 = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from mex_extractors_spark.session import get_spark
+    from mex_extractors_spark.lake.table import LakeTable
+    from mex_extractors_spark.streaming.replay import ReplayEngine
+
+    spark = get_spark(app_name="w8-{tag}", cores=2, shuffle_partitions=4)
+    table = LakeTable({lake!r}, num_buckets=16)
+    stats = ReplayEngine(table).replay(
+        spark,
+        spark.read.parquet({events!r}),
+        1,
+        {n},
+        batch_size={batch_size},
+        buckets={buckets!r},
+    )
+    applied = sum(1 for s in stats if s.applied)
+    attempts = sum(s.commit_attempts for s in stats if s.applied)
+    print("WRITER-OK", applied, attempts)
+    spark.stop()
+    """
+)
+
+
+def test_eight_processes_converge_with_forced_cas_losses(spark, tmp_path):
+    """The 100 TB deployment shape at 8 real driver processes: one
+    16-bucket table, 8 writers each owning 2 buckets, all launched
+    simultaneously over the same seq ranges so their commits race the
+    head CAS in near lock-step. Must hold: (a) the converged state
+    equals the single-writer DuckDB oracle (exactly-once), (b) the
+    snapshot history is LINEAR — contiguous versions, every parent =
+    version-1, (c) every batch id appears exactly once in the ledger,
+    and (d) contention actually happened (total publish attempts >
+    commits — the protocol's rebase path was exercised, not idle)."""
+    n = 8000
+    n_batches = 8
+    events_dir = str(tmp_path / "events8")
+    lake_dir = str(tmp_path / "lake8")
+    synth.events(spark, n).write.parquet(events_dir)
+    LakeTable(lake_dir, num_buckets=16)  # seed the layout
+
+    procs = []
+    for w in range(8):
+        buckets = [2 * w, 2 * w + 1]
+        script = _WRITER8.format(
+            repo=REPO, tag=str(w), lake=lake_dir, events=events_dir,
+            n=n, batch_size=n // n_batches, buckets=buckets,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=str(tmp_path),
+            )
+        )
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    applied = attempts = 0
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        ok = [ln for ln in out.splitlines() if ln.startswith("WRITER-OK")]
+        assert ok, out[-3000:]
+        _, a, t = ok[0].split()
+        applied += int(a)
+        attempts += int(t)
+    assert applied == 8 * n_batches
+
+    table = LakeTable(lake_dir)
+    got = sorted(
+        map(
+            tuple,
+            table.read(spark)
+            .select("repo", "path", F.sha2("content", 256).alias("h"))
+            .collect(),
+        )
+    )
+    oracle = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                f"""
+                WITH r AS (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY seq DESC
+                  ) rn
+                  FROM read_parquet('{events_dir}/*.parquet')
+                )
+                SELECT repo, path, sha256(content) h
+                FROM r WHERE rn = 1 AND op <> 'D'
+                """
+            )
+            .fetchall(),
+        )
+    )
+    assert got == oracle and len(got) > 0
+
+    head = table.current_snapshot()
+    # exactly-once ledger: every (batch, bucket-set) id exactly once
+    bids = head["applied_batches"]
+    assert len(bids) == len(set(bids)) == 8 * n_batches
+    assert {bid.rsplit("@", 1)[-1] for bid in bids} == {
+        f"b{2 * w},{2 * w + 1}" for w in range(8)
+    }
+    # linear history: contiguous versions, each parent = version - 1
+    hist = table.history()
+    versions = [h["version"] for h in hist]
+    assert versions == list(range(versions[0], versions[0] + len(versions)))
+    for h in hist[1:]:
+        assert h["parent"] == h["version"] - 1, hist
+    assert hist[-1]["version"] == head["version"]
+    # the CAS-loss/rebase path was genuinely exercised
+    assert attempts > applied, (attempts, applied)
+    assert table.verify_bucket_checksums(spark) == []
