@@ -44,6 +44,40 @@ def batch_id_for_range(lo: int, hi: int) -> str:
     return f"seq:{lo}-{hi}"
 
 
+def _legacy_stream_acks(
+    table: LakeTable, checkpoint_dir: str, ns: str
+) -> set[str]:
+    """Ledger continuity across the stream-id format change, scoped to
+    the only case where it is safe: RESUMING a pre-namespacing
+    checkpoint. Tables written by the old bare ``stream:{N}`` format
+    hold acks the new ``stream:{ns}:{N}`` ids no longer match, so
+    Spark's restart redelivery of the last in-flight batch would
+    re-apply once (masked by LWW idempotence, but counts/provenance
+    drift). The legacy acks are honored ONLY when
+
+    - the checkpoint has prior progress (a non-empty ``offsets`` log —
+      a FRESH checkpoint is a new stream whose batch numbering
+      coincidentally restarts at 0; skipping ITS batches against
+      another stream's legacy acks is exactly the lost-update bug the
+      namespacing fixed), and
+    - this checkpoint's namespace has no committed ids yet (after the
+      first namespaced commit the upgrade grace window is over — any
+      later bare-id match would belong to some other pre-change
+      stream, not this one).
+    """
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        resuming = bool(os.listdir(offsets_dir))
+    except OSError:
+        resuming = False
+    if not resuming:
+        return set()
+    applied = table.applied_batches()
+    if any(b.startswith(f"stream:{ns}:") for b in applied):
+        return set()
+    return {b for b in applied if re.fullmatch(r"stream:\d+", b)}
+
+
 class ReplayEngine:
     def __init__(
         self,
@@ -269,18 +303,7 @@ class ReplayEngine:
         ns = hashlib.sha1(
             os.path.abspath(checkpoint_dir).rstrip("/").encode()
         ).hexdigest()[:10]
-        # continuity with pre-namespacing ledgers: a table written by the
-        # old bare "stream:{N}" format has acked entries the new ids no
-        # longer match, so Spark's restart redelivery of the last
-        # in-flight batch would re-apply once (masked by LWW idempotence
-        # but drifting counts/provenance). Legacy ids can never be
-        # written again, so snapshot them once and treat a matching
-        # redelivered batch as already applied.
-        legacy_applied = {
-            b
-            for b in self.table.applied_batches()
-            if re.fullmatch(r"stream:\d+", b)
-        }
+        legacy_applied = _legacy_stream_acks(self.table, checkpoint_dir, ns)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if f"stream:{batch_id}" in legacy_applied:

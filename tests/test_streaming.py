@@ -45,19 +45,45 @@ def test_stream_from_files_converges(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
-def test_stream_legacy_ledger_id_treated_as_applied(spark, tmp_path):
-    """Ledger continuity across the stream-id format change: a table
-    whose ledger holds a pre-namespacing 'stream:{N}' entry must NOT
-    re-apply that micro-batch when Spark redelivers it under the new
-    'stream:{ns}:{N}' id — the legacy ack stands."""
+def test_legacy_stream_acks_scoped_to_resumed_checkpoint(spark, tmp_path):
+    """The pre-namespacing ``stream:{N}`` acks are honored ONLY when
+    resuming a checkpoint with prior progress whose namespace has not
+    committed yet — a fresh checkpoint is a NEW stream and skipping its
+    batches against another stream's legacy acks would be the exact
+    lost-update bug the namespacing fixed."""
+    import os
+
+    from mex_extractors_spark.streaming.replay import _legacy_stream_acks
+
+    events = synth.events(spark, 100, n_repos=5)
+    table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
+    ReplayEngine(table)._apply_one(spark, events, "stream:0")
+
+    ckpt = str(tmp_path / "ckpt")
+    # fresh checkpoint (no offsets log): no grace
+    assert _legacy_stream_acks(table, ckpt, "abc123") == set()
+    # resumed pre-change checkpoint: legacy acks honored
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    open(os.path.join(ckpt, "offsets", "0"), "w").write("{}")
+    assert _legacy_stream_acks(table, ckpt, "abc123") == {"stream:0"}
+    # once this namespace has committed, the grace window is over
+    ReplayEngine(table)._apply_one(
+        spark, events.where("seq > 90"), "stream:abc123:1"
+    )
+    assert _legacy_stream_acks(table, ckpt, "abc123") == set()
+
+
+def test_stream_on_fresh_checkpoint_ignores_legacy_acks(spark, tmp_path):
+    """A NEW stream (fresh checkpoint) over a table holding an old
+    bare-format ack must apply its batches normally — batch numbering
+    restarting at 0 is a coincidence, not an ack."""
     events = synth.events(spark, 200, n_repos=5)
     src = str(tmp_path / "stream_src")
     events.write.parquet(src)
 
     table = LakeTable(str(tmp_path / "lake"), num_buckets=4)
-    # simulate a pre-change stream having already applied batch 0
-    ReplayEngine(table)._apply_one(spark, events, "stream:0")
-    before = sorted(map(tuple, table.read(spark).collect()))
+    # an old-format ack from some PRIOR pre-change stream
+    ReplayEngine(table)._apply_one(spark, events.where("seq <= 50"), "stream:0")
 
     q = ReplayEngine(table).stream_from_files(
         spark,
@@ -67,9 +93,13 @@ def test_stream_legacy_ledger_id_treated_as_applied(spark, tmp_path):
         available_now=True,
     )
     q.awaitTermination(180)
-    # the redelivered batch was skipped: no new ledger id, state unchanged
-    assert table.applied_batches() == {"stream:0"}
-    assert sorted(map(tuple, table.read(spark).collect())) == before
+    applied = table.applied_batches()
+    assert "stream:0" in applied and len(applied) > 1, applied
+    # full stream landed: state equals a direct batch replay
+    ref = LakeTable(str(tmp_path / "ref"), num_buckets=4)
+    ReplayEngine(ref).replay(spark, events, 1, 200, batch_size=200)
+    got = sorted(map(tuple, table.read(spark).collect()))
+    assert got == sorted(map(tuple, ref.read(spark).collect()))
 
 
 def test_blocking_check_aborts_commit(spark, tmp_path):
