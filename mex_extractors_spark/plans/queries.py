@@ -4002,10 +4002,15 @@ def cdc_envelope_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes, _quarantine = parse_cdc_envelope(
         stream, "user_id bigint, event_type string", key_cols=["user_id"]
     )
-    mx = int(ev.agg(F.max("event_id")).first()[0])
+    # the testdata's event_id (= the envelope lsn = seq) starts at 0 —
+    # replaying from 1 would silently drop event 0's change row
+    mn, mx = (
+        int(v)
+        for v in ev.agg(F.min("event_id"), F.max("event_id")).first()
+    )
     table = _scratch_lake(sf_dir, "cdc_env_lake")
     ReplayEngine(table).replay(
-        spark, changes, 1, mx, batch_size=max(1, -(-mx // 4))
+        spark, changes, mn, mx, batch_size=max(1, -(-(mx - mn + 1) // 4))
     )
     table.delete_where(spark, [("event_type", "=", "purchase")], "purge-purchase")
     return table.read(spark).select(
@@ -4441,7 +4446,11 @@ def cdc_metadata_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cdc_events(spark, sf_dir)
     mx = ev.agg(F.max("seq")).first()[0]
     table = _scratch_lake(sf_dir, "cdc_meta")
-    lo = 0
+    # seq (= event_id) starts at 0 in the testdata: the first slice's
+    # exclusive lower bound must sit BELOW it or event 0 never replays
+    # (the oracle counts it; LWW only masks the loss when that user has
+    # a later event)
+    lo = -1
     for v in range(1, 5):
         hi = mx * v // 4
         table.apply_batch(
