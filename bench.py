@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "j11_interval_join",
     "s19_debezium_envelope",
     "t15_sequence_packing",
+    # the production-shape flagship: envelope files -> fused decode ->
+    # exactly-once batched replay -> coexisting DML (end-to-end, so the
+    # reading covers write+commit, not just the decode s19 measures)
+    "cdc_envelope_replay",
     # NOT benched: cdc_changes_feed / cdc_incremental_agg / cdc_mor_* /
     # t7_decontamination rebuild a full lake (or broadcast a 10%-of-
     # corpus "eval set") per call — end-to-end correctness demos gated
