@@ -258,16 +258,29 @@ def minhash_band_terms(
     array<string> Column per row) — fine for CDF-diff-sized refresh
     inputs; the batch-side probe uses the explode+agg formulation
     (``banded_lsh_keys``), and both compute identical xxhash64 buckets,
-    matching ``minhash_lsh_candidates`` exactly."""
+    matching ``minhash_lsh_candidates`` exactly.
+
+    NULL/empty documents get an EMPTY term array — the same no-signature
+    contract as ``_exploded_shingles`` (which the explode+agg paths ride):
+    degenerate docs otherwise all share one shingle, land in the same
+    bucket of every band, and the candidate join goes quadratic in their
+    count. Keeping both formulations identical here also keeps full
+    builds (bulk path) and CDF diffs (this path) converging to the same
+    index — and an update that blanks a doc's text retracts all its old
+    band keys (array_except against the empty array)."""
     rows = _check_bands(num_hashes, bands)
     sig = minhash_signature(text_col, num_hashes, k)
-    return F.array(
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    terms = F.array(
         *[
             _band_term(
                 b, [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
             )
             for b in range(bands)
         ]
+    )
+    return F.when(c.isNotNull() & (F.length(c) > 0), terms).otherwise(
+        F.array().cast("array<string>")
     )
 
 

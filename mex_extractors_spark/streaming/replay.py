@@ -44,6 +44,25 @@ def batch_id_for_range(lo: int, hi: int) -> str:
     return f"seq:{lo}-{hi}"
 
 
+def _local_ckpt_path(checkpoint_dir: str) -> str | None:
+    """Filesystem path of a checkpoint location, or None when it lives
+    on a remote scheme (hdfs://, s3a://, ...) this process cannot stat.
+    Spark accepts both bare paths and file: URIs for the same dir — the
+    two spellings must resolve identically or the stream namespace (and
+    the era marker below) would silently fork."""
+    if "://" not in checkpoint_dir and not checkpoint_dir.startswith("file:"):
+        return os.path.abspath(checkpoint_dir)
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if parsed.scheme in ("", "file"):
+        return os.path.abspath(parsed.path)
+    return None
+
+
+_NS_MARKER = "_mex_stream_ns"
+
+
 def _legacy_stream_acks(
     table: LakeTable, checkpoint_dir: str, ns: str
 ) -> set[str]:
@@ -55,19 +74,31 @@ def _legacy_stream_acks(
     re-apply once (masked by LWW idempotence, but counts/provenance
     drift). The legacy acks are honored ONLY when
 
-    - the checkpoint has prior progress (a non-empty ``offsets`` log —
-      a FRESH checkpoint is a new stream whose batch numbering
-      coincidentally restarts at 0; skipping ITS batches against
-      another stream's legacy acks is exactly the lost-update bug the
-      namespacing fixed), and
+    - the checkpoint is local (a remote checkpointLocation cannot be
+      statted from here — grace off, the safe default: worst case is
+      the one idempotent re-apply the old code always did), and
+    - it has prior progress (a non-empty ``offsets`` log — a FRESH
+      checkpoint is a new stream whose batch numbering coincidentally
+      restarts at 0; skipping ITS batches against another stream's
+      legacy acks is exactly the lost-update bug the namespacing
+      fixed), and
+    - it carries NO era marker (``stream_from_files`` drops
+      ``_mex_stream_ns`` into every checkpoint it starts under the new
+      format, BEFORE the query runs — so a post-change checkpoint that
+      crashed between Spark's offsets write and its first table commit
+      is still recognized as post-change and gets no grace), and
     - this checkpoint's namespace has no committed ids yet (after the
       first namespaced commit the upgrade grace window is over — any
       later bare-id match would belong to some other pre-change
       stream, not this one).
     """
-    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    local = _local_ckpt_path(checkpoint_dir)
+    if local is None:
+        return set()
+    if os.path.exists(os.path.join(local, _NS_MARKER)):
+        return set()
     try:
-        resuming = bool(os.listdir(offsets_dir))
+        resuming = bool(os.listdir(os.path.join(local, "offsets")))
     except OSError:
         resuming = False
     if not resuming:
@@ -300,10 +331,22 @@ class ReplayEngine:
         # checkpoint) would collide with the first stream's applied ids
         # and silently no-op its first micro-batches. Same checkpoint →
         # same namespace → restarts stay exactly-once.
+        local_ckpt = _local_ckpt_path(checkpoint_dir)
         ns = hashlib.sha1(
-            os.path.abspath(checkpoint_dir).rstrip("/").encode()
+            (local_ckpt or checkpoint_dir).rstrip("/").encode()
         ).hexdigest()[:10]
+        # evaluate the upgrade grace BEFORE branding the checkpoint:
+        # a genuinely pre-change checkpoint is recognized exactly once
         legacy_applied = _legacy_stream_acks(self.table, checkpoint_dir, ns)
+        if local_ckpt is not None:
+            # era marker: written before the query starts, so even a
+            # crash inside the very first micro-batch leaves proof this
+            # checkpoint was created under the namespaced format
+            os.makedirs(local_ckpt, exist_ok=True)
+            marker = os.path.join(local_ckpt, _NS_MARKER)
+            if not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write(ns)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if f"stream:{batch_id}" in legacy_applied:

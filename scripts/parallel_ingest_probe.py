@@ -197,10 +197,15 @@ def main() -> None:
         ("4x2", [(list(range(i * quarter, (i + 1) * quarter)), i * 2, i * 2 + 1)
                  for i in range(4)]),
         # 8 writers, 1 core each — the round-5 contention stress: all
-        # eight race the head CAS on every one of the same seq ranges
-        ("8x1", [(list(range(i * (nb // 8), (i + 1) * (nb // 8))), i, i)
+        # eight race the head CAS on every one of the same seq ranges.
+        # Buckets are dealt round-robin so every bucket is owned by
+        # exactly one writer for ANY nb >= 8 (a contiguous nb//8 split
+        # would orphan the remainder buckets when 8 does not divide nb)
+        ("8x1", [([b for b in range(nb) if b % 8 == i], i, i)
                  for i in range(8)]),
     ]
+    if nb < 8:
+        modes = modes[:-1]  # fewer buckets than writers: skip 8x1
     results = []
     for tag, writers in modes:
         results.append(
@@ -221,8 +226,10 @@ def main() -> None:
         "throughput_ratio_4x2_vs_1x8": round(
             results[2]["events_per_sec"] / base["events_per_sec"], 3
         ),
-        "throughput_ratio_8x1_vs_1x8": round(
-            results[3]["events_per_sec"] / base["events_per_sec"], 3
+        "throughput_ratio_8x1_vs_1x8": (
+            round(results[3]["events_per_sec"] / base["events_per_sec"], 3)
+            if len(results) > 3
+            else None
         ),
     }
     print(json.dumps(summary))

@@ -260,7 +260,8 @@ def test_band_terms_formulations_agree(spark):
     )
 
     df = spark.createDataFrame(
-        [(i, f"some text body number {i} with shared words") for i in range(20)],
+        [(i, f"some text body number {i} with shared words") for i in range(20)]
+        + [(100, None), (101, "")],
         "doc_id long, text string",
     )
     hof = df.select(
@@ -286,6 +287,10 @@ def test_full_build_bulk_pairs_path_identical(spark, tmp_path):
         (i, f"document body number {i} sharing quite a few words", i, "U")
         for i in range(30)
     ]
+    # degenerate docs: both formulations must emit ZERO terms for them
+    # (the no-signature contract — a shared '' shingle would put every
+    # blank doc in the same bucket of every band)
+    rows += [(100, None, 100, "U"), (101, "", 101, "U")]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, seq long, op string"
     )

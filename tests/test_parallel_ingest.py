@@ -130,13 +130,24 @@ def test_two_processes_converge_to_oracle(spark, tmp_path):
 
 _WRITER8 = textwrap.dedent(
     """
-    import sys
+    import os, sys, time
     sys.path.insert(0, {repo!r})
     from mex_extractors_spark.session import get_spark
     from mex_extractors_spark.lake.table import LakeTable
     from mex_extractors_spark.streaming.replay import ReplayEngine
 
     spark = get_spark(app_name="w8-{tag}", cores=2, shuffle_partitions=4)
+    # start barrier: JVM spin-up skew (seconds on a loaded host) would
+    # otherwise let writers commit serially with zero CAS contention,
+    # making the attempts>commits assertion flaky. Each writer signals
+    # readiness AFTER its Spark session is up, then all begin together.
+    barrier = {barrier!r}
+    open(os.path.join(barrier, "ready-{tag}"), "w").write("1")
+    deadline = time.monotonic() + 300
+    while len([f for f in os.listdir(barrier) if f.startswith("ready-")]) < 8:
+        if time.monotonic() > deadline:
+            raise SystemExit("barrier timeout")
+        time.sleep(0.05)
     table = LakeTable({lake!r}, num_buckets=16)
     stats = ReplayEngine(table).replay(
         spark,
@@ -168,6 +179,8 @@ def test_eight_processes_converge_with_forced_cas_losses(spark, tmp_path):
     n_batches = 8
     events_dir = str(tmp_path / "events8")
     lake_dir = str(tmp_path / "lake8")
+    barrier_dir = str(tmp_path / "barrier8")
+    os.makedirs(barrier_dir)
     synth.events(spark, n).write.parquet(events_dir)
     LakeTable(lake_dir, num_buckets=16)  # seed the layout
 
@@ -177,6 +190,7 @@ def test_eight_processes_converge_with_forced_cas_losses(spark, tmp_path):
         script = _WRITER8.format(
             repo=REPO, tag=str(w), lake=lake_dir, events=events_dir,
             n=n, batch_size=n // n_batches, buckets=buckets,
+            barrier=barrier_dir,
         )
         procs.append(
             subprocess.Popen(

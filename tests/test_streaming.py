@@ -66,6 +66,22 @@ def test_legacy_stream_acks_scoped_to_resumed_checkpoint(spark, tmp_path):
     os.makedirs(os.path.join(ckpt, "offsets"))
     open(os.path.join(ckpt, "offsets", "0"), "w").write("{}")
     assert _legacy_stream_acks(table, ckpt, "abc123") == {"stream:0"}
+    # a remote checkpointLocation cannot be statted: grace off, no crash
+    assert _legacy_stream_acks(table, "hdfs://nn/ckpt", "abc123") == set()
+    # file: URI spelling resolves to the same local dir
+    assert _legacy_stream_acks(table, f"file://{ckpt}", "abc123") == {
+        "stream:0"
+    }
+    # the era marker brands a post-change checkpoint: even with offsets
+    # present and no namespaced commits (crash inside the first batch),
+    # no grace
+    ckpt2 = str(tmp_path / "ckpt2")
+    os.makedirs(os.path.join(ckpt2, "offsets"))
+    open(os.path.join(ckpt2, "offsets", "0"), "w").write("{}")
+    from mex_extractors_spark.streaming.replay import _NS_MARKER
+
+    open(os.path.join(ckpt2, _NS_MARKER), "w").write("abc123")
+    assert _legacy_stream_acks(table, ckpt2, "abc123") == set()
     # once this namespace has committed, the grace window is over
     ReplayEngine(table)._apply_one(
         spark, events.where("seq > 90"), "stream:abc123:1"
