@@ -189,19 +189,26 @@ class IvfIndex:
                 "index (delete it and refresh from the source)"
             )
 
-    def _centroids_df(self, spark: SparkSession) -> DataFrame:
+    def _centroids_df(self, spark: SparkSession, cents=None) -> DataFrame:
         return spark.createDataFrame(
-            self.centroids(), "_cid long, _cvec array<double>"
+            self.centroids() if cents is None else cents,
+            "_cid long, _cvec array<double>",
         )
 
 
-    def _upsert_rows(self, spark, df, version: int):
+    def _upsert_rows(self, spark, df, version: int, cents=None):
         """Index-batch projection of freshly assigned vectors — THE one
         place the 6-column index schema is spelled (shared by build /
-        refresh / full rebuild, so a schema change cannot fork)."""
+        refresh / full rebuild, so a schema change cannot fork).
+        ``cents``: assign against THESE in-memory centroids instead of
+        re-reading the centroids file — build() passes the quantizer it
+        just froze, so a concurrent bootstrap that clobbers the file
+        between our save and our apply cannot pair OUR committed
+        assignments with ITS quantizer (the heal re-asserts our file,
+        and the assignments must match it)."""
         return assign_to_centroids(
             df,
-            self._centroids_df(spark),
+            self._centroids_df(spark, cents),
             vec_col=self.vec_col,
             id_col=self.id_col,
             keep_vec=True,
@@ -269,12 +276,24 @@ class IvfIndex:
         stages the batch on a txn branch (catalog composition); the
         physical clustering pass is skipped there — layout maintenance
         runs on main, post-commit (see :meth:`recluster`)."""
-        if num_centroids is None:
-            num_centroids = derive_ivf_params(df.count())[0]
+        from pyspark.sql.types import IntegralType
+
+        if not isinstance(df.schema[self.id_col].dataType, IntegralType):
+            # centroid ids ARE sampled corpus ids (int(r['_cid']) below,
+            # '_cid long' in the centroid frame) — a string-keyed corpus
+            # must fail here, not after the sample job ran
+            raise ValueError(
+                f"IvfIndex requires an integral id column; "
+                f"{self.id_col!r} is {df.schema[self.id_col].dataType}"
+            )
         batch_id = f"ivf:v0->{source_version}"
         already = batch_id in self._applied_at(branch)
         cents = None
         if not already:
+            if num_centroids is None:
+                # derived only when actually sampling — the no-op retry
+                # path must not pay a full corpus count for an unused value
+                num_centroids = derive_ivf_params(df.count())[0]
             # pre-apply persist is crash-safe: the sample is a pure
             # deterministic function of df, so a retry before the apply
             # commit rewrites byte-identical centroids
@@ -285,7 +304,11 @@ class IvfIndex:
             self._save_centroids(cents, built_at=source_version)
         else:
             self._check_quantizer(self._applied_at(branch))
-        batch = self._upsert_rows(spark, df, source_version)
+        # assign against the in-memory quantizer when we froze it in
+        # THIS call — never the file, which a concurrent bootstrap may
+        # clobber between our save and our apply (the post-apply heal
+        # re-asserts our file; assignments must match it)
+        batch = self._upsert_rows(spark, df, source_version, cents=cents)
         st = self.table.apply_batch(spark, batch, batch_id, branch=branch)
         if st.applied and cents is not None:
             # heal a pre-apply clobber: a concurrent bootstrap that
@@ -401,7 +424,13 @@ class IvfIndex:
                 return IvfRefreshStats(0, 0, full_build=False, applied=False)
             to_version = cur["version"]
         last = self.last_indexed_version(
-            at_version=self.table.resolve_ref(branch) if branch is not None else None
+            # `or 0`: an unknown/empty branch head is an EMPTY view (the
+            # _applied_at contract) — resolving to None would silently
+            # read main's watermark and early-return applied=False
+            # instead of surfacing the unknown branch downstream
+            at_version=(self.table.resolve_ref(branch) or 0)
+            if branch is not None
+            else None
         )
         if to_version <= last:
             return IvfRefreshStats(last, to_version, full_build=False, applied=False)
@@ -467,14 +496,27 @@ class IvfIndex:
         recluster_fraction: float,
         defer: bool = False,
     ) -> None:
-        state = self._cluster_state()
-        state["churn_since"] += churn
-        if not defer and state["churn_since"] >= recluster_fraction * max(
-            state["rows_at_cluster"], 1
-        ):
-            self.recluster(spark)  # also resets the counter durably
-        else:
-            _atomic_json(self._clustered_file, state)
+        # the increment is a read-modify-write of ivf_clustered.json —
+        # two concurrent refreshes (e.g. catalog txns on separate
+        # branches, both of whose apply_batches succeeded) would
+        # otherwise LOSE one increment, and systematically lost churn
+        # keeps maybe_recluster below threshold forever while file
+        # pruning silently decays toward a full scan. An advisory flock
+        # on a sidecar serializes the increment on one host; the lock
+        # is per-open-fd, so crash-release is automatic.
+        import fcntl
+
+        lock_path = self._clustered_file + ".lock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            state = self._cluster_state()
+            state["churn_since"] += churn
+            if not defer and state["churn_since"] >= recluster_fraction * max(
+                state["rows_at_cluster"], 1
+            ):
+                self.recluster(spark)  # also resets the counter durably
+            else:
+                _atomic_json(self._clustered_file, state)
 
     def maybe_recluster(
         self,

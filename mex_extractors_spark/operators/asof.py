@@ -100,6 +100,15 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = _as_key_list(on)
     rt = right_time or left_time
+    # internal working columns pass through the union and the final
+    # select; a same-named user column would be silently REPLACED by
+    # withColumn (no duplicate-column error to save us) — fail loudly
+    reserved = {"_t", "_side", "_r", "_m"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"left columns {sorted(reserved)} collide with asof_join's "
+            "internal working columns — rename them first"
+        )
     payload = (
         list(right_payload)
         if right_payload is not None
@@ -133,13 +142,22 @@ def asof_join(
         )
         matched = F.last("_r", ignorenulls=True).over(w)
     else:
-        # right rows sort AFTER left rows at equal time → <= is inclusive
+        # forward = backward over REVERSED time: sort descending and
+        # keep the same incremental (unboundedPreceding, currentRow)
+        # running frame. A (currentRow, unboundedFollowing) frame with
+        # first(ignorenulls) is semantically identical but Spark
+        # evaluates UnboundedFollowing frames by re-aggregating the
+        # whole remaining frame per row — O(n^2) per key partition,
+        # which contradicts this module's one-sort cost contract.
+        # Right rows sort BEFORE left rows at equal time → <= inclusive;
+        # NULL left times lead the partition (no right row precedes
+        # them) → NULL match, mirroring asc_nulls_first backward.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").asc_nulls_last(), F.col("_side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("_t").desc_nulls_first(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.first("_r", ignorenulls=True).over(w)
+        matched = F.last("_r", ignorenulls=True).over(w)
 
     if tolerance_seconds is not None:
         dist = F.abs(_time_delta(F.col("_t"), matched["_rt"], is_ts))
@@ -147,11 +165,9 @@ def asof_join(
 
     taken = {*left.columns}
     out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(
-        F.col("_m._rt").alias(
-            f"{rt}{suffix}" if rt in taken else rt
-        )
-    )
+    # ALWAYS suffixed — the documented contract ("exposed as
+    # {right_time}{suffix}"), not just on collision with a left column
+    out_cols.append(F.col("_m._rt").alias(f"{rt}{suffix}"))
     for c in payload:
         out_cols.append(
             F.col(f"_m.{c}").alias(f"{c}{suffix}" if c in taken else c)
@@ -196,6 +212,14 @@ def interval_join(
     NULL or reversed bounds are dropped, matching SQL BETWEEN.
     """
     keys = _as_key_list(on)
+    # "_b" is the internal band column on BOTH sides; a same-named user
+    # column would be silently replaced (points) or duplicated
+    # (intervals) and then dropped from the output — fail loudly
+    if "_b" in points.columns or "_b" in intervals.columns:
+        raise ValueError(
+            "a '_b' column collides with interval_join's internal band "
+            "column — rename it first"
+        )
     is_ts = isinstance(points.schema[point_time].dataType, _TS_TYPES)
     # band width in the time column's own units: microseconds for
     # timestamps, raw units for numeric time

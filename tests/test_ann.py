@@ -46,6 +46,17 @@ def test_build_topk_matches_inline_ivf(spark, tmp_path):
     assert idx.table.current_snapshot()["version"] == v0
 
 
+def test_build_rejects_non_integral_id(spark, tmp_path):
+    """Centroid ids ARE sampled corpus ids — a string-keyed corpus must
+    fail upfront, not after the sample job ran."""
+    df = spark.createDataFrame(
+        [("a", [0.1] * DIM)], "vec_id string, embedding array<double>"
+    )
+    idx = IvfIndex(str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="integral id column"):
+        idx.build(spark, df, num_centroids=1)
+
+
 def test_probe_read_prunes_files(spark, tmp_path):
     df = _corpus(spark, n=240)
     idx = IvfIndex(str(tmp_path / "ivf"), num_buckets=2)

@@ -113,6 +113,46 @@ def test_asof_plan_has_single_exchange_and_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_forward_uses_incremental_frame(spark):
+    """BOTH directions must plan the incremental running frame. A
+    (currentRow, unboundedFollowing) frame is re-aggregated wholesale
+    per row by Spark — O(n^2) per key partition, which would break the
+    module's one-sort cost contract on a skewed key."""
+    left = _left(spark, [(1, 5, "a")])
+    right = _right(spark, [(1, 7, "r")])
+    for direction in ("backward", "forward"):
+        plan = asof_join(
+            left, right, on="k", left_time="t", direction=direction
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "unboundedfollowing" not in plan.lower(), (direction, plan)
+
+
+def test_asof_reserved_column_collision_raises(spark):
+    left = _left(spark, [(1, 5, "a")]).withColumn("_m", F.lit(1))
+    right = _right(spark, [(1, 2, "r")])
+    with pytest.raises(ValueError, match="internal working columns"):
+        asof_join(left, right, on="k", left_time="t")
+
+
+def test_asof_matched_time_always_suffixed(spark):
+    """The documented contract: the matched right time is exposed as
+    {right_time}{suffix} even when the name would not collide."""
+    left = spark.createDataFrame([(1, 5, "a")], "k int, t int, lv string")
+    right = spark.createDataFrame([(1, 2, "r")], "k int, price_ts int, rv string")
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="price_ts"
+    )
+    assert "price_ts_matched" in out.columns
+    assert [r.price_ts_matched for r in out.collect()] == [2]
+
+
+def test_interval_join_reserved_band_column_raises(spark):
+    pts = _points(spark, [(1, 5, "p")]).withColumn("_b", F.lit(0))
+    ivs = _ivs(spark, [(1, 1, 9, "i")])
+    with pytest.raises(ValueError, match="internal band column"):
+        interval_join(pts, ivs, on="k", point_time="t", start_col="s", end_col="e")
+
+
 def _points(spark, rows):
     return spark.createDataFrame(rows, "k int, t int, pv string")
 
