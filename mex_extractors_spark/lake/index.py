@@ -184,10 +184,16 @@ def refresh_inverted_index(
         to_version = cur["version"]
     # staged on a branch: the from-watermark must come from the BRANCH
     # head (the catalog pin / this txn's prior writes), never main —
-    # main can lag the pin when post-commit fast-forward was skipped
+    # main can lag the pin when post-commit fast-forward was skipped.
+    # `or 0`: an unknown/empty branch head is an EMPTY view (the same
+    # guard _applied_at and ann.py apply) — resolving to None would
+    # silently read MAIN's watermark and can early-return applied=False
+    # instead of surfacing the unknown branch in apply_batch
     last = last_indexed_version(
         index,
-        at_version=index.resolve_ref(branch) if branch is not None else None,
+        at_version=(index.resolve_ref(branch) or 0)
+        if branch is not None
+        else None,
     )
     if to_version <= last:
         return IndexRefreshStats(last, to_version, full_build=False, applied=False)

@@ -119,6 +119,16 @@ def _dib_unpack_rows(
     return data[:, : w * 3].reshape(h, w, 3)[..., ::-1]
 
 
+def _bih_pack(w: int, h: int, img_size: int) -> bytes:
+    """24-bit uncompressed BITMAPINFOHEADER — ONE packer shared by the
+    BMP info block and the AVI strf chunk, the same never-diverge rule
+    as _dib_pack_rows: both containers carry the identical DIB layout,
+    so its header must be spelled exactly once."""
+    return struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+
+
 def bmp_bytes(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> bytes:
     """Serialize (h, w) uint8 channel planes as a 24-bit uncompressed
     BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded
@@ -128,7 +138,7 @@ def bmp_bytes(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> bytes:
     row_size = (w * 3 + 3) & ~3
     img_size = row_size * h
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    info = _bih_pack(w, h, img_size)
     return header + info + _dib_pack_rows(np.stack([r, g, b], axis=-1))
 
 
@@ -198,6 +208,14 @@ def decode_wav(payload: bytes) -> tuple[int, float, float, float, int]:
             raise ValueError(f"invalid WAV sample rate {sr}")
         n = w.getnframes()
         s = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    if len(s) != n:
+        # truncated data chunk: wave returns fewer frames than the
+        # header declares WITHOUT raising. Trusting the header n would
+        # emit NaN RMS over an empty array and mutually inconsistent
+        # duration/RMS/ZCR — fail into decode_features' hash fallback
+        raise ValueError(
+            f"truncated WAV: header declares {n} frames, decoded {len(s)}"
+        )
     duration = n / sr
     rms = math.sqrt(float((s * s).mean())) if n else 0.0
     if n > 1:
@@ -426,9 +444,7 @@ def avi_bytes(frames: list[np.ndarray], fps: int = 5) -> bytes:
         0,  # dwSampleSize
         0, 0, w, h,  # rcFrame
     )
-    strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
-    )
+    strf = _bih_pack(w, h, frame_size)
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
@@ -793,9 +809,22 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     video = media.where(F.col("kind") == "video").withColumn(
         "duration_ms", F.coalesce(F.col("duration_ms"), F.lit(3000).cast("long"))
     )
+    # endpoint EXCLUSIVE: frames span [0, duration_ms), so the plan must
+    # not schedule a grab at exactly duration_ms (a frame that does not
+    # exist — the real sampler's range(0, len(frames), stride) never
+    # emits it, and a join of plan vs decoded frames would dangle).
+    # Zero-duration videos plan no frames (empty array explodes to
+    # nothing) rather than tripping sequence's boundary check.
+    seq = F.sequence(
+        F.lit(0).cast("long"),
+        F.col("duration_ms") - 1,
+        F.lit(every_ms).cast("long"),
+    )
     return video.select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+            F.when(F.col("duration_ms") > 0, seq).otherwise(
+                F.array().cast("array<long>")
+            )
         ).alias("frame_ts_ms"),
     )

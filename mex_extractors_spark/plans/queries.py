@@ -2321,7 +2321,7 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BEFORE the heavy decode so Spark can rebalance the frame work",
     """
     SELECT doc_id AS media_id,
-           unnest(generate_series(0, (doc_id % 5) * 1000 + 1000, 1000)) AS frame_ts_ms
+           unnest(generate_series(0, (doc_id % 5) * 1000 + 1000 - 1, 1000)) AS frame_ts_ms
     FROM documents
     WHERE doc_id % 3 = 2
     """,

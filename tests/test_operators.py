@@ -611,7 +611,14 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(str, rows)) == sorted(map(str, again))
     frames = frame_sample_plan(media, every_ms=1000)
     per_video = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 4 for r in per_video)  # 0,1000,2000,3000
+    # frames span [0, duration_ms) — the default 3000 ms plans exactly
+    # 0,1000,2000 (a grab at ts=3000 would address a nonexistent frame)
+    assert all(r["count"] == 3 for r in per_video)
+    # zero-duration videos plan no frames instead of tripping sequence
+    zero = media.where("kind = 'video'").withColumn(
+        "duration_ms", F.lit(0).cast("long")
+    )
+    assert frame_sample_plan(zero, every_ms=1000).count() == 0
 
 
 def test_dedup_components_planted_graph(spark):
