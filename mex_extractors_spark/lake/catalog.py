@@ -53,10 +53,18 @@ import os
 import re
 import time
 import uuid
+# runtime imports (not TYPE_CHECKING): names used in string annotations
+# must resolve for typing.get_type_hints / doc tooling, not just for
+# human readers; no import cycle — ann/index/derived import only
+# lake.table
+from collections.abc import Sequence  # noqa: F401  (annotation use)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mex_extractors_spark.lake.ann import IvfRefreshStats  # noqa: F401
+from mex_extractors_spark.lake.derived import RefreshStats  # noqa: F401
+from mex_extractors_spark.lake.index import IndexRefreshStats  # noqa: F401
 from mex_extractors_spark.lake.table import (
     ApplyStats,
     CommitConflict,
@@ -175,6 +183,8 @@ class LakeCatalog:
             if not m:
                 continue
             snap = self.snapshot_at(int(m.group(1)))
+            if snap is None:  # expired between listdir and read
+                continue
             out.append(
                 {
                     "version": snap["version"],
@@ -300,13 +310,27 @@ class LakeCatalog:
             )
         if version == cur["version"]:
             return cur
+        # tables first pinned AFTER the target did not exist in the
+        # target world — dropping them from the snapshot would let
+        # absorb_main_advances' never-pinned escape resurrect their
+        # un-reverted mains right next to the reverted state. Pin them
+        # at 0 explicitly ("reverted out of the world"): absorb treats
+        # an explicit 0 as a rollback tombstone, never a fresh table.
+        reverted_out = sorted(
+            n for n in cur["tables"] if n not in target["tables"]
+        )
         snapshot = {
             "version": cur["version"] + 1,
             "parent": cur["version"],
-            "tables": {k: int(x) for k, x in target["tables"].items()},
+            "tables": {
+                **{k: int(x) for k, x in target["tables"].items()},
+                **{n: 0 for n in reverted_out},
+            },
             "rolled_back_to": version,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if reverted_out:
+            snapshot["reverted_out"] = reverted_out
         self._publish(snapshot)
         diverged: list[str] = []
         for name, pinned in snapshot["tables"].items():
@@ -316,6 +340,11 @@ class LakeCatalog:
             try:
                 if pinned:
                     table.rollback_to(int(pinned))
+                else:
+                    # a table cannot be rolled back to nonexistence: its
+                    # main keeps the data, visibly diverged from the
+                    # 0-pin — surfaced, never silently re-absorbed
+                    diverged.append(name)
             except ValueError:
                 diverged.append(name)
         if diverged:
@@ -356,7 +385,14 @@ class LakeCatalog:
                     pass
                 continue
             m = re.fullmatch(r"c(\d{8})\.json", f)
-            if m and int(m.group(1)) not in keep:
+            # never touch versions NEWER than the head read at entry: a
+            # concurrent committer may have CAS-published c(N+1) after
+            # our read — deleting a fully-committed snapshot (and
+            # freeing its version number for re-issue) would break the
+            # atomic-commit guarantee
+            if m and int(m.group(1)) not in keep and int(m.group(1)) <= int(
+                cur["version"]
+            ):
                 os.remove(os.path.join(self.cat_dir, f))
                 expired += 1
         return expired
@@ -405,7 +441,12 @@ class LakeCatalog:
             while v is not None and v != pinned:
                 snap = table.snapshot_at(v)
                 v = snap.get("parent") if snap else None
-            if v == pinned or (pinned == 0 and v is None):
+            # the pinned == 0 escape is for tables NEVER pinned (first
+            # registration); an EXPLICIT 0 pin is a rollback tombstone
+            # ("reverted out of the world") and must not resurrect the
+            # table's un-reverted main
+            never_pinned = name not in cur["tables"]
+            if v == pinned or (pinned == 0 and v is None and never_pinned):
                 pins[name] = head
                 absorbed[name] = head
         if not absorbed:
@@ -434,7 +475,15 @@ class LakeCatalog:
         ``table.maintenance()`` on a catalog-managed table could expire
         a version the catalog still pins and wedge
         :meth:`read(catalog_version=)`; this entry point is the safe
-        one. Returns per-table stats plus the catalog expiry count."""
+        one. Returns per-table stats plus the catalog expiry count.
+
+        Order matters: out-of-band main advances (recluster/compact
+        commits the catalog does not pin yet) are absorbed FIRST —
+        table expiry keeps only the retained pins' ancestries, so
+        running it before the absorb could delete the intermediate
+        versions the absorb's ancestry walk needs, permanently wedging
+        the pin behind an unreachable head."""
+        pre_absorbed = self.absorb_main_advances()
         cat_expired = self.expire_catalog_snapshots(keep_catalog_snapshots)
         pins = self.retained_pins()
         per_table = {
@@ -446,14 +495,15 @@ class LakeCatalog:
             )
             for name, table in self.tables.items()
         }
-        # compactions committed new (content-identical) main versions;
-        # re-pin them so the next transaction forks from the compacted
-        # layout instead of diverging main (see absorb_main_advances)
+        # the compactions THIS call just ran committed new
+        # (content-identical) main versions; re-pin them so the next
+        # transaction forks from the compacted layout instead of
+        # diverging main (see absorb_main_advances)
         absorbed = self.absorb_main_advances()
         return {
             "catalog_snapshots_expired": cat_expired,
             "tables": per_table,
-            "absorbed": absorbed,
+            "absorbed": {**pre_absorbed, **absorbed},
         }
 
 

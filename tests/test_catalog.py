@@ -967,6 +967,79 @@ def test_catalog_rollback_reverts_whole_world(spark, cat):
     assert cat.read(spark, "state").count() == 2
 
 
+def test_rollback_tombstones_tables_pinned_after_target(spark, cat):
+    """A table first pinned AFTER the rollback target did not exist in
+    the target world: the revert commit pins it at 0 (a rollback
+    tombstone, surfaced via reverted_out/main_diverged), and
+    absorb_main_advances must NOT resurrect its un-reverted main next
+    to the reverted state."""
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", _mk(spark, [("r1", "a.py", 1, "U", "x")]), "b1")
+        txn.commit()
+    c1 = cat.current_snapshot()["version"]
+    with cat.transaction() as txn:  # 'stats' enters the world after c1
+        txn.apply_batch(spark, "state", _mk(spark, [("r2", "b.py", 2, "U", "y")]), "b2")
+        txn.apply_batch(spark, "stats", _counts(spark, [("py", 1, "U", 1)]), "s1")
+        txn.commit()
+    snap = cat.rollback_to(c1)
+    assert snap["tables"]["stats"] == 0
+    assert snap["reverted_out"] == ["stats"]
+    assert "stats" in snap["main_diverged"]
+    # the tombstone holds: stats' main (still at its old version) is
+    # NOT silently re-absorbed into the reverted world
+    assert cat.absorb_main_advances() == {}
+    assert cat.pins()["stats"] == 0
+    # reading the reverted-out table through the catalog fails loudly
+    with pytest.raises(ValueError, match="no committed catalog pin|not found|version"):
+        cat.read(spark, "stats")
+
+
+def test_maintenance_absorbs_before_expiry(spark, cat):
+    """Out-of-band main advances are absorbed BEFORE table expiry:
+    expiry keeps only retained pins' ancestries, so the old order could
+    delete the intermediate versions the absorb's ancestry walk needs,
+    wedging the pin behind an unreachable head forever."""
+    with cat.transaction() as txn:
+        txn.apply_batch(spark, "state", _mk(spark, [("r1", "a.py", 1, "U", "x")]), "b1")
+        txn.commit()
+    t = cat.table("state")
+    # two sanctioned out-of-band main commits (maintenance-style)
+    t.apply_batch(spark, _mk(spark, [("r2", "b.py", 2, "U", "y")]), "oob-1")
+    t.apply_batch(spark, _mk(spark, [("r3", "c.py", 3, "U", "z")]), "oob-2")
+    head = t.current_snapshot()["version"]
+    assert head > cat.pins()["state"]
+    res = cat.maintenance(spark, keep_table_snapshots=1)
+    assert res["absorbed"].get("state") == head
+    assert cat.pins()["state"] == head
+    # and the absorbed world reads the full state
+    assert cat.read(spark, "state").count() == 3
+
+
+def test_expire_never_deletes_newer_than_head_read(spark, cat):
+    """A transaction committing concurrently with maintenance must
+    survive: snapshots NEWER than the head expiry read at entry are
+    never deleted (their version numbers must not be re-issued)."""
+    for i in range(3):
+        with cat.transaction() as txn:
+            txn.apply_batch(
+                spark, "state",
+                _mk(spark, [(f"r{i}", "a.py", i + 1, "U", "x")]), f"b{i}",
+            )
+            txn.commit()
+    newest = cat.current_snapshot()["version"]
+    stale = cat.snapshot_at(newest - 1)
+    # simulate the race: a commit (c_newest) lands AFTER expiry read its
+    # head — expiry sees the stale head but lists the newer file
+    orig = cat.current_snapshot
+    cat.current_snapshot = lambda: stale
+    try:
+        cat.expire_catalog_snapshots(keep_last=1)
+    finally:
+        cat.current_snapshot = orig
+    assert cat.snapshot_at(newest) is not None, "committed snapshot deleted"
+    assert cat.current_snapshot()["version"] == newest
+
+
 def test_catalog_rollback_rejects_bad_targets(spark, cat):
     with pytest.raises(ValueError, match="empty catalog"):
         cat.rollback_to(1)
