@@ -18,14 +18,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# portable regexes: Java regex (Spark) and RE2 (DuckDB) agree on these
-EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# portable regexes: Java regex (Spark) and RE2 (DuckDB) agree on these.
+# EMAIL also matches an IPv4 HOST (john@10.0.0.1) — otherwise the IP
+# pass would leave the identifying local part behind as "john@<IP>".
+# LONG_NUMBER allows single space/dot/dash separators between digits so
+# formatted phone/card numbers ("4111 1111 1111 1111", "555-123-4567")
+# redact too; 9+ digits total keeps dates ("2026-08-21", 8 digits) out.
+EMAIL_RE = (
+    "[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    "|([0-9]{1,3}\\.){3}[0-9]{1,3})"
+)
 IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-LONG_NUMBER_RE = "[0-9]{9,}"
+LONG_NUMBER_RE = "[0-9]([ .-]?[0-9]){8,}"
 
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _check_reserved(df: DataFrame, names: "tuple[str, ...]", op: str) -> None:
+    """Internal working columns are added with withColumn and dropped at
+    the end — a same-named user column would be silently REPLACED and
+    then deleted from the output. Fail loudly instead."""
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {sorted(clash)} collide with internal "
+            "working columns — rename them first"
+        )
 
 
 def redact_pii(col: str | Column) -> Column:
@@ -96,14 +116,25 @@ def stratified_sample_exact(
        rows only.
 
     NULL is a stratum like any other (all joins are null-safe), matching
-    the naive window's NULL partition. The two eager checkpoints make
-    this an algorithm operator (it runs jobs when invoked), like
-    dedup_components — not a lazily-composable view. The oracle can
-    state the selection as the naive window because the prefilter is
-    result-invariant.
+    the naive window's NULL partition. Rows with a NULL **id** are
+    dropped upfront: md5(NULL) is NULL, so they have no position in
+    hash order — keeping them would make a row's fate depend on whether
+    its stratum hit the fallback path (prefilter excludes them, the
+    all-rows fallback would not), breaking both the pure-function-of-id
+    contract and the naive-window oracle equivalence. The two eager
+    checkpoints make this an algorithm operator (it runs jobs when
+    invoked), like dedup_components — not a lazily-composable view. The
+    oracle can state the selection as the naive window (over non-NULL
+    ids) because the prefilter is result-invariant.
     """
     if margin <= 1.0:
         raise ValueError("margin must be > 1")
+    _check_reserved(
+        df,
+        ("_frac", "_stratum", "_n", "_q", "_thresh", "_cs", "_c", "_ss", "_rk"),
+        "stratified_sample_exact",
+    )
+    df = df.where(_c(id_col).isNotNull())
     skey = _c(stratum_col)
     if isinstance(quota, dict):
         if not quota or any(v <= 0 for v in quota.values()):
@@ -325,7 +356,24 @@ def _exclusive_prefix_sum(
     docstring; only per-range-bucket totals ever see a global sort)."""
     if range_width <= 0:
         raise ValueError("range_width must be positive")
-    idc, cost = F.col(id_col), F.col(cost_col)
+    _check_reserved(df, ("_rb", "_off", "_cum0"), "prefix_sum")
+    idc = F.col(id_col)
+    # a NULL or negative cost corrupts every LATER row's offset (and a
+    # NULL poisons the whole running sum) — the docstring contracts
+    # ("zero-cost documents get n_seqs = 0") assume costs >= 0, so
+    # enforce it in the plan: a pure per-row expression, codegen'd, that
+    # fails the job loudly instead of emitting overlapping shards
+    raw_cost = F.col(cost_col)
+    cost = F.when(
+        raw_cost.isNull() | (raw_cost < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"prefix_sum: NULL or negative {cost_col} ("),
+                F.coalesce(raw_cost.cast("string"), F.lit("NULL")),
+                F.lit(") — costs must be >= 0"),
+            )
+        ),
+    ).otherwise(raw_cost)
     rb = F.floor(idc / F.lit(range_width)).alias("_rb")
     local = df.withColumn("_rb", rb)
     w_local = (

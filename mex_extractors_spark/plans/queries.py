@@ -2919,9 +2919,10 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
              regexp_replace(
                regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,}|([0-9]{1,3}\\.){3}[0-9]{1,3})',
+                 '<EMAIL>', 'g'),
                '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-             '[0-9]{9,}', '<NUM>', 'g') AS clean
+             '[0-9]([ .-]?[0-9]){8,}', '<NUM>', 'g') AS clean
     FROM documents
     """,
 )

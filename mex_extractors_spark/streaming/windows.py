@@ -25,7 +25,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 
@@ -113,6 +112,12 @@ RUNNING_OUT_SCHEMA = StructType(
 )
 
 
+# stands in for NULL seq inside the Arrow batches (see _running_totals_fn);
+# a genuine seq of exactly -2^63 is indistinguishable from NULL — an
+# acceptable corner for a watermark that only ever ratchets upward
+_NULL_SEQ_SENTINEL = -(2**63)
+
+
 def _running_totals_fn(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
@@ -125,14 +130,18 @@ def _running_totals_fn(
     batch_n = 0
     for pdf in pdfs:
         batch_n += len(pdf)
-        # NULL seqs count as events but carry no watermark (int(NaN)
-        # would raise and kill the stream); the watermark bootstraps as
-        # None, not 0 — a key whose seqs are all negative must not
-        # report a high watermark it never observed
-        vals = pdf["seq"].dropna()
-        if len(vals):
-            m = int(vals.max())
-            max_seq = m if max_seq is None else max(max_seq, m)
+        # NULL seqs arrive as the wrapper's int64 sentinel, NOT NaN: a
+        # nullable long column converts Arrow->pandas as float64, and a
+        # 64-bit seq above 2^53 (a real CDC LSN) would silently round —
+        # a watermark the stream never observed. The sentinel keeps the
+        # column int64 end-to-end; rows at the sentinel count as events
+        # but carry no watermark, and the watermark bootstraps as None,
+        # not 0 — a key whose seqs are all negative must not report a
+        # high watermark it never observed.
+        if len(pdf):
+            m = int(pdf["seq"].max())
+            if m != _NULL_SEQ_SENTINEL:
+                max_seq = m if max_seq is None else max(max_seq, m)
     n += batch_n
     state.update((n, max_seq))
     yield pd.DataFrame(
@@ -155,9 +164,14 @@ def running_totals(
     Python). Works only on streaming DataFrames."""
     # the output schema declares key:string — cast so a numeric key
     # column works instead of dying in Arrow conversion mid-stream
+    # NULL seqs become an int64 sentinel BEFORE the Arrow boundary: a
+    # column with nulls reaches pandas as float64, where seqs above
+    # 2^53 lose precision and corrupt the persisted watermark
     src = df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.col(seq_col).cast("long").alias("seq"),
+        F.coalesce(
+            F.col(seq_col).cast("long"), F.lit(_NULL_SEQ_SENTINEL).cast("long")
+        ).alias("seq"),
     )
     return src.groupBy("key").applyInPandasWithState(
         _running_totals_fn,

@@ -12,7 +12,62 @@ from mex_extractors_spark.operators.sampling import (
     hash_sample,
     pack_shards,
     redact_pii,
+    stratified_sample_exact,
 )
+
+
+def test_redact_pii_separators_and_ip_host_emails(spark):
+    """Formatted phone/card numbers (space/dot/dash separated) and
+    emails whose host is an IP must redact fully; dates (8 digits) and
+    short versions must survive."""
+    rows = [
+        (1, "card 4111 1111 1111 1111 on file"),
+        (2, "call 555-123-4567 ext 9"),
+        (3, "contact john.smith@10.0.0.1 asap"),
+        (4, "released 2026-08-21 version 1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select("id", redact_pii("text").alias("clean")).collect()
+    }
+    assert got[1] == "card <NUM> on file"
+    assert got[2] == "call <NUM> ext 9"
+    assert got[3] == "contact <EMAIL> asap"
+    assert got[4] == "released 2026-08-21 version 1.2.3"
+
+
+def test_stratified_sample_drops_null_ids(spark):
+    """md5(NULL) has no position in hash order: NULL-id rows are dropped
+    upfront so a row's fate can never depend on whether its stratum hit
+    the all-rows fallback path."""
+    rows = [(None, "a"), *[(i, "a") for i in range(10)]]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, "lang", "doc_id", quota=20)
+    ids = [r.doc_id for r in out.collect()]
+    assert None not in ids and sorted(ids) == list(range(10))
+
+
+def test_prefix_sum_rejects_null_and_negative_costs(spark):
+    df = spark.createDataFrame(
+        [(0, 5), (1, -3), (2, 4)], "doc_id long, cost long"
+    )
+    with pytest.raises(Exception, match="costs must be >= 0"):
+        pack_shards(df, "doc_id", "cost", budget=10, range_width=2).collect()
+    df2 = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 4)], "doc_id long, cost long"
+    )
+    with pytest.raises(Exception, match="costs must be >= 0"):
+        pack_shards(df2, "doc_id", "cost", budget=10, range_width=2).collect()
+
+
+def test_sampling_reserved_columns_raise(spark):
+    df = spark.createDataFrame([(1, 2, "a")], "doc_id long, _rb long, lang string")
+    with pytest.raises(ValueError, match="internal working columns"):
+        pack_shards(df, "doc_id", "_rb", budget=10)
+    df2 = spark.createDataFrame([(1, 0.5, "a")], "doc_id long, _frac double, lang string")
+    with pytest.raises(ValueError, match="internal working columns"):
+        stratified_sample_exact(df2, "lang", "doc_id", quota=1)
 
 
 def test_redact_pii_planted(spark):

@@ -358,6 +358,34 @@ def test_running_totals_stateful_stream(spark, tmp_path):
     assert {k: (v["total_events"], v["max_seq"]) for k, v in final.items()} == truth
 
 
+def test_running_totals_watermark_exact_above_2_53(spark, tmp_path):
+    """A nullable long column crosses Arrow->pandas as float64, where
+    seqs above 2^53 round — the int64 NULL sentinel keeps the persisted
+    watermark exact. 2^53 + 1 must come back bit-exact, NULL seqs count
+    as events but carry no watermark."""
+    from mex_extractors_spark.streaming.windows import running_totals
+
+    big = (1 << 53) + 1
+    rows = [("r1", big), ("r1", None), ("r2", None)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "repo string, seq long").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("repo string, seq long").parquet(src)
+    q = (
+        running_totals(stream, key_col="repo", seq_col="seq")
+        .writeStream.format("memory")
+        .queryName("rt_big_seq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["key"]: (r["total_events"], r["max_seq"])
+        for r in spark.sql("SELECT * FROM rt_big_seq").collect()
+    }
+    assert got == {"r1": (2, big), "r2": (1, None)}
+
+
 def test_stream_from_files_mor_mode_converges(spark, tmp_path):
     """Structured Streaming foreachBatch over a merge-on-read table:
     micro-batches append deltas, compaction folds them, the converged
