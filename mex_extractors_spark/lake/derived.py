@@ -84,6 +84,15 @@ def _agg_exprs(count_alias: str, sum_cols: dict[str, str], sign) -> list:
     return exprs
 
 
+def _non_null_groups(df, group_cols):
+    """NULL-group rows are excluded by contract (see refresh_aggregates
+    docstring): lake keys cannot be NULL, and the full-build, CDF-diff,
+    and full-refresh paths must agree on the exclusion."""
+    for g in group_cols:
+        df = df.where(F.col(g).isNotNull())
+    return df
+
+
 def refresh_aggregates(
     spark: SparkSession,
     source: LakeTable,
@@ -107,9 +116,22 @@ def refresh_aggregates(
     transaction: refresh up to a source version that is itself only
     staged (a txn branch head) and write the derived batch to the
     derived table's own txn branch instead of main.
+
+    Rows with a NULL group-column value are EXCLUDED (lake table keys
+    cannot be NULL — apply_batch's ingest contract would silently drop
+    the NULL-group upsert anyway, and the full-build and CDF-diff paths
+    must agree): pre-coalesce NULLs to a sentinel value in the source
+    if the NULL group matters. The derived table MUST be keyed on
+    exactly ``group_cols`` — a subset key would LWW-collapse the
+    per-group rows nondeterministically, so it raises instead.
     """
     sum_cols = dict(sum_cols or {})
     group_cols = list(group_cols)
+    if list(derived.key_cols) != group_cols:
+        raise ValueError(
+            f"derived table key_cols must equal group_cols "
+            f"({group_cols}), got {list(derived.key_cols)}"
+        )
     snap = source.current_snapshot()
     if snap is None and to_version is None:
         return RefreshStats(0, 0, full_build=False, applied=False)
@@ -135,7 +157,9 @@ def refresh_aggregates(
 
     if from_version == 0:
         # initial build: one full aggregation of the refresh-target state
-        state = source.read(spark, version=to_version)
+        state = _non_null_groups(
+            source.read(spark, version=to_version), group_cols
+        )
         fresh = state.groupBy(*group_cols).agg(
             *_agg_exprs(count_alias, sum_cols, F.lit(1))
         )
@@ -148,8 +172,11 @@ def refresh_aggregates(
             groups_changed=st.upserts,
         )
 
-    changes = source.read_changes(
-        spark, from_version, to_version, include_preimages=True
+    changes = _non_null_groups(
+        source.read_changes(
+            spark, from_version, to_version, include_preimages=True
+        ),
+        group_cols,
     )
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -194,9 +221,16 @@ def full_refresh(
 ) -> RefreshStats:
     """Recompute the derived table from the full source state (recovery
     path when the CDF base snapshot has been expired). Upserts every
-    current group and deletes groups that no longer exist."""
+    current group and deletes groups that no longer exist. Same
+    contracts as :func:`refresh_aggregates`: NULL-group rows excluded,
+    derived key must equal ``group_cols``."""
     sum_cols = dict(sum_cols or {})
     group_cols = list(group_cols)
+    if list(derived.key_cols) != group_cols:
+        raise ValueError(
+            f"derived table key_cols must equal group_cols "
+            f"({group_cols}), got {list(derived.key_cols)}"
+        )
     snap = source.current_snapshot()
     if snap is None:
         return RefreshStats(0, 0, full_build=False, applied=False)
@@ -210,7 +244,7 @@ def full_refresh(
     # BEYOND to_version, and the next incremental refresh would then
     # double-apply that range), the derived at the watermark's snapshot
     fresh = (
-        source.read(spark, version=to_version)
+        _non_null_groups(source.read(spark, version=to_version), group_cols)
         .groupBy(*group_cols)
         .agg(*_agg_exprs(count_alias, sum_cols, F.lit(1)))
     )

@@ -46,7 +46,13 @@ _WIDENS_TO: dict[str, set[str]] = {
     LongType().simpleString(): set(),
     FloatType().simpleString(): {"double"},
     DoubleType().simpleString(): set(),
-    DateType().simpleString(): {"timestamp"},
+    # date -> timestamp is deliberately NOT a promotion (unlike the int
+    # widenings, it is not in Iceberg's set either): the cast goes
+    # through spark.sql.session.timeZone, so the same batch replayed
+    # under a different session tz would store different instants —
+    # breaking byte-stable replay/checksum equality. Evolve via an
+    # explicit new column instead.
+    DateType().simpleString(): set(),
     TimestampType().simpleString(): set(),
 }
 
@@ -60,6 +66,14 @@ def _widen(a: DataType, b: DataType) -> DataType:
     if a == b:
         return a
     sa, sb = a.simpleString(), b.simpleString()
+    # container types that differ ONLY in nullability flags
+    # (ArrayType.containsNull, struct field nullable — e.g. collect_list
+    # builds containsNull=false arrays) are the same type: keep the
+    # table's declaration, align_to_schema's cast absorbs the rest.
+    # DataType equality includes those flags but simpleString erases
+    # them, so equal strings here mean a nullability-only difference.
+    if sa == sb:
+        return a
     if sb in _WIDENS_TO.get(sa, set()):
         return b
     if sa in _WIDENS_TO.get(sb, set()):

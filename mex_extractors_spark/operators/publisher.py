@@ -23,10 +23,14 @@ Spark shape: all person-bearing fields are melted in ONE pass via
 ``inline`` (no per-field scan), refs check membership through a
 broadcast join against the allowed-actor dimension, person→unit
 substitutions come from a second broadcast join, and the per-(item,
-field) re-aggregation is the single shuffle. Dimension tables (actors,
-persons) are dimension-sized; items are the 100 TB fact — the fact is
-scanned once and shuffled once, on the exploded (item, field, ref)
-rows only.
+field) re-aggregation shuffles only the exploded (item, field, ref)
+rows. The FOLD-BACK is the honest extra cost: rewritten field maps are
+re-attached with an id-keyed join against the items, so the fact is
+scanned twice and its payload columns shuffle once on id (per_item is
+fact-row-sized, not broadcastable). At lake scale the mitigation is
+layout, not plan surgery — store items bucketed by id (LakeTable's
+native layout) and the fold-back join becomes storage-partitioned,
+moving only the rewrite map.
 """
 
 from __future__ import annotations
@@ -162,7 +166,9 @@ def unit_ids_per_person(
     return (
         persons.select(
             F.col(person_id).alias("_person_id"),
-            F.explode_outer(member_of).alias("_unit_id"),
+            # plain explode: the inner join below drops null-unit rows,
+            # so explode_outer's preserved nulls would be wasted work
+            F.explode(member_of).alias("_unit_id"),
         )
         .join(F.broadcast(units_with_email), "_unit_id")
         .select("_person_id", "_unit_id")
@@ -208,8 +214,11 @@ def rewrite_actor_references(
             "_allows_contact boolean, _required boolean",
         )
     )
+    # distinct: duplicate ids in the allowed dimension (union/append
+    # builds commonly carry them) would multiply matched ref rows and
+    # publish duplicated references — set membership keeps each ref once
     allowed = F.broadcast(
-        allowed_actors.toDF("_ref").withColumn("_allowed", F.lit(True))
+        allowed_actors.toDF("_ref").distinct().withColumn("_allowed", F.lit(True))
     )
     # substitution units must themselves be allowed actors
     subs = F.broadcast(

@@ -37,6 +37,53 @@ def _derived_rows(spark, derived):
     }
 
 
+def test_null_groups_excluded_consistently(spark, tmp_path):
+    """NULL-group rows are excluded by contract on EVERY path (full
+    build, CDF diff, full refresh) — lake keys cannot be NULL, and the
+    paths must agree or the derived table would drift between them."""
+    src = LakeTable(str(tmp_path / "src"), num_buckets=2)
+    drv = LakeTable(
+        str(tmp_path / "drv"), key_cols=["lang"], num_buckets=2,
+        seq_col="seq",
+    )
+    rows = [
+        ("r1", "a", 1, "U", "py", 5),
+        ("r2", "b", 2, "U", None, 7),
+        ("r3", "c", 3, "U", "py", 2),
+    ]
+    src.apply_batch(spark, spark.createDataFrame(rows, SCH), "b1")
+    refresh_aggregates(spark, src, drv, ["lang"], sum_cols={"total_stars": "stars"})
+    assert _derived_rows(spark, drv) == {("py", 2, 7)}
+    # CDF path: another NULL-group row arrives, still excluded
+    src.apply_batch(
+        spark,
+        spark.createDataFrame([("r4", "d", 4, "U", None, 9)], SCH),
+        "b2",
+    )
+    refresh_aggregates(spark, src, drv, ["lang"], sum_cols={"total_stars": "stars"})
+    assert _derived_rows(spark, drv) == {("py", 2, 7)}
+
+
+def test_refresh_rejects_mismatched_derived_key(spark, tmp_path):
+    """A derived table keyed on a SUBSET of group_cols would LWW-collapse
+    the per-group rows nondeterministically — must raise, not corrupt."""
+    import pytest
+
+    src = LakeTable(str(tmp_path / "src"), num_buckets=2)
+    drv = LakeTable(
+        str(tmp_path / "drv"), key_cols=["lang"], num_buckets=2, seq_col="seq"
+    )
+    src.apply_batch(
+        spark,
+        spark.createDataFrame([("r1", "a", 1, "U", "py", 5)], SCH),
+        "b1",
+    )
+    with pytest.raises(ValueError, match="key_cols must equal group_cols"):
+        refresh_aggregates(spark, src, drv, ["lang", "repo"])
+    with pytest.raises(ValueError, match="key_cols must equal group_cols"):
+        full_refresh(spark, src, drv, ["lang", "repo"])
+
+
 def test_incremental_refresh_tracks_source(spark, tmp_path):
     source = LakeTable(str(tmp_path / "src"), num_buckets=4)
     derived = LakeTable(

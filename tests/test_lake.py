@@ -248,6 +248,30 @@ def test_schema_narrowing_rejected():
         merge_schemas(bad_a, bad_b)
 
 
+def test_nullability_only_container_difference_is_not_evolution():
+    """collect_list builds containsNull=false arrays while declared
+    schemas default to true — identical types up to nullability flags
+    must merge to the TABLE's declaration, never raise."""
+    from pyspark.sql.types import ArrayType
+
+    a = StructType([StructField("tags", ArrayType(StringType(), True))])
+    b = StructType([StructField("tags", ArrayType(StringType(), False))])
+    assert merge_schemas(a, b)["tags"].dataType == ArrayType(StringType(), True)
+
+
+def test_date_to_timestamp_is_not_a_promotion():
+    """The cast goes through the session timezone, so the same batch
+    replayed under a different tz would store different instants —
+    byte-stable replay forbids it (and it is not in Iceberg's promotion
+    set either)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    a = StructType([StructField("d", DateType())])
+    b = StructType([StructField("d", TimestampType())])
+    with pytest.raises(SchemaEvolutionError):
+        merge_schemas(a, b)
+
+
 def test_lossy_numeric_promotions_rejected():
     """long→float would silently corrupt values past 2^24 (float holds a
     24-bit mantissa) and long→double past 2^53 — both must be rejected,

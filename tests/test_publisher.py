@@ -84,6 +84,32 @@ def test_rewrite_with_contactpoint_fallback(spark):
     assert broken == []
 
 
+def test_rewrite_duplicate_allowed_ids_keep_refs_once(spark):
+    """Set membership: duplicate ids in the allowed-actor dimension
+    (union/append builds carry them) must not multiply the matched refs
+    in the rewritten arrays."""
+    out, broken = _rewrite(
+        spark,
+        [
+            (
+                "activityDupAllowed",
+                "MergedActivity",
+                ["thisIdentifierIsOkay"],
+                ["thisIdentifierIsOkay"],
+                ["thisIdentifierIsOkay"],
+                ["thisUnitIsResponsible"],
+            )
+        ],
+        allowed=["thisIdentifierIsOkay", "thisIdentifierIsOkay"],
+        fallback=["thisIsTheFallbackId"],
+    )
+    item = out["activityDupAllowed"]
+    assert item["contact"] == ["thisIdentifierIsOkay"]
+    assert item["externalAssociate"] == ["thisIdentifierIsOkay"]
+    assert item["involvedPerson"] == ["thisIdentifierIsOkay"]
+    assert broken == []
+
+
 def test_rewrite_with_unit_fallback(spark):
     # mirrors ..._with_unit_fallback
     out, broken = _rewrite(
